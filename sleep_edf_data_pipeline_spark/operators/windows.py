@@ -1,0 +1,110 @@
+"""Windowed time-series operators (SURVEY §2.3 R4, R5, R19).
+
+Every window here partitions by the same entity key so Catalyst can plan
+ONE exchange for the whole chain — moving averages, lag, run ids,
+running sums and whole-partition stats all reuse hash(subject_id)
+partitioning (a ``HashPartitioning`` on a subset of a window's
+clustering keys satisfies its ``ClusteredDistribution``, so e.g. a
+window over (subject_id, is_sleep) only re-sorts, it does not
+re-shuffle).  At 100 TB that single-shuffle property is the difference
+between one wide stage and five.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def entity_window(partition_by: Sequence[str], order_by: Sequence[str]) -> WindowSpec:
+    return Window.partitionBy(*partition_by).orderBy(*order_by)
+
+
+def with_moving_averages(
+    df: DataFrame,
+    cols: Sequence[str],
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    window_size: int = 5,
+    suffix: str = "_moving_avg",
+) -> DataFrame:
+    """Trailing moving average over a row frame (R4).
+
+    Reference: 5-epoch (2.5 min) smoothing,
+    ``models/intermediate/sleep_metrics.sql:11-43``.
+    """
+    w = entity_window(partition_by, order_by).rowsBetween(-(window_size - 1), 0)
+    return df.withColumns({f"{c}{suffix}": F.avg(c).over(w) for c in cols})
+
+
+def with_transition_flag(
+    df: DataFrame,
+    state_col: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    out_col: str = "is_stage_transition",
+) -> DataFrame:
+    """lag + CASE change-detection flag; first row in a partition is false.
+
+    Reference: ``models/intermediate/sleep_metrics.sql:49-59``.
+    """
+    w = entity_window(partition_by, order_by)
+    prev = F.lag(state_col).over(w)
+    flag = (
+        F.when(prev.isNull(), F.lit(False))
+        .when(prev != F.col(state_col), F.lit(True))
+        .otherwise(F.lit(False))
+    )
+    return df.withColumn(out_col, flag)
+
+
+def with_running_sum(
+    df: DataFrame,
+    col: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    out_col: str,
+) -> DataFrame:
+    """sum(col) over rows unbounded preceding..current (R9)."""
+    w = entity_window(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out_col, F.sum(col).over(w))
+
+
+def with_group_zscore(
+    df: DataFrame,
+    cols: Sequence[str],
+    partition_by: Sequence[str],
+    order_by: Sequence[str] = (),
+    suffix: str = "_z",
+) -> DataFrame:
+    """Per-group z-score via whole-partition analytic windows (R19).
+
+    ``(x - avg(x) over (partition)) / nullif(stddev(x) over (partition), 0)``
+    with *sample* stddev, matching DuckDB/Snowflake ``stddev``.
+    Reference: ``models/marts/ml/sleep_features.sql:19-43``.
+
+    Pass ``order_by`` to pin the frame to an explicit full-partition
+    ordered frame: float aggregation then runs in a deterministic row
+    order, so results are bit-stable across runs (an unordered window
+    aggregates in shuffle-arrival order, which varies run to run).
+    """
+    if order_by:
+        w = (
+            Window.partitionBy(*partition_by)
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+    else:
+        w = Window.partitionBy(*partition_by)
+    out = {}
+    for c in cols:
+        std = F.stddev(c).over(w)
+        out[f"{c}{suffix}"] = (F.col(c) - F.avg(c).over(w)) / F.when(std != 0, std)
+    return df.withColumns(out)
+
+
+def safe_div(num: Column, den: Column) -> Column:
+    """``num / nullif(den, 0)`` — the reference's division guard."""
+    return num / F.when(den != 0, den)

@@ -1,0 +1,31 @@
+"""Merge every query module's (QUERIES, ORACLES) for __spark_entry__."""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Query modules, each exposing QUERIES and (optionally) ORACLES.
+_MODULES = [
+    "sleep_edf_data_pipeline_spark.queries.sleep_relational",
+]
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    queries: dict[str, QueryFn] = {}
+    oracles: dict[str, str] = {}
+    for modname in _MODULES:
+        mod = importlib.import_module(modname)
+        for name, fn in mod.QUERIES.items():
+            if name in queries:
+                raise ValueError(f"duplicate query name: {name} in {modname}")
+            queries[name] = fn
+        for name, sql in getattr(mod, "ORACLES", {}).items():
+            if name not in mod.QUERIES:
+                raise ValueError(f"oracle without query: {name} in {modname}")
+            oracles[name] = sql
+    return queries, oracles

@@ -1,0 +1,36 @@
+"""Test-corpus table loading.
+
+Parquet scans with Catalyst-native column pruning / filter pushdown —
+callers select/filter and the optimizer pushes both into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic test table (TESTDATA.md).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as int64 and is
+    converted here to a microsecond TIMESTAMP_NTZ (integer division —
+    nanos exceed 2^53 so float division would lose precision).  DuckDB
+    applies the same floor-truncation when reading nanos, so both
+    engines see identical values.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
