@@ -1,0 +1,180 @@
+"""Time-window queries on the events stream table.
+
+The reference's episode detection (R7-R9) is a batch session window in
+disguise (SURVEY §2.6); here the same semantics are expressed with
+Spark's native time-window operators — ``F.window`` tumbling buckets and
+``F.session_window`` gap-merged sessions — both usable identically in
+batch and Structured Streaming (streaming/sessions.py wires the
+streaming variant).
+
+Oracles restate the session semantics relationally (lag + cumsum
+sessionization), proving the native operator's equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+#: 30-minute inactivity closes a session.
+SESSION_GAP = "30 minutes"
+
+
+def q_hourly_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window: counts, exact decimal sums, distinct users."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ORACLE_HOURLY_EVENT_AGG = """
+SELECT
+    date_trunc('hour', ts) AS hour_start,
+    event_type,
+    count(*) AS n_events,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+    count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session window per user (30-min gap): bounds + aggregates.
+
+    ``F.session_window`` merges each event's [ts, ts+gap) interval;
+    session end is last event + gap.  The oracle derives identical
+    sessions with lag + running-sum sessionization — the two
+    formulations must agree exactly.
+    """
+    ev = table(spark, sf_dir, "events")
+    sw = F.session_window("ts", SESSION_GAP)
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW_AGG = """
+WITH gaps AS (
+    SELECT
+        user_id,
+        event_id,
+        ts,
+        value,
+        CASE
+            WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                >= INTERVAL 30 MINUTE
+            THEN 1 ELSE 0
+        END AS is_new_session
+    FROM events
+),
+sessions AS (
+    SELECT
+        *,
+        sum(is_new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+    FROM gaps
+)
+SELECT
+    user_id,
+    min(ts) AS session_start,
+    max(ts) + INTERVAL 30 MINUTE AS session_end,
+    count(*) AS n_events,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (props->k) + grouped aggregation."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k.cast("bigint")).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+ORACLE_JSON_PROPS_AGG = """
+SELECT
+    event_type,
+    count(*) AS n_events,
+    CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+    min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+    max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (grouped conditional counts widened to columns) per user."""
+    ev = table(spark, sf_dir, "events")
+    cnt = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))  # noqa: E731
+    return ev.groupBy("user_id").agg(
+        cnt("click").alias("n_click"),
+        cnt("view").alias("n_view"),
+        cnt("purchase").alias("n_purchase"),
+        cnt("signup").alias("n_signup"),
+        cnt("error").alias("n_error"),
+    )
+
+
+ORACLE_EVENT_TYPE_PIVOT = """
+SELECT
+    user_id,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_purchase,
+    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "hourly_event_agg": q_hourly_event_agg,
+    "session_window_agg": q_session_window_agg,
+    "json_props_agg": q_json_props_agg,
+    "event_type_pivot": q_event_type_pivot,
+}
+
+ORACLES = {
+    "hourly_event_agg": ORACLE_HOURLY_EVENT_AGG,
+    "session_window_agg": ORACLE_SESSION_WINDOW_AGG,
+    "json_props_agg": ORACLE_JSON_PROPS_AGG,
+    "event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,
+}

@@ -1,0 +1,188 @@
+"""Serving / ad-hoc query surface (SURVEY §2.5 Q1-Q6) + quality checks
+(§2.4) as oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import sleep_pipeline as sp
+from ..quality.validate import epoch_contract_checks, run_checks, uniqueness_check
+from .events_domain import (
+    BASE_CTE,
+    GAP_EVENTS,
+    METRICS_WITH,
+    STAGED_CTE,
+    epochs_from_events,
+)
+
+STAGED_WITH = "WITH " + BASE_CTE.strip() + ",\n" + STAGED_CTE.strip()
+from .sleep_relational import ORACLE_SLEEP_SUMMARY, q_sleep_summary
+
+#: The demo subject every point-lookup serves (dashboard.py pattern).
+LOOKUP_SUBJECT = 7
+
+
+def _summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_sleep_summary(spark, sf_dir)
+
+
+def q_subject_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: ordered key scan of the summary mart (viz/dashboard.py:94-97)."""
+    return _summary(spark, sf_dir).select("subject_id").orderBy("subject_id")
+
+
+ORACLE_SUBJECT_LIST = (
+    "SELECT subject_id FROM (" + ORACLE_SLEEP_SUMMARY + ") ORDER BY subject_id"
+)
+
+
+def q_subject_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: parameterized point lookup (viz/dashboard.py:110-112)."""
+    return _summary(spark, sf_dir).filter(F.col("subject_id") == LOOKUP_SUBJECT)
+
+
+ORACLE_SUBJECT_LOOKUP = (
+    "SELECT * FROM ("
+    + ORACLE_SLEEP_SUMMARY
+    + f") WHERE subject_id = {LOOKUP_SUBJECT}"
+)
+
+
+def q_subject_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: filter + 4-col projection + sort (viz/dashboard.py:113-125)."""
+    m = sp.metrics(
+        sp.staging(epochs_from_events(spark, sf_dir)), gap_epochs=GAP_EVENTS
+    )
+    return (
+        m.filter(F.col("subject_id") == LOOKUP_SUBJECT)
+        .select(
+            "epoch_idx",
+            "sleep_stage",
+            F.round("delta_moving_avg", 6).alias("delta_moving_avg"),
+            "is_in_sleep_period",
+        )
+        .orderBy("epoch_idx")
+    )
+
+
+ORACLE_SUBJECT_TIMESERIES = (
+    METRICS_WITH
+    + f"""
+SELECT
+    epoch_idx,
+    sleep_stage,
+    round(delta_moving_avg, 6) AS delta_moving_avg,
+    is_in_sleep_period
+FROM metrics
+WHERE subject_id = {LOOKUP_SUBJECT}
+ORDER BY epoch_idx
+"""
+)
+
+
+def q_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: verify_db-style diagnostics — counts + conditional counts."""
+    staged = sp.staging(epochs_from_events(spark, sf_dir))
+    return staged.agg(
+        F.count("*").alias("total_epochs"),
+        F.countDistinct("subject_id").alias("n_subjects"),
+        F.sum(F.when(F.col("sleep_stage") == "W", 1).otherwise(0))
+        .cast("bigint")
+        .alias("wake_epochs"),
+        F.sum(F.when(F.col("delta_power_uv") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("negative_delta_epochs"),
+        F.min("epoch_idx").alias("min_epoch_idx"),
+        F.max("epoch_idx").alias("max_epoch_idx"),
+    )
+
+
+ORACLE_DIAGNOSTICS = (
+    STAGED_WITH
+    + """
+SELECT
+    count(*) AS total_epochs,
+    count(DISTINCT subject_id) AS n_subjects,
+    CAST(sum(CASE WHEN sleep_stage = 'W' THEN 1 ELSE 0 END) AS BIGINT)
+        AS wake_epochs,
+    CAST(sum(CASE WHEN delta_power_uv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS negative_delta_epochs,
+    min(epoch_idx) AS min_epoch_idx,
+    max(epoch_idx) AS max_epoch_idx
+FROM staged
+"""
+)
+
+
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2-V4: the declarative check suite in one aggregation pass."""
+    staged = sp.staging(epochs_from_events(spark, sf_dir))
+    results = run_checks(staged, epoch_contract_checks())
+    return results.unionByName(uniqueness_check(staged, ["epoch_id"]))
+
+
+_CHECK_NAMES = [
+    "not_null_epoch_id",
+    "not_null_subject_id",
+    "not_null_epoch_idx",
+    "not_null_sleep_stage",
+    "not_null_delta_power_uv",
+    "not_null_theta_power_uv",
+    "not_null_alpha_power_uv",
+    "not_null_sigma_power_uv",
+    "not_null_beta_power_uv",
+    "accepted_values_sleep_stage",
+]
+
+_CHECK_EXPRS = {
+    "not_null_epoch_id": "epoch_id IS NULL",
+    "not_null_subject_id": "subject_id IS NULL",
+    "not_null_epoch_idx": "epoch_idx IS NULL",
+    "not_null_sleep_stage": "sleep_stage IS NULL",
+    "not_null_delta_power_uv": "delta_power_uv IS NULL",
+    "not_null_theta_power_uv": "theta_power_uv IS NULL",
+    "not_null_alpha_power_uv": "alpha_power_uv IS NULL",
+    "not_null_sigma_power_uv": "sigma_power_uv IS NULL",
+    "not_null_beta_power_uv": "beta_power_uv IS NULL",
+    "accepted_values_sleep_stage": (
+        "sleep_stage NOT IN ('W','N1','N2','N3','REM') OR sleep_stage IS NULL"
+    ),
+}
+
+ORACLE_DATA_QUALITY_CHECKS = (
+    STAGED_WITH
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS check_name, "
+        f"CAST(sum(CASE WHEN {_CHECK_EXPRS[name]} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS violations FROM staged"
+        for name in _CHECK_NAMES
+    )
+    + """
+UNION ALL
+SELECT 'unique_epoch_id' AS check_name,
+       CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS violations
+FROM (
+    SELECT epoch_id, count(*) AS n FROM staged GROUP BY epoch_id HAVING count(*) > 1
+)
+"""
+)
+
+
+QUERIES = {
+    "subject_list": q_subject_list,
+    "subject_lookup": q_subject_lookup,
+    "subject_timeseries": q_subject_timeseries,
+    "diagnostics": q_diagnostics,
+    "data_quality_checks": q_data_quality_checks,
+}
+
+ORACLES = {
+    "subject_list": ORACLE_SUBJECT_LIST,
+    "subject_lookup": ORACLE_SUBJECT_LOOKUP,
+    "subject_timeseries": ORACLE_SUBJECT_TIMESERIES,
+    "diagnostics": ORACLE_DIAGNOSTICS,
+    "data_quality_checks": ORACLE_DATA_QUALITY_CHECKS,
+}

@@ -10,6 +10,9 @@ from pyspark.sql import DataFrame, SparkSession
 #: Query modules, each exposing QUERIES and (optionally) ORACLES.
 _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.sleep_relational",
+    "sleep_edf_data_pipeline_spark.queries.tpch_relational",
+    "sleep_edf_data_pipeline_spark.queries.event_windows",
+    "sleep_edf_data_pipeline_spark.queries.serving",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
