@@ -1,0 +1,265 @@
+"""Deduplication operators for large-scale document corpora.
+
+Beyond-reference operators (BASELINE.json north star): exact dedup,
+MinHash + LSH banding, SimHash, and n-gram Jaccard — each expressed
+with JVM-side array/higher-order functions only (``transform``,
+``array_min``, ``posexplode``…): no Python UDF in the hot path, so
+whole-stage codegen applies and the operators scale to 100 TB by
+sharding on hash keys.
+
+Scale notes:
+- exact dedup groups on a 60-bit content hash, not the full text →
+  shuffle rows are (hash, id) pairs, bytes-per-row independent of
+  document size.
+- LSH candidate generation is an equi-join on (band_idx, band_hash):
+  Catalyst plans a plain shuffled hash join keyed on small fixed-width
+  values; skewed buckets (a band hash shared by thousands of docs) are
+  split by AQE skew-join handling.
+- signatures/bands are recomputed per side rather than cached —
+  cheaper than materializing at PB scale; callers can persist the
+  signature frame when reused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64
+
+
+def tokens(text_col: Column) -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.lower(text_col), r"\s+")
+
+
+def word_shingles(words: Column, n: int = 3) -> Column:
+    """n-word shingles; documents shorter than n words get one shingle."""
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    make = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + k + 1) for k in range(n)])
+    )
+    return F.when(F.size(words) >= n, make).otherwise(
+        F.array(F.concat_ws(" ", words))
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """Array of k min-hashes (one seeded hash function per position).
+
+    NB: the seed must be captured via a closure factory — a two-arg
+    lambda (e.g. ``lambda s, j=j``) would make F.transform pass the
+    array *index* as the second argument.
+    """
+
+    def seeded(j: int):
+        return lambda s: hash64(s, j)
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, seeded(j))) for j in range(k)]
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on a content hash: one row per distinct text.
+
+    Returns (text_hash, kept_id = min id, n_copies).
+    """
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("_id")
+        )
+        .groupBy("text_hash")
+        .agg(F.min("_id").alias("kept_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Attach a MinHash signature column ``sig`` (array<bigint> length k)."""
+    w = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        minhash_signature(word_shingles(w, shingle_n), k).alias("sig"),
+        word_shingles(w, shingle_n).alias("shingles"),
+    )
+
+
+def lsh_candidate_pairs(
+    signed: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Explode k = bands×rows_per_band signatures into band hashes, then
+    self-equi-join on (band_idx, band_hash) with id_a < id_b.  Returns
+    distinct (id_a, id_b).
+    """
+    band_hash = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"_band_{b}")
+        for b in range(bands)
+    ]
+    banded = signed.select(F.col(id_col), *band_hash)
+    long = banded.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"_band_{b}") for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    left = long.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    right = long.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array columns (as sets)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    shingle_n: int = 1,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) for verified pairs ≥ threshold.
+    """
+    signed = with_minhash(df, id_col, text_col, k, shingle_n)
+    cands = lsh_candidate_pairs(signed, id_col, bands, rows_per_band)
+    sets = signed.select(
+        F.col(id_col), F.array_distinct("shingles").alias("shingle_set")
+    )
+    a = sets.select(
+        F.col(id_col).alias("id_a"), F.col("shingle_set").alias("set_a")
+    )
+    b = sets.select(
+        F.col(id_col).alias("id_b"), F.col("shingle_set").alias("set_b")
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("set_a"), F.col("set_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprint(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash over the distinct-token set.
+
+    Explode tokens → one 60-bit hash per token → per-bit ±1 vote sums
+    (exact integer aggregation, order-independent) → sign → fingerprint.
+    Returns (id, simhash).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", hash64(F.col("tok")))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"_v{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dups(
+    fingerprints: DataFrame,
+    id_col: str,
+    bits: int = 32,
+    chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-ball pairing via chunk pigeonhole.
+
+    With ``chunks`` equal-width chunks, any pair within
+    ``chunks - 1`` flips shares at least one identical chunk — join on
+    (chunk_idx, chunk_value), verify exact Hamming via bit_count(xor).
+    Returns (id_a, id_b, hamming ≤ max_hamming).
+    """
+    width = bits // chunks
+    mask = (1 << width) - 1
+    chunk_cols = [
+        (
+            F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
+        ).alias(f"_c{c}")
+        for c in range(chunks)
+    ]
+    chunked = fingerprints.select(id_col, "simhash", *chunk_cols)
+    long = chunked.select(
+        id_col,
+        "simhash",
+        F.posexplode(F.array(*[F.col(f"_c{c}") for c in range(chunks)])).alias(
+            "chunk_idx", "chunk_val"
+        ),
+    )
+    a = long.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sim_a"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    b = long.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sim_b"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB design requires:
+
+- **Brute-force cosine top-k** — the correctness baseline: broadcast
+  the (small) query set against the corpus, dot products via
+  ``zip_with`` + ``aggregate`` higher-order functions (JVM-side, fused
+  into the scan), rank per query.  Linear in corpus size, no index.
+- **Blocked / LSH paths** — the scale baseline:
+  - :func:`ivf_topk` probes only rows whose coarse block (here: an
+    existing cluster label; in production a trained quantizer) matches
+    the query's — classic IVF pruning, turning a full scan into a
+    partition-pruned one.
+  - :func:`hyperplane_lsh_buckets` assigns sign-pattern buckets from
+    deterministic pseudo-random hyperplanes (seeded 60-bit hashes →
+    ±1 components) — candidates share a bucket; collisions
+    concentrate near neighbors.
+
+Sums run in array order (sequential fold) so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus, rank, keep k.
+
+    Ranking uses the 6-digit-rounded similarity with an id tie-break so
+    top-k membership is deterministic across engines and runs.
+    Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style blocked top-k: probe only the query's coarse block.
+
+    The equi-join on the block key replaces the cross join — at scale
+    this is the difference between O(Q·N) and O(Q·N/B) with partition
+    pruning on a block-partitioned corpus.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.col(block_col).alias("_block"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.col(block_col).alias("_block"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_block")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplane_component(plane: int, dim: int) -> Column:
+    """Deterministic ±1 hyperplane component from a seeded hash parity."""
+    from ..functions.hashing import hash64
+
+    h = hash64(F.lit(f"{plane}:{dim}"))
+    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH: sign pattern over n_planes → bucket id.
+
+    Hyperplane components are ±1 derived from seeded hashes, so both
+    engines (and every run) build identical planes without a
+    randomness source.  Returns (id, bucket) with bucket in
+    [0, 2^n_planes).
+    """
+    vec = F.col(vec_col)
+    bucket: Column = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[_hyperplane_component(p, d) for d in range(dim)]),
+                lambda x, c: x.cast("double") * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return df.select(F.col(id_col), bucket.alias("bucket"))

@@ -1,0 +1,233 @@
+"""Oracle-checked dedup queries over the documents table.
+
+Each query drives operators.dedup; oracles restate the same
+deterministic md5-based constructions in DuckDB (list comprehensions +
+lambda transforms), so candidate generation AND verification are both
+differential-checked, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_fingerprint,
+    simhash_near_dups,
+    with_minhash,
+)
+from ..tables import table
+
+H64 = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy."""
+    return exact_dedup(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS kept_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16, 3-word shingles) in long format."""
+    signed = with_minhash(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=16, shingle_n=3
+    )
+    return signed.select(
+        "doc_id", F.posexplode("sig").alias("h", "minhash")
+    ).withColumn("h", F.col("h").cast("bigint"))
+
+
+ORACLE_MINHASH_SIGNATURES = f"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+    FROM documents
+),
+sh AS (
+    SELECT
+        doc_id,
+        CASE
+            WHEN len(words) >= 3
+            THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+            ELSE [array_to_string(words, ' ')]
+        END AS shingles
+    FROM t
+)
+SELECT
+    doc_id,
+    j AS h,
+    list_min(list_transform(shingles, s -> {H64.format(s="j || '|' || s")})) AS minhash
+FROM sh
+CROSS JOIN unnest(range(0, 16)) AS tt(j)
+"""
+
+
+def q_minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact-Jaccard verification (≥ 0.6)."""
+    return minhash_lsh_dedup(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=16,
+        shingle_n=1,
+        bands=4,
+        rows_per_band=4,
+        threshold=0.6,
+    )
+
+
+ORACLE_MINHASH_LSH_NEARDUPS = f"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+    FROM documents
+),
+sigs AS (
+    SELECT
+        doc_id,
+        list_distinct(words) AS wset,
+        [
+            list_min(list_transform(words, s -> {H64.format(s="j || '|' || s")}))
+            for j in range(0, 16)
+        ] AS sig
+    FROM t
+),
+bands AS (
+    SELECT
+        doc_id,
+        wset,
+        b AS band_idx,
+        md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',')) AS band_hash
+    FROM sigs
+    CROSS JOIN unnest(range(0, 4)) AS tt(b)
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands AS a
+    JOIN bands AS b USING (band_idx, band_hash)
+    WHERE a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT
+        c.id_a,
+        c.id_b,
+        round(
+            CAST(len(list_intersect(sa.wset, sb.wset)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa.wset, sb.wset))) AS DOUBLE),
+            6
+        ) AS jaccard
+    FROM cands AS c
+    JOIN sigs AS sa ON c.id_a = sa.doc_id
+    JOIN sigs AS sb ON c.id_b = sb.doc_id
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.6
+"""
+
+_BITS = 32
+_CHUNKS = 4
+_WIDTH = _BITS // _CHUNKS
+_MASK = (1 << _WIDTH) - 1
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document."""
+    return simhash_fingerprint(
+        table(spark, sf_dir, "documents"), "doc_id", "text", bits=_BITS
+    )
+
+
+_VOTES = ",\n".join(
+    f"        sum(2 * ((h >> {b}) & 1) - 1) AS v{b}" for b in range(_BITS)
+)
+_FP = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END" for b in range(_BITS)
+)
+
+ORACLE_SIMHASH_FINGERPRINTS = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS tok
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, {H64.format(s="tok")} AS h FROM toks
+),
+votes AS (
+    SELECT
+        doc_id,
+{_VOTES}
+    FROM hashed
+    GROUP BY doc_id
+)
+SELECT doc_id, CAST({_FP} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dups (chunk pigeonhole, dist ≤ 3)."""
+    fp = simhash_fingerprint(
+        table(spark, sf_dir, "documents"), "doc_id", "text", bits=_BITS
+    )
+    return simhash_near_dups(fp, "doc_id", bits=_BITS, chunks=_CHUNKS, max_hamming=3)
+
+
+_CHUNK_ROWS = ", ".join(
+    f"((simhash >> {c * _WIDTH}) & {_MASK}, {c})" for c in range(_CHUNKS)
+)
+
+ORACLE_SIMHASH_NEARDUPS = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS tok
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, {H64.format(s="tok")} AS h FROM toks
+),
+votes AS (
+    SELECT
+        doc_id,
+{_VOTES}
+    FROM hashed
+    GROUP BY doc_id
+),
+fp AS (
+    SELECT doc_id, CAST({_FP} AS BIGINT) AS simhash FROM votes
+),
+long AS (
+    SELECT doc_id, simhash, c AS chunk_idx, (simhash >> (c * {_WIDTH})) & {_MASK} AS chunk_val
+    FROM fp
+    CROSS JOIN unnest(range(0, {_CHUNKS})) AS tt(c)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sim_a, b.simhash AS sim_b
+    FROM long AS a
+    JOIN long AS b USING (chunk_idx, chunk_val)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_neardups": q_minhash_lsh_neardups,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "simhash_neardups": q_simhash_neardups,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "minhash_signatures": ORACLE_MINHASH_SIGNATURES,
+    "minhash_lsh_neardups": ORACLE_MINHASH_LSH_NEARDUPS,
+    "simhash_fingerprints": ORACLE_SIMHASH_FINGERPRINTS,
+    "simhash_neardups": ORACLE_SIMHASH_NEARDUPS,
+}

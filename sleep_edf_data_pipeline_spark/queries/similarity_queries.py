@@ -1,0 +1,169 @@
+"""Oracle-checked similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    brute_force_topk,
+    hyperplane_lsh_buckets,
+    ivf_topk,
+)
+from ..tables import table
+
+#: Query set: the first 10 vectors.
+N_QUERIES = 10
+TOP_K = 5
+
+_DOT = (
+    "list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+    " for i in range(1, len(a.embedding) + 1)])"
+)
+_NORM_A = (
+    "sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)"
+    " for i in range(1, len(a.embedding) + 1)]))"
+)
+_NORM_B = (
+    "sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+    " for i in range(1, len(b.embedding) + 1)]))"
+)
+
+
+def q_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors against the whole corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(emb, queries, k=TOP_K)
+
+
+ORACLE_COSINE_TOPK_BRUTEFORCE = f"""
+WITH scored AS (
+    SELECT
+        a.vec_id AS query_id,
+        b.vec_id AS neighbor_id,
+        round({_DOT} / nullif({_NORM_A} * {_NORM_B}, 0), 6) AS cosine_sim
+    FROM embeddings AS a
+    JOIN embeddings AS b ON a.vec_id != b.vec_id
+    WHERE a.vec_id < {N_QUERIES}
+),
+ranked AS (
+    SELECT
+        *,
+        CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-blocked cosine top-5: probe only the query's cluster block."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(emb, queries, k=TOP_K)
+
+
+ORACLE_COSINE_TOPK_IVF = f"""
+WITH scored AS (
+    SELECT
+        a.vec_id AS query_id,
+        b.vec_id AS neighbor_id,
+        round({_DOT} / nullif({_NORM_A} * {_NORM_B}, 0), 6) AS cosine_sim
+    FROM embeddings AS a
+    JOIN embeddings AS b ON a.label = b.label AND a.vec_id != b.vec_id
+    WHERE a.vec_id < {N_QUERIES}
+),
+ranked AS (
+    SELECT
+        *,
+        CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+_N_PLANES = 8
+_DIM = 64
+
+_H64 = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+
+
+def _proj_sql(p: int) -> str:
+    comp = _H64.format(s=f"'{p}:' || CAST(i - 1 AS VARCHAR)")
+    return (
+        f"list_sum([CAST(embedding[i] AS DOUBLE) * "
+        f"(CASE WHEN {comp} % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+        f" for i in range(1, len(embedding) + 1)])"
+    )
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (8 planes → 256 buckets)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_buckets(emb, n_planes=_N_PLANES, dim=_DIM)
+
+
+ORACLE_LSH_BUCKETS = (
+    "WITH proj AS (\n    SELECT vec_id,\n"
+    + ",\n".join(f"        {_proj_sql(p)} AS p{p}" for p in range(_N_PLANES))
+    + "\n    FROM embeddings\n)\nSELECT vec_id, CAST("
+    + " + ".join(
+        f"CASE WHEN p{p} > 0 THEN {2**p} ELSE 0 END" for p in range(_N_PLANES)
+    )
+    + " AS BIGINT) AS bucket\nFROM proj"
+)
+
+
+def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within IVF blocks (cos ≥ 0.3)."""
+    emb = table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import cosine
+
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        F.col("label").alias("_block"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        F.col("label").alias("_block"),
+    )
+    return (
+        a.join(b, "_block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine_sim") >= 0.3)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+ORACLE_EMBEDDING_NEARDUPS = f"""
+SELECT
+    a.vec_id AS id_a,
+    b.vec_id AS id_b,
+    round({_DOT} / nullif({_NORM_A} * {_NORM_B}, 0), 6) AS cosine_sim
+FROM embeddings AS a
+JOIN embeddings AS b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_DOT} / nullif({_NORM_A} * {_NORM_B}, 0), 6) >= 0.3
+"""
+
+
+QUERIES = {
+    "cosine_topk_bruteforce": q_cosine_topk_bruteforce,
+    "cosine_topk_ivf": q_cosine_topk_ivf,
+    "lsh_buckets": q_lsh_buckets,
+    "embedding_neardups": q_embedding_neardups,
+}
+
+ORACLES = {
+    "cosine_topk_bruteforce": ORACLE_COSINE_TOPK_BRUTEFORCE,
+    "cosine_topk_ivf": ORACLE_COSINE_TOPK_IVF,
+    "lsh_buckets": ORACLE_LSH_BUCKETS,
+    "embedding_neardups": ORACLE_EMBEDDING_NEARDUPS,
+}

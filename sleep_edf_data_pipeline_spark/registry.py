@@ -13,6 +13,9 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.tpch_relational",
     "sleep_edf_data_pipeline_spark.queries.event_windows",
     "sleep_edf_data_pipeline_spark.queries.serving",
+    "sleep_edf_data_pipeline_spark.queries.dedup_queries",
+    "sleep_edf_data_pipeline_spark.queries.text_queries",
+    "sleep_edf_data_pipeline_spark.queries.similarity_queries",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -69,7 +69,7 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str = "query") -> None:
                 f"first: {ga[~eq][:3]} vs {wa[~eq][:3]}"
             )
             exact = (ga == wa) | both_nan
-            assert exact.mean() > 0.999, (
+            assert len(exact) == 0 or exact.mean() > 0.999, (
                 f"{name}.{col}: values close but not hash-identical for "
                 f"{int((~exact).sum())}/{len(exact)} rows — tighten rounding"
             )
