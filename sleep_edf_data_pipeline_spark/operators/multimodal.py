@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The 100 TB training-data pattern: media rides as ``binary`` columns with
+a typed metadata struct; decode / feature-extract / resize / frame-
+sample run as Arrow-batched ``mapInPandas`` stages so bytes never
+round-trip through Python row objects.
+
+The image/audio codec libraries are NOT in this container, so the codec
+step is stubbed: :class:`StubCodec` raises ``NotImplementedError`` for
+real formats and handles the deterministic ``fake/raw`` format used by
+tests — the Spark-side plumbing (schema, batching, partitioning, UDF
+signatures) is real and tested; swapping in Pillow/ffmpeg is a
+one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: An asset row: payload + enough metadata to route decoding.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType(), False),
+        StructField("media_type", StringType(), False),  # image/audio/video
+        StructField("format", StringType(), False),  # e.g. fake/raw, png
+        StructField("payload", BinaryType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "asset_id string, media_type string, n_bytes bigint, "
+    "mean_intensity double, feature_hash bigint"
+)
+
+
+class StubCodec:
+    """Deterministic stand-in for image/audio decoders.
+
+    ``fake/raw`` payloads are uint8 pixel bytes (row-major); anything
+    else raises NotImplementedError until a real codec is wired in.
+    """
+
+    @staticmethod
+    def decode(fmt: str, payload: bytes) -> np.ndarray:
+        if fmt == "fake/raw":
+            return np.frombuffer(payload, dtype=np.uint8)
+        raise NotImplementedError(
+            f"codec for format {fmt!r} not available in this environment; "
+            "install a codec library and register it here"
+        )
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Decode + featurize media payloads in Arrow batches.
+
+    One mapInPandas stage: bytes → array → cheap features (byte size,
+    mean intensity, content hash).  Partitioning: inherit the scan's
+    file-split partitions; repartition upstream by size if payloads are
+    skewed.
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [
+                StubCodec.decode(fmt, bytes(payload))
+                for fmt, payload in zip(pdf["format"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "mean_intensity": [float(a.mean()) if a.size else 0.0 for a in arrs],
+                    "feature_hash": [
+                        int.from_bytes(
+                            __import__("hashlib").md5(a.tobytes()).digest()[:7], "big"
+                        )
+                        for a in arrs
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video payloads (stubbed codec).
+
+    Emits one row per sampled frame index — the explode-style fan-out a
+    real video pipeline needs; frame decoding itself goes through the
+    codec registry.
+    """
+    n_frames = (F.length("payload") / F.lit(1024)).cast("int")
+    idx = F.sequence(
+        F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)
+    )
+    return assets.select(
+        "asset_id",
+        "media_type",
+        F.explode(idx).alias("frame_idx"),
+    )

@@ -1,0 +1,91 @@
+"""EDF format round-trip + distributed ingest source tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sleep_edf_data_pipeline_spark.schema import BAND_POWER_COLS, SLEEP_STAGES
+from sleep_edf_data_pipeline_spark.sources.edf import (
+    cyclic_demo_stages,
+    extract_epochs_from_bytes,
+    read_edf_epochs,
+    subject_id_from_path,
+)
+from sleep_edf_data_pipeline_spark.sources.edf_format import read_edf, write_edf
+
+
+def _synthetic_edf(n_epochs: int = 4, fs: float = 100.0) -> bytes:
+    rng = np.random.default_rng(3)
+    n = int(n_epochs * 30 * fs)
+    t = np.arange(n) / fs
+    eeg1 = 50 * np.sin(2 * np.pi * 10 * t) + rng.normal(0, 5, n)
+    eeg2 = 30 * np.sin(2 * np.pi * 2 * t) + rng.normal(0, 5, n)
+    resp = rng.normal(0, 20, n)
+    return write_edf(
+        [
+            ("EEG Fpz-Cz", fs, eeg1),
+            ("EEG Pz-Oz", fs, eeg2),
+            ("Resp oro-nasal", fs, resp),
+        ]
+    )
+
+
+def test_edf_roundtrip_preserves_signals():
+    fs = 100.0
+    x = np.linspace(-400, 400, int(30 * fs))
+    data = write_edf([("EEG test", fs, x)])
+    sigs = read_edf(data)
+    assert len(sigs) == 1
+    assert sigs[0].label == "EEG test"
+    assert sigs[0].sfreq == fs
+    # int16 quantization over ±500 µV → ~0.015 µV resolution
+    assert np.abs(sigs[0].physical - x).max() < 0.05
+
+
+def test_subject_id_from_path():
+    assert subject_id_from_path("/data/subject_12.edf") == 12
+    with pytest.raises(ValueError):
+        subject_id_from_path("/data/nodigits.edf")
+
+
+def test_extract_epochs_shape_and_contract():
+    pdf = extract_epochs_from_bytes(5, _synthetic_edf(4), cyclic_demo_stages)
+    assert list(pdf.columns) == [
+        "subject_id",
+        "epoch_idx",
+        "stage",
+        *BAND_POWER_COLS,
+    ]
+    assert len(pdf) == 4
+    assert set(pdf["stage"]).issubset(set(SLEEP_STAGES))
+    assert pdf[list(BAND_POWER_COLS)].notna().all().all()
+
+
+def test_extract_drops_move_nan_epochs():
+    def stages(subject_id, n):
+        return ["Movement time", "Sleep stage ?", "Sleep stage W", "Sleep stage 2"][:n]
+
+    pdf = extract_epochs_from_bytes(1, _synthetic_edf(4), stages)
+    assert len(pdf) == 2
+    assert set(pdf["stage"]) == {"W", "N2"}
+
+
+def test_extract_requires_eeg_channel():
+    fs = 100.0
+    data = write_edf([("Resp only", fs, np.zeros(int(30 * fs)))])
+    with pytest.raises(ValueError, match="no EEG"):
+        extract_epochs_from_bytes(1, data, cyclic_demo_stages)
+
+
+def test_distributed_edf_scan(spark, tmp_path):
+    """binaryFile + mapInPandas end-to-end: 2 files → epoch rows."""
+    d = tmp_path / "edf"
+    d.mkdir()
+    for sid in (1, 2):
+        (d / f"subject_{sid}.edf").write_bytes(_synthetic_edf(3))
+    df = read_edf_epochs(spark, str(d), cyclic_demo_stages)
+    rows = df.collect()
+    assert len(rows) == 6
+    assert {r["subject_id"] for r in rows} == {1, 2}
+    assert all(np.isfinite(r["delta_power"]) for r in rows)

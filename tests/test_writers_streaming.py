@@ -1,0 +1,162 @@
+"""Writer semantics (S5, S7, S10, S11), streaming, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sleep_edf_data_pipeline_spark.operators.multimodal import (
+    ASSET_SCHEMA,
+    StubCodec,
+    extract_features,
+    sample_frames,
+)
+from sleep_edf_data_pipeline_spark.sources.seed import seed_epochs
+from sleep_edf_data_pipeline_spark.streaming.sessions import (
+    streaming_hourly_counts,
+    streaming_sessions,
+)
+from sleep_edf_data_pipeline_spark.writers.atomic import (
+    append_error,
+    read_epochs,
+    recent_errors,
+    write_epochs,
+)
+
+
+@pytest.fixture(scope="module")
+def epochs(spark):
+    return seed_epochs(spark, n_subjects=3).cache()
+
+
+def test_partitioned_write_then_read(spark, epochs, tmp_path):
+    path = str(tmp_path / "epochs")
+    write_epochs(epochs, path)
+    back = read_epochs(spark, path)
+    assert back.count() == epochs.count()
+    assert {r["subject_id"] for r in back.select("subject_id").distinct().collect()} == {0, 1, 2}
+
+
+def test_per_subject_overwrite_is_surgical(spark, epochs, tmp_path):
+    """Re-ingesting subject 1 must replace ONLY subject 1 (S7)."""
+    path = str(tmp_path / "epochs")
+    write_epochs(epochs, path)
+    before_s0 = read_epochs(spark, path).filter("subject_id = 0").count()
+
+    replacement = (
+        epochs.filter("subject_id = 1")
+        .limit(10)
+        .withColumn("stage", F.lit("W"))
+    )
+    write_epochs(replacement, path, overwrite=True)
+
+    after = read_epochs(spark, path)
+    assert after.filter("subject_id = 0").count() == before_s0  # untouched
+    assert after.filter("subject_id = 1").count() == 10  # replaced
+    assert after.filter("subject_id = 2").count() > 0
+
+
+def test_append_mode_accumulates(spark, epochs, tmp_path):
+    path = str(tmp_path / "epochs")
+    one = epochs.filter("subject_id = 0")
+    write_epochs(one, path)
+    write_epochs(one, path, overwrite=False)
+    assert read_epochs(spark, path).count() == one.count() * 2
+
+
+def test_error_log_append_and_recent(spark, tmp_path):
+    path = str(tmp_path / "errors")
+    try:
+        raise ValueError("schema violation: NaN in delta_power")
+    except ValueError as e:
+        append_error(spark, path, subject_id=7, error=e)
+    append_error(spark, path, subject_id=None, error="download failed", error_type="IOError")
+
+    errs = recent_errors(spark, path).collect()
+    assert len(errs) == 2
+    by_type = {r["error_type"] for r in errs}
+    assert by_type == {"ValueError", "IOError"}
+    val = [r for r in errs if r["error_type"] == "ValueError"][0]
+    assert "NaN in delta_power" in val["error_message"]
+    assert "ValueError" in (val["stack_trace"] or "")
+    assert val["error_id"] is not None and val["occurred_at"] is not None
+
+
+def test_streaming_sessions_available_now(spark, tmp_path):
+    """Real incremental execution: file stream → session window → memory."""
+    src = str(tmp_path / "stream_src")
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1.0),
+            (1, "2024-01-01 10:10:00", 2.0),
+            (1, "2024-01-01 11:30:00", 3.0),  # > 30 min gap → new session
+            (2, "2024-01-01 10:05:00", 4.0),
+        ],
+        "user_id int, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = streaming_sessions(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions_test ORDER BY user_id, session_start").collect()
+    assert len(rows) == 3
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert u1[0]["n_events"] == 2 and u1[1]["n_events"] == 1
+    assert u1[0]["total_value"] == pytest.approx(3.0)
+
+
+def test_streaming_hourly_counts(spark, tmp_path):
+    src = str(tmp_path / "stream_src2")
+    events = spark.createDataFrame(
+        [
+            ("2024-01-01 10:05:00", "click"),
+            ("2024-01-01 10:55:00", "click"),
+            ("2024-01-01 11:05:00", "view"),
+        ],
+        "ts_s string, event_type string",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        streaming_hourly_counts(stream)
+        .writeStream.format("memory")
+        .queryName("hourly_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hourly_test ORDER BY hour_start").collect()
+    assert [(r["event_type"], r["n_events"]) for r in rows] == [("click", 2), ("view", 1)]
+
+
+def test_multimodal_feature_extraction(spark):
+    payload_a = bytes(range(10))
+    payload_b = bytes([100] * 2048)
+    assets = spark.createDataFrame(
+        [
+            ("a1", "image", "fake/raw", bytearray(payload_a), 2, 5),
+            ("a2", "video", "fake/raw", bytearray(payload_b), 32, 32),
+        ],
+        ASSET_SCHEMA,
+    )
+    feats = {r["asset_id"]: r for r in extract_features(assets).collect()}
+    assert feats["a1"]["n_bytes"] == 10
+    assert feats["a1"]["mean_intensity"] == pytest.approx(np.mean(range(10)))
+    assert feats["a2"]["mean_intensity"] == pytest.approx(100.0)
+    assert feats["a1"]["feature_hash"] != feats["a2"]["feature_hash"]
+
+    frames = sample_frames(assets.filter("asset_id = 'a2'"), every_n=1).collect()
+    assert len(frames) == 2  # 2048 bytes → 2 pseudo-frames
+
+    with pytest.raises(NotImplementedError):
+        StubCodec.decode("png", b"\x89PNG")
