@@ -21,11 +21,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.islands import (
-    episode_bounds,
-    rank_episodes,
     with_episode_breaks,
     with_episode_ids,
-    with_period_flag,
+    with_main_episode_bounds,
     with_run_keys,
 )
 from ..operators.windows import (
@@ -86,24 +84,11 @@ def metrics(
     df = with_episode_breaks(df, gap_epochs, ENTITY)
     episodes = with_episode_ids(df, ENTITY, ORDER)
 
-    ranked = rank_episodes(episodes, ENTITY)
-    bounds = episode_bounds(episodes, ranked, ENTITY, "epoch_idx").select(
-        "subject_id",
-        F.col("onset_idx").alias("sleep_onset_epoch_idx"),
-        F.col("final_idx").alias("final_awakening_epoch_idx"),
-    )
-    out = with_period_flag(
-        episodes.drop("run_key", "is_episode_break"),
-        bounds.withColumnsRenamed(
-            {
-                "sleep_onset_epoch_idx": "onset_idx",
-                "final_awakening_epoch_idx": "final_idx",
-            }
-        ),
-        ENTITY,
-        "epoch_idx",
-        out_col="is_in_sleep_period",
-    )
+    # Join-free main-episode scoping: the whole chain shares one
+    # hash(subject_id) exchange (see operators.islands docstring).
+    out = with_main_episode_bounds(
+        episodes, ENTITY, "epoch_idx"
+    ).withColumnRenamed("is_in_period", "is_in_sleep_period")
     return out.select(
         "epoch_id",
         "subject_id",
