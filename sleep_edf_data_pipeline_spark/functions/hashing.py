@@ -25,3 +25,33 @@ def hash64_sql(expr: str, seed: int | str | None = None) -> str:
     """DuckDB twin of :func:`hash64` (same bits)."""
     s = expr if seed is None else f"'{seed}' || '|' || {expr}"
     return f"CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+
+
+#: Mersenne prime 2^31 - 1: universal-hash modulus for permutation
+#: families.  ``a*(h % P) + b`` with a,b < P stays under 2^62 — no
+#: int64 overflow in either engine.
+PERM_P = 2_147_483_647
+
+
+def perm_coeffs(k: int) -> list[tuple[int, int]]:
+    """k deterministic (a, b) pairs for the universal-hash family.
+
+    Derived from fixed multiplicative constants (Knuth / Weyl), not a
+    RNG, so Spark code and oracle SQL regenerate identical values.
+    """
+    out = []
+    for j in range(k):
+        a = (2 * j + 1) * 2_654_435_761 % PERM_P
+        b = (j * 40_503 * 65_537 + 17) % PERM_P
+        out.append((a, b))
+    return out
+
+
+def perm_hash(h: Column, a: int, b: int) -> Column:
+    """j-th permutation of a base hash: ``(a*(h % P) + b) % P``."""
+    return (F.lit(a) * (h % F.lit(PERM_P)) + F.lit(b)) % F.lit(PERM_P)
+
+
+def perm_hash_sql(expr: str, a: int, b: int) -> str:
+    """DuckDB twin of :func:`perm_hash` (same values)."""
+    return f"(({a} * (({expr}) % {PERM_P}) + {b}) % {PERM_P})"

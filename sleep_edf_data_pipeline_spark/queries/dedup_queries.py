@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import PERM_P, perm_coeffs
 from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
@@ -18,13 +19,19 @@ from ..operators.dedup import (
     simhash_near_dups,
     with_minhash,
 )
-from ..tables import table
+from ..tables import spread, table
 
 H64 = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+
+#: VALUES list of the universal-hash coefficients, shared with Spark.
+_COEFFS = perm_coeffs(16)
+_COEFF_VALUES = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_COEFFS))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash groupBy."""
+    # No spread(): one md5 per doc is scan-bound, not CPU-bound — the
+    # repartition shuffle would cost more than it buys.
     return exact_dedup(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
@@ -38,7 +45,7 @@ GROUP BY md5(text)
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=16, 3-word shingles) in long format."""
     signed = with_minhash(
-        table(spark, sf_dir, "documents"), "doc_id", "text", k=16, shingle_n=3
+        spread(table(spark, sf_dir, "documents"), "doc_id"), "doc_id", "text", k=16, shingle_n=3
     )
     return signed.select(
         "doc_id", F.posexplode("sig").alias("h", "minhash")
@@ -59,20 +66,26 @@ sh AS (
             ELSE [array_to_string(words, ' ')]
         END AS shingles
     FROM t
-)
+),
+base AS (
+    SELECT doc_id, {H64.format(s="unnest(shingles)")} AS bh
+    FROM sh
+),
+coeffs(j, a, b) AS (VALUES {_COEFF_VALUES})
 SELECT
     doc_id,
-    j AS h,
-    list_min(list_transform(shingles, s -> {H64.format(s="j || '|' || s")})) AS minhash
-FROM sh
-CROSS JOIN unnest(range(0, 16)) AS tt(j)
+    CAST(j AS BIGINT) AS h,
+    CAST(min((a * (bh % {PERM_P}) + b) % {PERM_P}) AS BIGINT) AS minhash
+FROM base
+CROSS JOIN coeffs
+GROUP BY doc_id, j
 """
 
 
 def q_minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates + exact-Jaccard verification (≥ 0.6)."""
     return minhash_lsh_dedup(
-        table(spark, sf_dir, "documents"),
+        spread(table(spark, sf_dir, "documents"), "doc_id"),
         "doc_id",
         "text",
         k=16,
@@ -88,15 +101,19 @@ WITH t AS (
     SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
     FROM documents
 ),
-sigs AS (
+base AS (
     SELECT
         doc_id,
         list_distinct(words) AS wset,
-        [
-            list_min(list_transform(words, s -> {H64.format(s="j || '|' || s")}))
-            for j in range(0, 16)
-        ] AS sig
+        list_transform(words, s -> {H64.format(s="s")}) AS hs
     FROM t
+),
+sigs AS (
+    SELECT
+        doc_id,
+        wset,
+        [{", ".join(f"list_min(list_transform(hs, h -> (CAST({a} AS BIGINT) * (h % {PERM_P}) + {b}) % {PERM_P}))" for a, b in _COEFFS)}] AS sig
+    FROM base
 ),
 bands AS (
     SELECT
@@ -138,7 +155,7 @@ _MASK = (1 << _WIDTH) - 1
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document."""
     return simhash_fingerprint(
-        table(spark, sf_dir, "documents"), "doc_id", "text", bits=_BITS
+        spread(table(spark, sf_dir, "documents"), "doc_id"), "doc_id", "text", bits=_BITS
     )
 
 
@@ -171,7 +188,7 @@ SELECT doc_id, CAST({_FP} AS BIGINT) AS simhash FROM votes
 def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dups (chunk pigeonhole, dist ≤ 3)."""
     fp = simhash_fingerprint(
-        table(spark, sf_dir, "documents"), "doc_id", "text", bits=_BITS
+        spread(table(spark, sf_dir, "documents"), "doc_id"), "doc_id", "text", bits=_BITS
     )
     return simhash_near_dups(fp, "doc_id", bits=_BITS, chunks=_CHUNKS, max_hamming=3)
 

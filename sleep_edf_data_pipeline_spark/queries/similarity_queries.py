@@ -10,7 +10,7 @@ from ..operators.similarity import (
     hyperplane_lsh_buckets,
     ivf_topk,
 )
-from ..tables import table
+from ..tables import spread, table
 
 #: Query set: the first 10 vectors.
 N_QUERIES = 10
@@ -32,7 +32,7 @@ _NORM_B = (
 
 def q_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for 10 query vectors against the whole corpus."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return brute_force_topk(emb, queries, k=TOP_K)
 
@@ -61,7 +61,7 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
 
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-blocked cosine top-5: probe only the query's cluster block."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return ivf_topk(emb, queries, k=TOP_K)
 
@@ -104,7 +104,7 @@ def _proj_sql(p: int) -> str:
 
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket assignment (8 planes → 256 buckets)."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
     return hyperplane_lsh_buckets(emb, n_planes=_N_PLANES, dim=_DIM)
 
 
@@ -121,7 +121,7 @@ ORACLE_LSH_BUCKETS = (
 
 def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within IVF blocks (cos ≥ 0.3)."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
     from ..operators.similarity import cosine
 
     a = emb.select(

@@ -13,14 +13,14 @@ from ..operators.text import (
     with_quality_score,
     with_token_stats,
 )
-from ..tables import table
+from ..tables import spread, table
 
 H64 = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + char stats per document."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
     return with_token_stats(docs).select(
         "doc_id", "n_tokens", "n_unique_tokens", "n_chars_measured", "avg_token_len"
     )
@@ -46,7 +46,7 @@ FROM t
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID vs the labeled lang column."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
     return with_language_id(docs).select(
         "doc_id",
         "lang",
@@ -88,7 +88,7 @@ ORACLE_LANGUAGE_ID = (
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document-quality features + composite score."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
     return with_quality_score(docs).select(
         "doc_id",
         "alpha_ratio",
@@ -146,7 +146,7 @@ FROM feat
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 + 60-bit fingerprints of whitespace-normalized text."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
     return with_fingerprints(docs).select(
         "doc_id", "fingerprint_md5", "fingerprint_64"
     )

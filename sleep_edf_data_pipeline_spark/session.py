@@ -37,6 +37,12 @@ _DEFAULTS = {
     # at the source wrapper (tables.table) with integer division.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    # local[N] runs driver+executors in ONE JVM: N concurrent tasks
+    # share a single heap, so the 1g default collapses under 32-way
+    # joins (GCLocker thrash → dead SparkEnv).  Sized for the test
+    # host; spark-submit overrides on a real cluster.  Must be set at
+    # JVM launch — ignored if a session already exists.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 

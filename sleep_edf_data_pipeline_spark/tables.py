@@ -34,3 +34,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         )
     return df
+
+
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Widen a narrow scan to the session's parallelism.
+
+    CPU-dense per-row operators (shingling, hashing, vector math) are
+    throughput-bound by the scan's split count, and a small parquet
+    file yields a single split no matter how many cores the session
+    has.  Repartition by key ONLY when splits < cores; on a real
+    cluster a 100 TB table already scans as thousands of splits, so
+    this is a no-op there and the (tiny) round-robin shuffle price is
+    paid only in the degenerate local case.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key_cols:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)
