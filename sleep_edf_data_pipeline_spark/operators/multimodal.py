@@ -97,14 +97,16 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
-def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
+def sample_frames(
+    assets: DataFrame, every_n: int = 10, frame_bytes: int = 1024
+) -> DataFrame:
     """Frame-sampling plumbing for video payloads (stubbed codec).
 
     Emits one row per sampled frame index — the explode-style fan-out a
     real video pipeline needs; frame decoding itself goes through the
     codec registry.
     """
-    n_frames = (F.length("payload") / F.lit(1024)).cast("int")
+    n_frames = (F.length("payload") / F.lit(frame_bytes)).cast("int")
     idx = F.sequence(
         F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)
     )

@@ -1,0 +1,91 @@
+"""Oracle-checked multimodal queries (binary payloads + typed metadata).
+
+The test corpus has no media table, so assets are derived
+deterministically from ``documents``: the text bytes become a
+``fake/raw`` payload (the StubCodec's format — uint8 "pixels").  The
+point under test is the Spark-side plumbing of
+:mod:`..operators.multimodal`: binary columns through Arrow-batched
+``mapInPandas`` feature extraction, and the explode fan-out for frame
+sampling.  Because the corpus text is ASCII, the DuckDB oracle can
+restate the decoded-byte math exactly (``ascii()`` per char == uint8
+pixel value), so even the Pandas-UDF path is value-checked, not just
+row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import extract_features, sample_frames
+from ..tables import spread, table
+
+_FRAME_BYTES = 64
+_EVERY_N = 10
+
+
+def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ASSET_SCHEMA-shaped frame (payload = UTF-8 text bytes)."""
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.lit("fake/raw").alias("format"),
+        F.col("text").cast("binary").alias("payload"),
+        F.col("n_chars").cast("int").alias("width"),
+        F.lit(1).alias("height"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + featurize payloads in Arrow batches (mapInPandas)."""
+    feats = extract_features(assets_from_documents(spark, sf_dir))
+    return feats.withColumn("mean_intensity", F.round("mean_intensity", 6))
+
+
+# ASCII text ⇒ pixel j == ascii(char j); md5(payload) == md5(text).
+ORACLE_MULTIMODAL_FEATURES = """
+SELECT
+    CAST(doc_id AS VARCHAR) AS asset_id,
+    'image' AS media_type,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    round(
+        list_avg([ascii(text[j]) for j in range(1, length(text) + 1)]),
+        6
+    ) AS mean_intensity,
+    CAST('0x' || substr(md5(text), 1, 14) AS BIGINT) AS feature_hash
+FROM documents
+"""
+
+
+def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-index fan-out: every 10th 64-byte frame per asset."""
+    return sample_frames(
+        assets_from_documents(spark, sf_dir),
+        every_n=_EVERY_N,
+        frame_bytes=_FRAME_BYTES,
+    )
+
+
+ORACLE_FRAME_SAMPLING = f"""
+SELECT
+    CAST(doc_id AS VARCHAR) AS asset_id,
+    'image' AS media_type,
+    CAST(unnest(generate_series(
+        0,
+        greatest(CAST(octet_length(encode(text)) / {_FRAME_BYTES} AS INT) - 1, 0),
+        {_EVERY_N}
+    )) AS INT) AS frame_idx
+FROM documents
+"""
+
+
+QUERIES = {
+    "multimodal_features": q_multimodal_features,
+    "frame_sampling": q_frame_sampling,
+}
+
+ORACLES = {
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "frame_sampling": ORACLE_FRAME_SAMPLING,
+}

@@ -16,6 +16,7 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.dedup_queries",
     "sleep_edf_data_pipeline_spark.queries.text_queries",
     "sleep_edf_data_pipeline_spark.queries.similarity_queries",
+    "sleep_edf_data_pipeline_spark.queries.multimodal_queries",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
