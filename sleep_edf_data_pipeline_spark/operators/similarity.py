@@ -63,16 +63,26 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cosine_sim, rank).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
+    # Norms are computed once per side BEFORE the join — O(Q+N) instead
+    # of O(Q·N) norm folds; identical doubles (same product, same order).
+    den = F.col("_qn") * F.col("_cn")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine_sim", F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6)
+            "cosine_sim",
+            F.round(
+                F.when(den > 0, dot(F.col("_qvec"), F.col("_cvec")) / den), 6
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -103,17 +113,23 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         F.col(block_col).alias("_block"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         F.col(block_col).alias("_block"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
+    den = F.col("_qn") * F.col("_cn")
     scored = (
         c.join(F.broadcast(q), "_block")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine_sim", F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6)
+            "cosine_sim",
+            F.round(
+                F.when(den > 0, dot(F.col("_qvec"), F.col("_cvec")) / den), 6
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -126,12 +142,23 @@ def ivf_topk(
     )
 
 
-def _hyperplane_component(plane: int, dim: int) -> Column:
-    """Deterministic ±1 hyperplane component from a seeded hash parity."""
-    from ..functions.hashing import hash64
+def _plane_components(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane from md5 parity, computed driver-side.
 
-    h = hash64(F.lit(f"{plane}:{dim}"))
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    Same bits as ``hash64(lit(f"{plane}:{d}")) % 2`` (and the DuckDB
+    oracle's md5 parity), but folded to Python floats at plan-build
+    time: the executed plan carries only literal ±1 doubles instead of
+    dim×planes md5 expression nodes (which Catalyst would otherwise
+    carry through analysis and codegen — measured seconds of compile
+    for 8×64 planes).
+    """
+    import hashlib
+
+    comps = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:15], 16)
+        comps.append(1.0 if h % 2 == 0 else -1.0)
+    return comps
 
 
 def hyperplane_lsh_buckets(
@@ -151,10 +178,11 @@ def hyperplane_lsh_buckets(
     vec = F.col(vec_col)
     bucket: Column = F.lit(0).cast("bigint")
     for p in range(n_planes):
+        comps = _plane_components(p, dim)
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[_hyperplane_component(p, d) for d in range(dim)]),
+                F.array(*[F.lit(c) for c in comps]),
                 lambda x, c: x.cast("double") * c,
             ),
             F.lit(0.0),

@@ -122,22 +122,26 @@ ORACLE_LSH_BUCKETS = (
 def q_embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within IVF blocks (cos ≥ 0.3)."""
     emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
-    from ..operators.similarity import cosine
+    from ..operators.similarity import dot, norm
 
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("_va"),
         F.col("label").alias("_block"),
+        norm(F.col("embedding")).alias("_na"),
     )
     b = emb.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("_vb"),
         F.col("label").alias("_block"),
+        norm(F.col("embedding")).alias("_nb"),
     )
+    den = F.col("_na") * F.col("_nb")
+    cos = F.when(den > 0, dot(F.col("_va"), F.col("_vb")) / den)
     return (
         a.join(b, "_block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .withColumn("cosine_sim", F.round(cos, 6))
         .filter(F.col("cosine_sim") >= 0.3)
         .select("id_a", "id_b", "cosine_sim")
     )
