@@ -22,13 +22,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sleep_edf_data_pipeline_spark import registry
 from sleep_edf_data_pipeline_spark.session import get_spark
 
-#: Headline queries (subset of the registry: the analytical spine).
+#: Headline queries: the analytical spine (reference-parity marts) plus
+#: the training-data operators that dominate at 100 TB (dedup,
+#: similarity, multimodal).  DuckDB-oracle wall times for the same
+#: queries at sf0.1 are committed in BENCH_DUCKDB_SF0.1.json for
+#: comparison (the oracle is the effective baseline per BASELINE.md).
 HEADLINE = [
     "staging_cast",
     "moving_average",
     "sleep_metrics",
     "sleep_summary",
     "sleep_features",
+    "session_window_agg",
+    "minhash_lsh_neardups",
+    "simhash_neardups",
+    "cosine_topk_bruteforce",
+    "multimodal_features",
 ]
 
 

@@ -41,20 +41,25 @@ STAGE_BY_EVENT_TYPE = {
 
 def epochs_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → epoch-shaped DataFrame (subject_id, epoch_idx, stage, powers)."""
-    ev = table(spark, sf_dir, "events")
-    # Partition the index window on the ALREADY-CAST key: every
-    # downstream window clusters on subject_id, so partitioning here on
-    # cast(user_id as int) lets alias-aware output partitioning carry
-    # one exchange through the whole pipeline (partitioning on the raw
-    # bigint would force a re-shuffle after the cast).
-    key = F.col("user_id").cast("int")
-    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    # Materialize the cast key as an ATTRIBUTE before the window, and
+    # pass that same attribute through the select: the window then
+    # partitions on subject_id itself, so its one
+    # hashpartitioning(subject_id) exchange satisfies every downstream
+    # window/aggregate in the metrics pipeline.  (Partitioning the
+    # window on a fresh `cast(user_id as int)` expression and aliasing
+    # another copy of the cast in the projection reads the same, but
+    # Catalyst sees two unrelated expressions and inserts a second
+    # exchange — measured as 2 shuffles instead of 1 for sleep_metrics.)
+    ev = table(spark, sf_dir, "events").withColumn(
+        "subject_id", F.col("user_id").cast("int")
+    )
+    w = Window.partitionBy("subject_id").orderBy("ts", "event_id")
     stage = F.when(F.col("event_type") == "error", "W")
     for et, st in list(STAGE_BY_EVENT_TYPE.items())[1:]:
         stage = stage.when(F.col("event_type") == et, st)
     v = F.col("value")
     return ev.select(
-        key.alias("subject_id"),
+        "subject_id",
         (F.row_number().over(w).cast("int") - F.lit(1)).alias("epoch_idx"),
         stage.alias("stage"),
         v.alias("delta_power"),
