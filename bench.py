@@ -48,8 +48,14 @@ def main() -> None:
     queries, _ = registry.collect()
 
     # Warm-up: trigger JVM codegen paths once so per-query timings
-    # measure the engine, not session startup.
+    # measure the engine, not session startup; the mapInPandas no-op
+    # forks the Python worker pool once up-front (on a long-running
+    # cluster the workers are resident — the fork is deploy cost, not
+    # query cost).
     queries["staging_cast"](spark, sf_dir).count()
+    spark.range(32, numPartitions=32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0

