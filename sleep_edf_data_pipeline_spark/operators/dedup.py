@@ -270,6 +270,102 @@ def minhash_lsh_dedup(
     )
 
 
+def ngram_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard set-similarity self-join via prefix filtering.
+
+    AllPairs-style (Bayardo et al., WWW'07) lossless blocking: order
+    each document's distinct shingle hashes by global document
+    frequency (rarest first, hash tie-break), emit only the first
+    ``|d| - ceil(t*|d|) + 1`` shingles as join keys — any pair with
+    Jaccard ≥ t provably shares a prefix element, so the candidate set
+    is complete and the result is *independent of the blocking*
+    (the oracle is a plain brute-force all-pairs join).  A length
+    filter (``t*|a| ≤ |b|``) prunes candidates before the verify join.
+
+    Scale: the only all-corpus structures are the shingle
+    doc-frequency table (vocabulary-sized) and the per-doc hash sets
+    (smaller than the corpus); candidate volume is bounded by prefix
+    rarity rather than bucket width, which is what lets exact
+    similarity self-joins run at 100 TB where brute force is O(n²).
+
+    Returns (id_a, id_b, jaccard ≥ threshold).
+    """
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("_s"),
+        )
+        .select(F.col(id_col), hash64(F.col("_s")).alias("_h"))
+        .distinct()
+    )
+    dfreq = sh.groupBy("_h").agg(F.count("*").alias("_df"))
+    sets = (
+        sh.join(dfreq, "_h")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_h"))).alias("_ord"))
+        .select(
+            F.col(id_col),
+            F.col("_ord._h").alias("hset"),
+            F.size("_ord").alias("_n"),
+        )
+        .persist()
+    )
+    prefix_len = (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1).cast(
+        "int"
+    )
+    pref = sets.select(
+        F.col(id_col),
+        F.col("_n"),
+        F.explode(F.slice("hset", F.lit(1), prefix_len)).alias("_h"),
+    )
+    cands = (
+        pref.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"), "_h")
+        .join(
+            pref.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"), "_h"),
+            "_h",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+            & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
+    return (
+        cands.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("hset").alias("set_a"),
+                F.col("_n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("hset").alias("set_b"),
+                F.col("_n").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash_fingerprint(
     df: DataFrame,
     id_col: str,

@@ -15,6 +15,7 @@ from ..functions.hashing import PERM_P, perm_coeffs
 from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
+    ngram_jaccard_join,
     simhash_fingerprint,
     simhash_near_dups,
     with_minhash,
@@ -146,6 +147,51 @@ verified AS (
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.6
 """
 
+def q_ngram_jaccard_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard self-join (≥ 0.5) via lossless prefix filtering."""
+    return ngram_jaccard_join(
+        spread(table(spark, sf_dir, "documents"), "doc_id"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+    )
+
+
+# Prefix filtering is lossless, so the oracle is plain brute force —
+# agreement here proves the blocking drops no qualifying pair.
+ORACLE_NGRAM_JACCARD_NEARDUPS = """
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS words
+    FROM documents
+),
+sh AS (
+    SELECT
+        doc_id,
+        CASE
+            WHEN len(words) >= 3
+            THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+            ELSE [array_to_string(words, ' ')]
+        END AS shingles
+    FROM t
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+pairs AS (
+    SELECT
+        a.doc_id AS id_a,
+        b.doc_id AS id_b,
+        round(
+            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE),
+            6
+        ) AS jaccard
+    FROM sets AS a
+    JOIN sets AS b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
+
 _BITS = 32
 _CHUNKS = 4
 _WIDTH = _BITS // _CHUNKS
@@ -237,6 +283,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_neardups": q_minhash_lsh_neardups,
+    "ngram_jaccard_neardups": q_ngram_jaccard_neardups,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_neardups": q_simhash_neardups,
 }
@@ -245,6 +292,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "minhash_signatures": ORACLE_MINHASH_SIGNATURES,
     "minhash_lsh_neardups": ORACLE_MINHASH_LSH_NEARDUPS,
+    "ngram_jaccard_neardups": ORACLE_NGRAM_JACCARD_NEARDUPS,
     "simhash_fingerprints": ORACLE_SIMHASH_FINGERPRINTS,
     "simhash_neardups": ORACLE_SIMHASH_NEARDUPS,
 }
