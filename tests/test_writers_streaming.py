@@ -160,3 +160,70 @@ def test_multimodal_feature_extraction(spark):
 
     with pytest.raises(NotImplementedError):
         StubCodec.decode("png", b"\x89PNG")
+
+
+def test_streaming_episodes_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState: open episode carried across micro-batches.
+
+    File 1 holds the start of user 1's first episode; file 2 (a later
+    micro-batch via maxFilesPerTrigger=1) delivers a >30-min gap that
+    must close it using state from batch 1 — plus user 2's episode
+    closed within a single batch.
+    """
+    import os as _os
+    import time as _time
+
+    src = str(tmp_path / "stateful_src")
+    _os.makedirs(src)
+
+    def write_file(name, rows, mtime):
+        spark.createDataFrame(
+            rows, "user_id bigint, ts_s string, value double"
+        ).select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        ).coalesce(1).write.mode("append").parquet(src)
+        # pin distinct mtimes so the file stream orders batches 1 → 2
+        for f in _os.listdir(src):
+            p = _os.path.join(src, f)
+            if f.endswith(".parquet") and _os.path.getmtime(p) > mtime:
+                _os.utime(p, (mtime, mtime))
+
+    t0 = _time.time() - 1000
+    write_file("b1", [(1, "2024-01-01 10:00:00", 1.0), (1, "2024-01-01 10:10:00", 2.0)], t0)
+    write_file(
+        "b2",
+        [
+            (1, "2024-01-01 11:00:00", 3.0),  # 50-min gap → closes episode 1
+            (1, "2024-01-01 11:05:00", 4.0),
+            (2, "2024-01-01 09:00:00", 5.0),
+            (2, "2024-01-01 10:00:00", 6.0),  # 60-min gap → closes user 2's first
+        ],
+        t0 + 10,
+    )
+
+    from sleep_edf_data_pipeline_spark.streaming.stateful import streaming_episodes
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_episodes(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("episodes_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM episodes_test ORDER BY user_id, episode_start"
+    ).collect()
+    # user 1: episode [10:00, 10:10] closed by the batch-2 gap (state
+    # crossed the batch boundary); user 2: [09:00, 09:00] closed in-batch.
+    # Open episodes (user 1's second, user 2's second) are not emitted.
+    assert [(r["user_id"], str(r["episode_start"]), str(r["episode_end"]), r["n_events"], r["total_value"]) for r in rows] == [
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2, 3.0),
+        (2, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1, 5.0),
+    ]
