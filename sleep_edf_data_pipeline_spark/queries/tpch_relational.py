@@ -359,6 +359,91 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Multi-fact snowflake join (TPC-H Q9 pattern) ---------------------------
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part ⋈ supplier ⋈ lineitem ⋈ orders ⋈ nation profit per nation/year.
+
+    Both dimension chains (part-filter, supplier→nation) broadcast;
+    the only shuffle joins the two fact tables on orderkey, then one
+    hash agg.  This is the canonical 100 TB plan: facts shuffle once,
+    dims never do.
+    """
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    sn = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    amount = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    ) - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+ORACLE_PRODUCT_PROFIT = """
+SELECT
+    n_name AS nation,
+    CAST(year(o_orderdate) AS BIGINT) AS o_year,
+    CAST(sum(
+        CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))
+    ) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# --- GROUPING SETS (beyond rollup/cube) -------------------------------------
+
+def q_shipping_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: two orthogonal single-column groupings +
+    grand total in one pass, with grouping_id to disambiguate."""
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+            count(*) AS n_rows,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+ORACLE_SHIPPING_GROUPING_SETS = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+    count(*) AS n_rows,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 # --- Ranking top-N per group ------------------------------------------------
 
 def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,6 +535,8 @@ QUERIES = {
     "approx_distinct_parts": q_approx_distinct_parts,
     "top_orders_per_customer": q_top_orders_per_customer,
     "scalar_functions": q_scalar_functions,
+    "product_profit": q_product_profit,
+    "shipping_grouping_sets": q_shipping_grouping_sets,
 }
 
 ORACLES = {
@@ -465,4 +552,6 @@ ORACLES = {
     "distinct_counts": ORACLE_DISTINCT_COUNTS,
     "top_orders_per_customer": ORACLE_TOP_ORDERS_PER_CUSTOMER,
     "scalar_functions": ORACLE_SCALAR_FUNCTIONS,
+    "product_profit": ORACLE_PRODUCT_PROFIT,
+    "shipping_grouping_sets": ORACLE_SHIPPING_GROUPING_SETS,
 }
