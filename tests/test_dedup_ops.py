@@ -86,3 +86,69 @@ def test_ngram_jaccard_join_finds_exact_dups(spark):
         for r in ngram_jaccard_join(df, "doc_id", "text", n=3, threshold=0.99).collect()
     }
     assert got == {(1, 3): 1.0, (7, 8): 1.0}
+
+
+# --- Skew helpers: salted plans must equal unsalted plans -------------------
+
+
+def test_salted_agg_equals_plain(spark):
+    from sleep_edf_data_pipeline_spark.operators.skew import salted_agg
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 3).alias("k"),  # 3 hot keys
+        (F.col("id") * 7 % 101).alias("v"),
+    )
+    plain = {
+        (r["k"],): (r["total"], r["n"], r["lo"], r["hi"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("total"),
+            F.count("v").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["k"],): (r["total"], r["n"], r["lo"], r["hi"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "total": ("sum", "v"),
+                "n": ("count", "v"),
+                "lo": ("min", "v"),
+                "hi": ("max", "v"),
+            },
+            n_salts=16,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    from sleep_edf_data_pipeline_spark.operators.skew import salted_agg
+
+    df = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_agg(df, ["k"], {"a": ("avg", "v")})
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_replicated_join_equals_plain(spark, how):
+    from sleep_edf_data_pipeline_spark.operators.skew import replicated_join
+
+    probe = spark.range(0, 5000).select(
+        (F.col("id") % 4).alias("k"), F.col("id").alias("pv")
+    )
+    build = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (9, "z")], "k long, bv string"
+    )
+    plain = sorted(
+        (r["k"], r["pv"], r["bv"]) for r in probe.join(build, ["k"], how).collect()
+    )
+    salted = sorted(
+        (r["k"], r["pv"], r["bv"])
+        for r in replicated_join(probe, build, ["k"], n_salts=8, how=how).collect()
+    )
+    assert salted == plain

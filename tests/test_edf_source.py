@@ -89,3 +89,25 @@ def test_distributed_edf_scan(spark, tmp_path):
     assert len(rows) == 6
     assert {r["subject_id"] for r in rows} == {1, 2}
     assert all(np.isfinite(r["delta_power"]) for r in rows)
+
+
+def test_edf_python_datasource(spark, tmp_path):
+    """spark.read.format('edf'): one InputPartition per file, Arrow rows."""
+    from sleep_edf_data_pipeline_spark.sources.edf_datasource import EdfDataSource
+
+    for sid in (3, 7):
+        (tmp_path / f"subject_{sid}.edf").write_bytes(_synthetic_edf(n_epochs=3))
+    spark.dataSource.register(EdfDataSource)
+    df = (
+        spark.read.format("edf")
+        .option("stages", "cyclic")
+        .load(str(tmp_path))
+    )
+    rows = df.collect()
+    assert {r["subject_id"] for r in rows} == {3, 7}
+    # cyclic provider: epoch 0 = W (never filtered in a 3-epoch file)
+    assert all(r["stage"] in SLEEP_STAGES for r in rows)
+    per_subject = df.groupBy("subject_id").count().collect()
+    assert all(r["count"] == 3 for r in per_subject)
+    # partition-per-file: the scan parallelism equals the file count
+    assert df.rdd.getNumPartitions() == 2
