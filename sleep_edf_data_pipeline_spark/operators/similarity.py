@@ -56,40 +56,67 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 5,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast queries × corpus, rank, keep k.
+    """Exact cosine top-k: streamed matmul + per-partition partial top-k.
+
+    The scalable exact-ANN shape: the (small, driver-resident) query
+    batch rides into an Arrow-batched ``mapInPandas`` closure; each
+    corpus partition computes one BLAS ``X @ Qᵀ`` and emits only its
+    LOCAL top-k per query, so the shuffle carries O(partitions·k·|Q|)
+    candidate rows — never the N·|Q| scored pairs — and a global
+    row_number keeps the true top-k (local top-k is lossless for a
+    global top-k).  No JVM-interpreted higher-order folds in the hot
+    path, no pair frame materialized.
 
     Ranking uses the 6-digit-rounded similarity with an id tie-break so
     top-k membership is deterministic across engines and runs.
     Returns (query_id, neighbor_id, cosine_sim, rank).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        norm(F.col(vec_col)).alias("_qn"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        norm(F.col(vec_col)).alias("_cn"),
-    )
-    # Norms are computed once per side BEFORE the join — O(Q+N) instead
-    # of O(Q·N) norm folds; identical doubles (same product, same order).
-    den = F.col("_qn") * F.col("_cn")
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine_sim",
-            F.round(
-                F.when(den > 0, dot(F.col("_qvec"), F.col("_cvec")) / den), 6
-            ),
-        )
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()  # query batch: small by contract
+    qids = [int(r[0]) for r in qrows]
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            xn = np.sqrt((x * x).sum(axis=1))
+            den = np.outer(xn, qnorm)
+            sims = np.divide(x @ qmat.T, den, out=np.full_like(den, -np.inf), where=den > 0)
+            out_q, out_n, out_s = [], [], []
+            kk = min(k, len(ids))
+            for j, qid in enumerate(qids):
+                raw = sims[:, j].copy()
+                raw[ids == qid] = -np.inf  # exclude self-match
+                # Local ordering must equal the global (rounded DESC,
+                # id ASC) ordering or boundary ties could select a
+                # different top-k than the final rank; raw sims are
+                # emitted and rounded once JVM-side.
+                rounded = np.round(raw, 6)
+                order = np.lexsort((ids, -rounded))[:kk]
+                keep = order[np.isfinite(raw[order])]
+                out_q.extend([qid] * len(keep))
+                out_n.extend(ids[keep].tolist())
+                out_s.extend(raw[keep].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine_sim": out_s}
+            )
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, cosine_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("cosine_sim", F.round("cosine_sim", 6))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )

@@ -31,8 +31,13 @@ _NORM_B = (
 
 
 def q_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 for 10 query vectors against the whole corpus."""
-    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    """Exact cosine top-5 for 10 query vectors against the whole corpus.
+
+    No spread(): the matmul path is BLAS-bound per scan split, and at
+    real scale the corpus already arrives as thousands of splits — the
+    local repartition would cost more than the (trivial) compute.
+    """
+    emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return brute_force_topk(emb, queries, k=TOP_K)
 
