@@ -32,7 +32,12 @@ import os
 from collections.abc import Iterator, Sequence
 
 import pyarrow as pa
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from .edf import (
@@ -87,8 +92,69 @@ class EdfDataSourceReader(DataSourceReader):
         yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
 
 
+class EdfStreamReader(SimpleDataSourceStreamReader):
+    """Incremental EDF ingestion: each micro-batch picks up new files.
+
+    The offset is the set of already-ingested file names — exactly the
+    bookkeeping Spark's own file stream source keeps, made explicit.
+    ``SimpleDataSourceStreamReader`` reads on the driver prefetcher
+    thread; fine for EDF ingest where the unit of work is whole files
+    arriving at human timescales (a night's recording per subject).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("edf stream requires a path: .load('/dir')")
+        self.stages_key = options.get("stages", "cyclic")
+        self.epoch_len_s = float(options.get("epoch_len_s", "30.0"))
+
+    def initialOffset(self) -> dict:
+        return {"seen": "[]"}
+
+    def _list(self) -> list[str]:
+        if os.path.isdir(self.root):
+            return sorted(n for n in os.listdir(self.root) if n.endswith(".edf"))
+        return [self.root]
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        import json
+
+        seen = set(json.loads(start.get("seen", "[]")))
+        new = [n for n in self._list() if n not in seen]
+        end = {"seen": json.dumps(sorted(seen | set(new)))}
+        return self._rows(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        import json
+
+        seen = set(json.loads(start.get("seen", "[]")))
+        upto = set(json.loads(end.get("seen", "[]")))
+        return self._rows(sorted(upto - seen))
+
+    def _rows(self, names: list[str]) -> Iterator[tuple]:
+        # Materialized list, not a generator: Spark's prefetcher caches
+        # and copy.copy()s the iterator between read() and commit().
+        provider = STAGE_PROVIDERS[self.stages_key]
+        rows: list[tuple] = []
+        for name in names:
+            path = os.path.join(self.root, name) if os.path.isdir(self.root) else name
+            with open(path, "rb") as f:
+                data = f.read()
+            pdf = extract_epochs_from_bytes(
+                subject_id_from_path(path), data, provider, self.epoch_len_s
+            )
+            rows.extend(pdf.itertuples(index=False, name=None))
+        return iter(rows)
+
+
 class EdfDataSource(DataSource):
-    """``format("edf")``: epoch rows from a directory of EDF files."""
+    """``format("edf")``: epoch rows from a directory of EDF files.
+
+    Batch (``spark.read``) and streaming (``spark.readStream``) —
+    the streaming side treats each newly-arrived file as one unit of
+    progress, with the ingested-file set as the offset.
+    """
 
     @classmethod
     def name(cls) -> str:
@@ -99,3 +165,6 @@ class EdfDataSource(DataSource):
 
     def reader(self, schema: StructType) -> EdfDataSourceReader:
         return EdfDataSourceReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> EdfStreamReader:
+        return EdfStreamReader(self.options)

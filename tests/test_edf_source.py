@@ -111,3 +111,42 @@ def test_edf_python_datasource(spark, tmp_path):
     assert all(r["count"] == 3 for r in per_subject)
     # partition-per-file: the scan parallelism equals the file count
     assert df.rdd.getNumPartitions() == 2
+
+
+def test_edf_streaming_datasource(spark, tmp_path):
+    """spark.readStream.format('edf'): new files become micro-batches,
+    and a checkpointed restart ingests only files not yet committed."""
+    from sleep_edf_data_pipeline_spark.sources.edf_datasource import EdfDataSource
+
+    src = tmp_path / "edf_stream"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "subject_1.edf").write_bytes(_synthetic_edf(n_epochs=2))
+    spark.dataSource.register(EdfDataSource)
+
+    def run_once():
+        q = (
+            spark.readStream.format("edf")
+            .load(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out)
+    assert {r["subject_id"] for r in first.select("subject_id").distinct().collect()} == {1}
+    n_first = first.count()
+
+    # A new file arrives; the restarted query resumes from the
+    # checkpointed offset: subject 2 is ingested, subject 1 NOT re-read.
+    (src / "subject_2.edf").write_bytes(_synthetic_edf(n_epochs=2))
+    run_once()
+    after = spark.read.parquet(out)
+    assert {r["subject_id"] for r in after.select("subject_id").distinct().collect()} == {1, 2}
+    assert after.filter("subject_id = 1").count() == n_first  # exactly-once
