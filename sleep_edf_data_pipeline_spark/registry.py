@@ -12,6 +12,7 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.sleep_relational",
     "sleep_edf_data_pipeline_spark.queries.tpch_relational",
     "sleep_edf_data_pipeline_spark.queries.joins_advanced",
+    "sleep_edf_data_pipeline_spark.queries.relational_breadth",
     "sleep_edf_data_pipeline_spark.queries.event_windows",
     "sleep_edf_data_pipeline_spark.queries.serving",
     "sleep_edf_data_pipeline_spark.queries.dedup_queries",
