@@ -34,8 +34,12 @@ HEADLINE = [
     "sleep_summary",
     "sleep_features",
     "session_window_agg",
+    "asof_last_order",
+    "product_profit",
     "minhash_lsh_neardups",
     "simhash_neardups",
+    "ngram_jaccard_neardups",
+    "fuzzy_name_dedup",
     "cosine_topk_bruteforce",
     "multimodal_features",
 ]
