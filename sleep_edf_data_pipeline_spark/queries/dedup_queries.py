@@ -8,10 +8,11 @@ differential-checked, not just row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import PERM_P, perm_coeffs
+from ..operators.components import connected_components
 from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
@@ -279,8 +280,83 @@ WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over SimHash near-dup
+    pairs; canonical = min doc_id per component.
+
+    The post-pairing step of a production dedup pipeline (pick one
+    survivor per cluster).  Iterative min-label propagation
+    (operators.components); the oracle replays the same graph closure
+    with a recursive CTE — a genuinely iterative algorithm differential-
+    checked against SQL recursion.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    fp = simhash_fingerprint(docs, "doc_id", "text", bits=_BITS)
+    pairs = simhash_near_dups(fp, "doc_id", bits=_BITS, chunks=_CHUNKS, max_hamming=3)
+    comp = connected_components(
+        pairs,
+        docs.select("doc_id"),
+        node_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    w = Window.partitionBy("canonical_id")
+    return (
+        comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("canonical_id"))
+        .withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS tok
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, {H64.format(s="tok")} AS h FROM toks
+),
+votes AS (
+    SELECT
+        doc_id,
+{_VOTES}
+    FROM hashed
+    GROUP BY doc_id
+),
+fp AS (
+    SELECT doc_id, CAST({_FP} AS BIGINT) AS simhash FROM votes
+),
+long AS (
+    SELECT doc_id, simhash, c AS chunk_idx, (simhash >> (c * {_WIDTH})) & {_MASK} AS chunk_val
+    FROM fp
+    CROSS JOIN unnest(range(0, {_CHUNKS})) AS tt(c)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM long AS a
+    JOIN long AS b USING (chunk_idx, chunk_val)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY node)
+SELECT doc_id, canonical_id,
+       CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size
+FROM comp
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_neardups": q_minhash_lsh_neardups,
     "ngram_jaccard_neardups": q_ngram_jaccard_neardups,
@@ -290,6 +366,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "minhash_signatures": ORACLE_MINHASH_SIGNATURES,
     "minhash_lsh_neardups": ORACLE_MINHASH_LSH_NEARDUPS,
     "ngram_jaccard_neardups": ORACLE_NGRAM_JACCARD_NEARDUPS,
