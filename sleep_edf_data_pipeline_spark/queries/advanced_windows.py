@@ -1,0 +1,293 @@
+"""Advanced window / subquery / UDAF operator classes.
+
+Fills the remaining relational-taxonomy rows not covered elsewhere
+(COVERAGE.md §2.6): RANGE window frames (value-based, not row-based),
+ignore-nulls LOCF gap-fill, a *correlated* scalar subquery (Catalyst
+decorrelation — the uncorrelated twin lives in relational_breadth),
+sliding (overlapping) time windows, modern aggregate functions
+(count_if / bool_and / bool_or / median), and a custom UDAF surface via
+``groupBy().applyInPandas``.
+
+Determinism notes (the driver hash-compares at sf0.01):
+- All float sums route through DECIMAL or int64 so partial-aggregation
+  merge order cannot perturb low bits (see .claude/skills/verify).
+- Rounding to basis points uses ``floor(x + 0.5)`` on BOTH engines —
+  numpy ``round`` is half-to-even while DuckDB ``round`` is
+  half-away-from-zero, so neither built-in is portable at ties.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+#: RANGE frame width for trailing spend: 30 days in seconds.
+_TRAILING_SECONDS = 30 * 86400
+
+
+def q_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day spend per customer: a RANGE (value-based) frame.
+
+    Unlike the ROWS frames of the sleep pipeline (SURVEY R4/R9), the
+    frame here is bounded by *order-date distance*, so a customer with
+    three orders on one day aggregates all three as frame peers.
+    Spark expresses time-RANGE frames by ordering on the epoch-seconds
+    cast; one shuffle on o_custkey, sort within partitions, no join.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-_TRAILING_SECONDS, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_spend"),
+        F.count("*").over(w).alias("n_orders_30d"),
+    )
+
+
+ORACLE_RANGE_FRAME_SPEND = """
+SELECT
+    o_orderkey,
+    o_custkey,
+    o_orderdate,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        AS trailing_30d_spend,
+    count(*) OVER w AS n_orders_30d
+FROM orders
+WINDOW w AS (
+    PARTITION BY o_custkey
+    ORDER BY o_orderdate
+    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+)
+"""
+
+
+def q_locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over sensor dropouts.
+
+    'error' events carry no valid reading (masked to NULL), and the
+    fill takes the most recent non-null value per user — the standard
+    time-series gap-fill, expressed as ``last(..., ignorenulls=True)``
+    over a running ROWS frame.  Leading errors stay NULL.  No
+    aggregation of floats: values are copied, so the result is
+    bit-stable by construction.
+    """
+    ev = table(spark, sf_dir, "events")
+    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(masked, ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
+ORACLE_LOCF_GAP_FILL = """
+SELECT
+    event_id,
+    user_id,
+    ts,
+    event_type,
+    last_value(CASE WHEN event_type != 'error' THEN value END IGNORE NULLS)
+        OVER (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS value_filled
+FROM events
+"""
+
+
+def q_correlated_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders pricier than *their own customer's* average order.
+
+    A correlated scalar subquery — the outer row's o_custkey binds
+    inside the subquery.  Deliberately written as SQL so Catalyst's
+    decorrelation rewrites it (aggregate once per customer + join)
+    rather than a hand-rolled groupBy+join; `.explain` shows the
+    rewritten Aggregate ⋈ Filter plan with no per-row subplan.
+    The average is an exact DECIMAL sum over an exact count, so the
+    comparison threshold is bit-identical across engines.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_aw_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM _aw_orders o
+        WHERE o_totalprice > (
+            SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+            FROM _aw_orders i
+            WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+ORACLE_CORRELATED_ABOVE_CUST_AVG = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > (
+    SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+    FROM orders i
+    WHERE i.o_custkey = o.o_custkey
+)
+"""
+
+
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 2-hour windows sliding by 1 hour, per event type.
+
+    Each event lands in exactly two windows; ``F.window(ts, "2 hours",
+    "1 hour")`` fans out map-side (no self-join) before one grouped
+    aggregation — the same operator drives streaming sliding windows.
+    """
+    ev = table(spark, sf_dir, "events")
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(win, "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+ORACLE_SLIDING_WINDOW_AGG = """
+SELECT
+    date_trunc('hour', ts) - to_hours(o) AS window_start,
+    date_trunc('hour', ts) - to_hours(o) + INTERVAL 2 HOUR AS window_end,
+    event_type,
+    count(*) AS n_events,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+CROSS JOIN (VALUES (0), (1)) AS slides(o)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_modern_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_and / bool_or / median per return-flag group.
+
+    Median of an even-sized group is the midpoint of the two middle
+    values in both engines (linear-interpolated percentile 0.5), and
+    the remaining aggregates are order-free, so the row is
+    deterministic without decimal routing.
+    """
+    lin = table(spark, sf_dir, "lineitem")
+    return lin.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_big_discount"),
+        F.bool_and(F.col("l_quantity") >= 1).alias("all_qty_positive"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.median("l_extendedprice").alias("median_price"),
+    )
+
+
+ORACLE_MODERN_AGG_SUITE = """
+SELECT
+    l_returnflag,
+    CAST(count(*) FILTER (l_discount > 0.05) AS BIGINT) AS n_big_discount,
+    bool_and(l_quantity >= 1) AS all_qty_positive,
+    bool_or(l_tax > 0.07) AS any_high_tax,
+    median(l_extendedprice) AS median_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def _weighted_discount_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Exact int64 arithmetic: discounts → basis points, quantities are
+    # integral (TESTDATA), so numerator/denominator sums are exact and
+    # order-independent; the single final division is deterministic.
+    disc_bp = np.floor(pdf["l_discount"].to_numpy() * 10000 + 0.5).astype("int64")
+    qty = pdf["l_quantity"].to_numpy().astype("int64")
+    num = int((disc_bp * qty).sum())
+    den = int(qty.sum())
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "l_linestatus": [pdf["l_linestatus"].iloc[0]],
+            "qty_weighted_discount": [num / (10000.0 * den)],
+            "total_qty": [den],
+        }
+    )
+
+
+def q_weighted_discount_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF: quantity-weighted mean discount via applyInPandas.
+
+    The UDAF surface the reference never needed (SURVEY §2.6 — no
+    UDAF registrations): each group arrives as one Arrow-backed pandas
+    frame; the weighted mean runs vectorized in numpy.  At scale the
+    grouping is a single hash shuffle on two low-cardinality keys —
+    for skewed keys, pre-aggregate partial (num, den) pairs per
+    partition first (operators/skew.py pattern).
+    """
+    lin = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_discount"
+    )
+    return lin.groupBy("l_returnflag", "l_linestatus").applyInPandas(
+        _weighted_discount_group,
+        schema=(
+            "l_returnflag string, l_linestatus string, "
+            "qty_weighted_discount double, total_qty bigint"
+        ),
+    )
+
+
+ORACLE_WEIGHTED_DISCOUNT_UDAF = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        / (10000 * sum(CAST(l_quantity AS BIGINT))) AS qty_weighted_discount,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+QUERIES = {
+    "range_frame_spend": q_range_frame_spend,
+    "locf_gap_fill": q_locf_gap_fill,
+    "correlated_above_cust_avg": q_correlated_above_cust_avg,
+    "sliding_window_agg": q_sliding_window_agg,
+    "modern_agg_suite": q_modern_agg_suite,
+    "weighted_discount_udaf": q_weighted_discount_udaf,
+}
+
+ORACLES = {
+    "range_frame_spend": ORACLE_RANGE_FRAME_SPEND,
+    "locf_gap_fill": ORACLE_LOCF_GAP_FILL,
+    "correlated_above_cust_avg": ORACLE_CORRELATED_ABOVE_CUST_AVG,
+    "sliding_window_agg": ORACLE_SLIDING_WINDOW_AGG,
+    "modern_agg_suite": ORACLE_MODERN_AGG_SUITE,
+    "weighted_discount_udaf": ORACLE_WEIGHTED_DISCOUNT_UDAF,
+}

@@ -14,6 +14,7 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.joins_advanced",
     "sleep_edf_data_pipeline_spark.queries.relational_breadth",
     "sleep_edf_data_pipeline_spark.queries.event_windows",
+    "sleep_edf_data_pipeline_spark.queries.advanced_windows",
     "sleep_edf_data_pipeline_spark.queries.serving",
     "sleep_edf_data_pipeline_spark.queries.dedup_queries",
     "sleep_edf_data_pipeline_spark.queries.text_queries",
