@@ -1,0 +1,113 @@
+"""Physical-plan regression tests: the plans that make 100 TB feasible.
+
+Correctness tests prove the operators compute the right answer; these
+prove Catalyst produces the *plan we designed for* — broadcast joins on
+small dimensions, parquet filter/column pushdown, and exactly one
+shuffle for the whole sleep window chain.  A regression here is a
+silent 10-100× slowdown at cluster scale that sf0.001 wall-clock would
+never notice.
+"""
+
+from __future__ import annotations
+
+import re
+
+from sleep_edf_data_pipeline_spark import registry
+from sleep_edf_data_pipeline_spark.tables import table
+
+QUERIES, _ = registry.collect()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def n_shuffles(plan: str) -> int:
+    # AQE wraps exchanges; count origins, not reuses.
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", plan)) - len(
+        re.findall(r"ReusedExchange", plan)
+    )
+
+
+def test_snowflake_join_broadcasts_all_dimensions(spark, sf_dir):
+    """regional_revenue joins lineitem against 4 small dims: every one
+    must broadcast — a shuffle join on region/nation at 100 TB would
+    shuffle the fact table four times."""
+    plan = plan_of(QUERIES["regional_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_point_lookup_pushes_filter_to_scan(spark, sf_dir):
+    """subject_lookup's predicate must reach the parquet reader
+    (PushedFilters), not run as a post-scan Filter over a full read."""
+    plan = plan_of(QUERIES["subject_lookup"](spark, sf_dir))
+    assert re.search(r"PushedFilters: \[[^\]]*(EqualTo|IsNotNull)", plan), plan
+
+
+def test_timeseries_scan_prunes_columns(spark, sf_dir):
+    """subject_timeseries projects 4 of 8+ columns; ReadSchema must
+    contain only what the query needs (column pruning reached the
+    scan)."""
+    plan = plan_of(QUERIES["subject_timeseries"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert len(read_cols) <= 5, read_cols
+
+
+def test_sleep_metrics_single_shuffle(spark, sf_dir):
+    """The whole metrics chain (5 moving averages, lag, two
+    row_numbers, running sum, partition counts) shares one
+    partitioning on subject_id: exactly one exchange of the fact
+    data, plus only broadcast exchanges for the tiny episode frames."""
+    plan = plan_of(QUERIES["sleep_metrics"](spark, sf_dir))
+    assert n_shuffles(plan) <= 1, f"expected <=1 data shuffle:\n{plan}"
+
+
+def test_sliding_window_is_mapside_fanout(spark, sf_dir):
+    """Sliding windows must fan out map-side (Expand/generator), never
+    via a self-join; one aggregation shuffle only."""
+    plan = plan_of(QUERIES["sliding_window_agg"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert n_shuffles(plan) <= 1, plan
+
+
+def test_asof_join_single_shuffle_no_join_node(spark, sf_dir):
+    """The as-of join is implemented as union + keyed window (one
+    shuffle), not a per-row range join."""
+    plan = plan_of(QUERIES["asof_last_order"](spark, sf_dir))
+    assert n_shuffles(plan) <= 2, plan
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    """EXISTS must compile to a (broadcast) LeftSemi, not an inner join
+    + distinct — the latter shuffles the full probe side."""
+    plan = plan_of(QUERIES["customers_with_urgent_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_events_scan_reads_only_needed_columns(spark, sf_dir):
+    """hourly_event_agg needs ts/event_type/value/user_id; props (the
+    widest column, JSON text) must be pruned from the scan."""
+    plan = plan_of(QUERIES["hourly_event_agg"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "props" not in m.group(1), plan
+
+
+def test_quantity_band_join_is_broadcast_nested_loop(spark, sf_dir):
+    """The theta/band join's build side is a handful of band rows —
+    must be BroadcastNestedLoopJoin, never a cartesian shuffle."""
+    plan = plan_of(QUERIES["quantity_band_agg"](spark, sf_dir))
+    assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_table_helper_preserves_partition_count_for_big_scans(spark):
+    """spread() must be a no-op when the scan already has >= default
+    parallelism splits (the 100 TB case)."""
+    from sleep_edf_data_pipeline_spark.tables import spread
+
+    df = table(spark, "/root/testdata/sf0.001", "lineitem")
+    pre = df.repartition(8)
+    assert spread(pre, "l_orderkey").rdd.getNumPartitions() == 8
