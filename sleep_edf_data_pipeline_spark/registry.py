@@ -20,6 +20,7 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.text_queries",
     "sleep_edf_data_pipeline_spark.queries.similarity_queries",
     "sleep_edf_data_pipeline_spark.queries.multimodal_queries",
+    "sleep_edf_data_pipeline_spark.queries.corpus_prep",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
