@@ -113,3 +113,41 @@ def recent_errors(spark: SparkSession, path: str, limit: int = 20) -> DataFrame:
         .orderBy(F.desc("occurred_at"))
         .limit(limit)
     )
+
+
+def foreach_batch_upsert(path: str, keys: list[str]):
+    """Streaming upsert sink: merge each micro-batch into a keyed table.
+
+    Returns a ``foreachBatch`` callback implementing last-write-wins on
+    ``keys``: rows already present whose key reappears in the batch are
+    replaced.  This is the incremental-materialization pattern (the
+    streaming analog of S7's per-subject overwrite): read current state,
+    anti-join out superseded rows, union the batch, write to a temp dir,
+    swap.  The swap is only rename-atomic on a local/HDFS-like
+    filesystem — the production target is Delta/Iceberg ``MERGE INTO``,
+    which makes the same callback a one-liner and adds snapshot
+    isolation; the batch-side plan (anti-join + union) is identical.
+
+    The anti-join broadcasts the batch's key set when small — the common
+    case, since a micro-batch is bounded by the trigger interval while
+    the table grows without bound.
+    """
+    import os
+    import shutil
+
+    def _upsert(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            merged = existing.join(
+                F.broadcast(batch.select(*keys).distinct()), keys, "left_anti"
+            ).unionByName(batch)
+        else:
+            merged = batch
+        tmp = f"{path}.__tmp__"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    return _upsert

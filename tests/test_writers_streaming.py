@@ -227,3 +227,83 @@ def test_streaming_episodes_stateful_across_batches(spark, tmp_path):
         (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2, 3.0),
         (2, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1, 5.0),
     ]
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Stream-stream interval join: purchases attributed to the click
+    within 1h before, state bounded by watermark + range condition."""
+    from sleep_edf_data_pipeline_spark.streaming.joins import streaming_attribution
+
+    schema = "event_id int, ts_s string, user_id int, value double"
+    clicks = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1, 0.0),
+            (2, "2024-01-01 12:00:00", 1, 0.0),  # no purchase within 1h
+            (3, "2024-01-01 10:05:00", 2, 0.0),
+        ],
+        schema,
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "value")
+    purchases = spark.createDataFrame(
+        [
+            (10, "2024-01-01 10:30:00", 1, 9.99),  # ← click 1
+            (11, "2024-01-01 14:00:00", 1, 5.00),  # no click within 1h before
+            (12, "2024-01-01 10:06:00", 2, 1.25),  # ← click 3
+        ],
+        schema,
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "value")
+
+    c_src, p_src = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks.write.parquet(c_src)
+    purchases.write.parquet(p_src)
+
+    out = streaming_attribution(
+        spark.readStream.schema(clicks.schema).parquet(c_src),
+        spark.readStream.schema(purchases.schema).parquet(p_src),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attribution_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM attribution_test").collect()
+    }
+    assert rows == {(1, 10), (3, 12)}
+
+
+def test_foreach_batch_upsert_last_write_wins(spark, tmp_path):
+    """foreachBatch incremental upsert: a later batch's row replaces the
+    earlier row with the same key; distinct keys accumulate."""
+    import time
+
+    from sleep_edf_data_pipeline_spark.writers.atomic import foreach_batch_upsert
+
+    src = tmp_path / "upsert_src"
+    src.mkdir()
+    tgt = str(tmp_path / "upsert_tgt")
+    schema = "k int, v string"
+    spark.createDataFrame([(1, "old"), (2, "keep")], schema).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    spark.createDataFrame([(1, "new"), (3, "add")], schema).coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+
+    q = (
+        spark.readStream.schema("k int, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*.parquet"))
+        .writeStream.foreachBatch(foreach_batch_upsert(tgt, ["k"]))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert final == {1: "new", 2: "keep", 3: "add"}
