@@ -163,7 +163,25 @@ WHERE round({_DOT} / nullif({_NORM_A} * {_NORM_B}, 0), 6) >= 0.3
 """
 
 
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid training: 3 Lloyd rounds, deterministic seeding.
+
+    Genuinely iterative (driver-coordinated rounds), so no SQL oracle —
+    the driver records the rows-only check; tests/test_clustering.py
+    proves the fixed-point properties (assignment = argmin, inertia
+    monotonically non-increasing) instead.
+    """
+    from ..operators.clustering import kmeans
+
+    vecs = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    assigned, _ = kmeans(vecs, k=8, iters=3)
+    return assigned.select(
+        "vec_id", "cluster", F.round("sq_dist", 6).alias("sq_dist")
+    )
+
 QUERIES = {
+    "kmeans_clusters": q_kmeans_clusters,
     "cosine_topk_bruteforce": q_cosine_topk_bruteforce,
     "cosine_topk_ivf": q_cosine_topk_ivf,
     "lsh_buckets": q_lsh_buckets,

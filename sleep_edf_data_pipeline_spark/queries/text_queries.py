@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.text import (
@@ -165,8 +165,118 @@ FROM t
 """
 
 
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (deterministic tie-break).
+
+    The classic relevance/keyword-extraction op: term frequency per
+    (doc, token) x ln(N/df).  All counts are exact integers, so tfidf
+    is a deterministic double on both engines; ties (same tf and df)
+    break on token order.  Two shuffles at scale: (doc, token) count
+    and token df — both map-side combinable; the doc-count scalar
+    broadcasts.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df_docs")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        # Java Math.log and libm ln disagree in the last ulp on ~1 in 5
+        # inputs; 6-decimal rounding (the driver's hash precision) makes
+        # the *output* portable while ranking stays on full precision.
+        .select(
+            "doc_id", "term", "tf", "df_docs", F.round("tfidf", 6).alias("tfidf"), "rank"
+        )
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = """
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY term
+),
+scored AS (
+    SELECT
+        tf.doc_id, tf.term, tf.tf, df.df_docs,
+        CAST(tf.tf AS DOUBLE)
+            * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df.df_docs)
+            AS tfidf
+    FROM tf JOIN df USING (term)
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+    ) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df_docs, round(tfidf, 6) AS tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: global top-20 tokens.
+
+    Exact (not sketched) heavy hitters; the per-token partial counts
+    combine map-side so the shuffle carries one row per distinct token
+    per partition, and only the 20-row result reaches the driver.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(20)
+    )
+
+
+ORACLE_VOCAB_TOP_TOKENS = """
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+    FROM documents
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "token_stats": q_token_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "vocab_top_tokens": q_vocab_top_tokens,
     "language_id": q_language_id,
     "quality_scores": q_quality_scores,
     "doc_fingerprints": q_doc_fingerprints,
@@ -174,6 +284,8 @@ QUERIES = {
 
 ORACLES = {
     "token_stats": ORACLE_TOKEN_STATS,
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "vocab_top_tokens": ORACLE_VOCAB_TOP_TOKENS,
     "language_id": ORACLE_LANGUAGE_ID,
     "quality_scores": ORACLE_QUALITY_SCORES,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
