@@ -270,12 +270,73 @@ def q_approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: event activity vs urgent-order customers.
+
+    The reconciliation pattern (which entities appear on one side only)
+    needs FULL OUTER — the one join type the sleep pipeline never uses.
+    Both grouped inputs are small relative to their facts; at scale
+    full-outer cannot broadcast (both sides must keep unmatched rows),
+    so this is the one join here that legitimately shuffles both sides
+    on the key.
+    """
+    ev = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    activity = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "event_value"
+        ),
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_urgent"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+                "urgent_spend"
+            ),
+        )
+    )
+    return (
+        activity.join(
+            urgent, activity.user_id == urgent.o_custkey, "full_outer"
+        )
+        .select(
+            F.coalesce("user_id", "o_custkey").alias("entity_id"),
+            "n_events",
+            "event_value",
+            "n_urgent",
+            "urgent_spend",
+        )
+    )
+
+
+ORACLE_FULL_OUTER_RECONCILIATION = """
+WITH activity AS (
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS event_value
+    FROM events GROUP BY user_id
+),
+urgent AS (
+    SELECT o_custkey, count(*) AS n_urgent,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS urgent_spend
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+)
+SELECT coalesce(user_id, o_custkey) AS entity_id,
+       n_events, event_value, n_urgent, urgent_spend
+FROM activity FULL OUTER JOIN urgent ON user_id = o_custkey
+"""
+
+
 QUERIES = {
     "asof_last_order": q_asof_last_order,
     "quantity_band_agg": q_quantity_band_agg,
     "events_near_orders": q_events_near_orders,
     "quantity_quantiles": q_quantity_quantiles,
     "approx_quantiles_price": q_approx_quantiles_price,
+    "full_outer_reconciliation": q_full_outer_reconciliation,
 }
 
 ORACLES = {
@@ -283,4 +344,5 @@ ORACLES = {
     "quantity_band_agg": ORACLE_QUANTITY_BAND_AGG,
     "events_near_orders": ORACLE_EVENTS_NEAR_ORDERS,
     "quantity_quantiles": ORACLE_QUANTITY_QUANTILES,
+    "full_outer_reconciliation": ORACLE_FULL_OUTER_RECONCILIATION,
 }

@@ -521,6 +521,57 @@ FROM customer
 """
 
 
+
+def q_priority_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — multiset semantics.
+
+    The bag variants keep multiplicity (how many MORE 'open' orders of
+    each priority than 'finished', and the common multiset), which the
+    distinct set ops of nation_set_ops cannot express.  Spark plans
+    these as a single aggregation computing per-row multiplicities —
+    no join, one shuffle each.
+    """
+    orders = table(spark, sf_dir, "orders")
+    open_p = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    done_p = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    surplus = (
+        open_p.exceptAll(done_p)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .withColumn("src", F.lit("except_all"))
+    )
+    common = (
+        open_p.intersectAll(done_p)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .withColumn("src", F.lit("intersect_all"))
+    )
+    return surplus.unionByName(common).select("src", "o_orderpriority", "n")
+
+
+ORACLE_PRIORITY_SET_OPS_ALL = """
+WITH open_p AS (
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+),
+done_p AS (
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+),
+surplus AS (
+    SELECT 'except_all' AS src, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM open_p EXCEPT ALL SELECT * FROM done_p)
+    GROUP BY o_orderpriority
+),
+common AS (
+    SELECT 'intersect_all' AS src, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM open_p INTERSECT ALL SELECT * FROM done_p)
+    GROUP BY o_orderpriority
+)
+SELECT src, o_orderpriority, n FROM surplus
+UNION ALL
+SELECT src, o_orderpriority, n FROM common
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -531,6 +582,7 @@ QUERIES = {
     "lineitem_rollup": q_lineitem_rollup,
     "orders_cube": q_orders_cube,
     "nation_set_ops": q_nation_set_ops,
+    "priority_set_ops_all": q_priority_set_ops_all,
     "distinct_counts": q_distinct_counts,
     "approx_distinct_parts": q_approx_distinct_parts,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -549,6 +601,7 @@ ORACLES = {
     "lineitem_rollup": ORACLE_LINEITEM_ROLLUP,
     "orders_cube": ORACLE_ORDERS_CUBE,
     "nation_set_ops": ORACLE_NATION_SET_OPS,
+    "priority_set_ops_all": ORACLE_PRIORITY_SET_OPS_ALL,
     "distinct_counts": ORACLE_DISTINCT_COUNTS,
     "top_orders_per_customer": ORACLE_TOP_ORDERS_PER_CUSTOMER,
     "scalar_functions": ORACLE_SCALAR_FUNCTIONS,
