@@ -165,8 +165,62 @@ GROUP BY user_id
 """
 
 
+
+def q_hourly_densified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: every hour in each user's span,
+    zero-filled where no events occurred.
+
+    The complement of LOCF gap-fill (advanced_windows): downstream
+    models need explicit zero rows, not absent rows.  The hour spine is
+    generated with ``sequence()`` + explode from each user's bounds —
+    rows fan out map-side from a tiny grouped input, so the only
+    shuffles are the two aggregations; the spine join is broadcast-able
+    (one row per user-hour vs the event fact).
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start"),
+    )
+    counts = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count("*").alias("n"))
+    return spine.join(counts, ["user_id", "hour_start"], "left").select(
+        "user_id",
+        "hour_start",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
+
+
+ORACLE_HOURLY_DENSIFIED = """
+WITH bounds AS (
+    SELECT user_id,
+           date_trunc('hour', min(ts)) AS h0,
+           date_trunc('hour', max(ts)) AS h1
+    FROM events GROUP BY user_id
+),
+spine AS (
+    SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_start
+    FROM bounds
+),
+counts AS (
+    SELECT user_id, date_trunc('hour', ts) AS hour_start, count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT s.user_id, s.hour_start, CAST(coalesce(n, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN counts c USING (user_id, hour_start)
+"""
+
+
 QUERIES = {
     "hourly_event_agg": q_hourly_event_agg,
+    "hourly_densified": q_hourly_densified,
     "session_window_agg": q_session_window_agg,
     "json_props_agg": q_json_props_agg,
     "event_type_pivot": q_event_type_pivot,
@@ -174,6 +228,7 @@ QUERIES = {
 
 ORACLES = {
     "hourly_event_agg": ORACLE_HOURLY_EVENT_AGG,
+    "hourly_densified": ORACLE_HOURLY_DENSIFIED,
     "session_window_agg": ORACLE_SESSION_WINDOW_AGG,
     "json_props_agg": ORACLE_JSON_PROPS_AGG,
     "event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,
