@@ -8,19 +8,26 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 #: Query modules, each exposing QUERIES and (optionally) ORACLES.
+#:
+#: ORDER MATTERS for the driver's correctness gate: it verifies the
+#: first 50 entries of collect() per round.  Queries without a green
+#: CORRECTNESS row yet (the LLM-training-data surface, new additions)
+#: go first; the sleep/TPC-H spine — driver-green in round 1
+#: (CORRECTNESS_r01.json) and still covered every round by the local
+#: mirror in tests/test_oracle_parity.py — rotates to the back.
 _MODULES = [
+    "sleep_edf_data_pipeline_spark.queries.dedup_queries",
+    "sleep_edf_data_pipeline_spark.queries.text_queries",
+    "sleep_edf_data_pipeline_spark.queries.similarity_queries",
+    "sleep_edf_data_pipeline_spark.queries.multimodal_queries",
+    "sleep_edf_data_pipeline_spark.queries.corpus_prep",
+    "sleep_edf_data_pipeline_spark.queries.serving",
     "sleep_edf_data_pipeline_spark.queries.sleep_relational",
     "sleep_edf_data_pipeline_spark.queries.tpch_relational",
     "sleep_edf_data_pipeline_spark.queries.joins_advanced",
     "sleep_edf_data_pipeline_spark.queries.relational_breadth",
     "sleep_edf_data_pipeline_spark.queries.event_windows",
     "sleep_edf_data_pipeline_spark.queries.advanced_windows",
-    "sleep_edf_data_pipeline_spark.queries.serving",
-    "sleep_edf_data_pipeline_spark.queries.dedup_queries",
-    "sleep_edf_data_pipeline_spark.queries.text_queries",
-    "sleep_edf_data_pipeline_spark.queries.similarity_queries",
-    "sleep_edf_data_pipeline_spark.queries.multimodal_queries",
-    "sleep_edf_data_pipeline_spark.queries.corpus_prep",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -42,13 +42,24 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     CPU-dense per-row operators (shingling, hashing, vector math) are
     throughput-bound by the scan's split count, and a small parquet
     file yields a single split no matter how many cores the session
-    has.  Repartition by key ONLY when splits < cores; on a real
-    cluster a 100 TB table already scans as thousands of splits, so
-    this is a no-op there and the (tiny) round-robin shuffle price is
-    paid only in the degenerate local case.
+    has.  Repartition by key ONLY when the scan's file count < cores;
+    on a real cluster a 100 TB table already arrives as thousands of
+    files/splits, so this is a no-op there and the (tiny) round-robin
+    shuffle price is paid only in the degenerate local case.
+
+    Sizing uses ``inputFiles()`` (metadata-only, no job) rather than
+    ``df.rdd.getNumPartitions()`` — the RDD conversion materializes a
+    physical plan on the driver for every query build.  File count
+    under-estimates splits for multi-row-group files, which only makes
+    the guard more conservative (an unneeded repartition of an
+    already-wide scan, never a narrowing).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
         return df
     if key_cols:
         return df.repartition(target, *[F.col(c) for c in key_cols])
