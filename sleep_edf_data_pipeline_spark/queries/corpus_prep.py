@@ -4,11 +4,14 @@ Two operations every large-scale LLM data pipeline runs over its
 document store:
 
 - **Chunking** documents into bounded token windows with overlap
-  (context-window packing).  Implemented as a Python UDTF — the
-  table-function surface (one row in, N rows out with per-row state)
-  that neither explode nor mapInPandas expresses as directly — applied
-  via LATERAL join.  At scale this is embarrassingly parallel: no
-  shuffle at all, the generator runs inside the scan stage.
+  (context-window packing).  The default path is pure built-ins —
+  ``explode(sequence(...))`` + ``slice`` + ``concat_ws`` — so the whole
+  one-row-in-N-rows-out expansion runs inside whole-stage codegen with
+  zero shuffles and zero Python.  A Python-UDTF variant
+  (``document_chunks_udtf``) stays registered as the table-function
+  surface demo (LATERAL join), oracle-checked against the same SQL;
+  at 100 TB the native path avoids pickling every document across the
+  JVM↔Python boundary row-at-a-time.
 - **Deterministic train/val/test assignment** by md5 bucket of the
   stable document id: reproducible across engines/runs, no RNG state,
   and any engine (here: DuckDB) can re-derive the same split — the
@@ -43,7 +46,40 @@ class ChunkTokens:
 
 
 def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk every document; LATERAL UDTF, zero shuffles."""
+    """Chunk every document natively; codegen-only, zero shuffles.
+
+    ``explode(sequence(0, n_chunks-1))`` synthesizes the chunk index,
+    ``slice`` carves the token window, ``concat_ws`` re-joins it — the
+    same semantics as the UDTF variant below with no Python in the
+    plan.  ``explode`` of a null sequence emits no rows, matching the
+    UDTF's null-text behavior.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_STRIDE))).cast("int")
+    exploded = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    window = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", window).alias("chunk_text"),
+        F.size(window).cast("int").alias("n_tokens"),
+    )
+
+
+def q_document_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking via the Python-UDTF table-function surface (LATERAL).
+
+    Same semantics and oracle as :func:`q_document_chunks`; registered
+    separately so the engine's UDTF/LATERAL surface stays exercised
+    while the native path is the default at scale.
+    """
     table(spark, sf_dir, "documents").createOrReplaceTempView("_cp_documents")
     spark.udtf.register("chunk_tokens", ChunkTokens)
     return spark.sql(
@@ -121,10 +157,12 @@ GROUP BY split, lang
 
 QUERIES = {
     "document_chunks": q_document_chunks,
+    "document_chunks_udtf": q_document_chunks_udtf,
     "dataset_split_stats": q_dataset_split_stats,
 }
 
 ORACLES = {
     "document_chunks": ORACLE_DOCUMENT_CHUNKS,
+    "document_chunks_udtf": ORACLE_DOCUMENT_CHUNKS,
     "dataset_split_stats": ORACLE_DATASET_SPLIT_STATS,
 }
