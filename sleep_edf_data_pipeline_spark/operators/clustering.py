@@ -11,13 +11,18 @@ Design for scale and determinism:
   LSH hyperplanes): per row, k squared-distance expressions evaluated
   inside whole-stage codegen, argmin via a fold over ``F.when`` — no
   join, no Python.
-- **Update is one map-side-combinable shuffle.** posexplode to
-  (cluster, dim, value) and average per cell.  Sums run in DECIMAL so
-  partial-aggregation merge order cannot perturb centroid bits — the
-  whole training loop is bit-deterministic run-to-run, which the
-  driver's hash gate requires of anything downstream of it.  (MLlib's
-  denser alternative is treeAggregate of per-partition sum vectors;
-  the relational form keeps Catalyst in charge and spills gracefully.)
+- **Update is one map-side-combinable shuffle, in fixed point.**
+  posexplode to (cluster, dim, value), then each value is quantized to
+  ``floor(v * 2^28)`` and summed as a plain BIGINT.  Integer sums are
+  exact and order-free, so partial-aggregation merge order cannot
+  perturb centroid bits — and, unlike a DECIMAL cast (whose
+  double→decimal rounding differs between engines: Spark rounds the
+  shortest decimal repr, DuckDB scales in binary), ``floor`` of a
+  power-of-two scaling is bit-identical in every IEEE-754 engine.
+  The quantization error (2^-28 ≈ 4e-9 per value) is far below any
+  semantic tolerance for centroid training, and it buys full
+  cross-engine reproducibility: the driver's DuckDB oracle re-derives
+  the entire training loop bit-for-bit (queries/similarity_queries.py).
 - **Driver traffic is k x dim floats per iteration** (the centroid
   table), the textbook exception to the no-collect rule; lineage is cut
   each iteration by re-folding centroids to literals, so plans stay
@@ -29,9 +34,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Exact-sum type for centroid updates: float32 inputs cast to double
-#: are exact; this decimal keeps ~10 integer digits and 18 fractional.
-_SUM_DECIMAL = "decimal(28,18)"
+#: Fixed-point scale for centroid updates: 2^28.  Power-of-two scaling
+#: of a double is exact, and floor() has no rounding-mode ambiguity, so
+#: ``floor(v * FP_SCALE)`` is the same integer in Spark, DuckDB, or any
+#: IEEE-754 engine.  Sums stay far inside BIGINT (|v| < 2^10 leaves
+#: 2^25 headroom of rows per (cluster, dim) cell before overflow; at
+#: larger scales, pre-aggregate per partition or widen to DECIMAL(38,0)).
+FP_SCALE = float(1 << 28)
 
 
 def _sq_dist(vec_col: str, centroid: list[float]) -> F.Column:
@@ -69,7 +78,9 @@ def kmeans(
 ) -> tuple[DataFrame, list[list[float]]]:
     """(assignments, centroids) after ``iters`` Lloyd rounds.
 
-    Seeding is deterministic: the vectors of the k lowest ids.
+    Seeding is deterministic: the vectors of the k lowest ids.  Every
+    arithmetic step is engine-portable (see module docstring), so the
+    whole loop can be replayed as unrolled SQL by any engine.
     """
     dim = len(vectors.select(vec_col).first()[0])
     seed_rows = vectors.orderBy(id_col).limit(k).select(vec_col).collect()
@@ -84,11 +95,10 @@ def kmeans(
             .groupBy("cluster", "dim")
             .agg(
                 (
-                    F.sum(F.col("v").cast("double").cast(_SUM_DECIMAL))
-                    / F.count("*")
-                )
-                .cast("double")
-                .alias("mean")
+                    F.sum(F.floor(F.col("v").cast("double") * FP_SCALE))
+                    .cast("double")
+                    / (F.lit(FP_SCALE) * F.count("*"))
+                ).alias("mean")
             )
             .collect()
         )

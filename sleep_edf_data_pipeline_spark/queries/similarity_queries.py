@@ -164,21 +164,86 @@ WHERE round({_DOT} / nullif({_NORM_A} * {_NORM_B}, 0), 6) >= 0.3
 
 
 
+_KM_K = 8
+_KM_ITERS = 3
+_KM_DIM = 64
+_KM_FP = "268435456.0"  # 2^28, matches operators.clustering.FP_SCALE
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF centroid training: 3 Lloyd rounds, deterministic seeding.
 
-    Genuinely iterative (driver-coordinated rounds), so no SQL oracle —
-    the driver records the rows-only check; tests/test_clustering.py
-    proves the fixed-point properties (assignment = argmin, inertia
-    monotonically non-increasing) instead.
+    Iterative (driver-coordinated rounds), yet fully hash-verifiable:
+    every arithmetic step is engine-portable (fixed-point centroid
+    sums, see operators/clustering.py), so the oracle below replays
+    the whole training loop as unrolled SQL and DuckDB re-derives the
+    exact assignment, bit-for-bit.  tests/test_clustering.py
+    additionally proves the fixed-point properties (assignment =
+    argmin, inertia monotonically non-increasing).
     """
     from ..operators.clustering import kmeans
 
     vecs = spread(table(spark, sf_dir, "embeddings"), "vec_id")
-    assigned, _ = kmeans(vecs, k=8, iters=3)
+    assigned, _ = kmeans(vecs, k=_KM_K, iters=_KM_ITERS)
     return assigned.select(
         "vec_id", "cluster", F.round("sq_dist", 6).alias("sq_dist")
     )
+
+
+def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM) -> str:
+    """Unrolled Lloyd loop as DuckDB SQL (one CTE chain per iteration).
+
+    Mirrors operators/clustering.py exactly: seed = vectors of the k
+    lowest ids; assignment = argmin of the sequential squared-distance
+    sum with lowest-cluster tie-break; update = mean of
+    ``floor(v * 2^28)`` integer sums (exact, order-free in any engine)
+    with empty clusters keeping their previous centroid.
+    """
+    rng = f"range(1, {dim + 1})"
+    sq = f"list_sum([ (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]) for i in {rng} ])"
+    ctes = [
+        f"emb AS (\n    SELECT vec_id,"
+        f" [CAST(embedding[i] AS DOUBLE) for i in {rng}] AS v\n"
+        f"    FROM embeddings\n)",
+        f"c0 AS (\n    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)"
+        f" AS cluster, v AS c\n    FROM emb ORDER BY vec_id LIMIT {k}\n)",
+    ]
+    for it in range(iters + 1):  # iters updates + final assignment
+        ctes.append(
+            f"d{it} AS (\n    SELECT e.vec_id, e.v, c.cluster, {sq} AS d\n"
+            f"    FROM emb e CROSS JOIN c{it} c\n)"
+        )
+        ctes.append(
+            f"a{it} AS (\n    SELECT vec_id, v, cluster, d FROM (\n"
+            f"        SELECT *, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY d, cluster) AS rn FROM d{it}\n"
+            f"    ) WHERE rn = 1\n)"
+        )
+        if it == iters:
+            break
+        ctes.append(
+            f"u{it} AS (\n    SELECT a.cluster, t.i AS dim,\n"
+            f"        CAST(SUM(CAST(floor(a.v[t.i] * {_KM_FP}) AS BIGINT))"
+            f" AS DOUBLE) / ({_KM_FP} * COUNT(*)) AS m\n"
+            f"    FROM a{it} a CROSS JOIN generate_series(1, {dim}) AS t(i)\n"
+            f"    GROUP BY a.cluster, t.i\n)"
+        )
+        ctes.append(
+            f"g{it} AS (\n    SELECT cluster, list(m ORDER BY dim) AS c"
+            f" FROM u{it} GROUP BY cluster\n)"
+        )
+        ctes.append(
+            f"c{it + 1} AS (\n    SELECT p.cluster, COALESCE(g.c, p.c) AS c\n"
+            f"    FROM c{it} p LEFT JOIN g{it} g USING (cluster)\n)"
+        )
+    return (
+        "WITH\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cluster, round(d, 6) AS sq_dist FROM a{iters}"
+    )
+
+
+ORACLE_KMEANS_CLUSTERS = _kmeans_oracle()
 
 QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
@@ -189,6 +254,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kmeans_clusters": ORACLE_KMEANS_CLUSTERS,
     "cosine_topk_bruteforce": ORACLE_COSINE_TOPK_BRUTEFORCE,
     "cosine_topk_ivf": ORACLE_COSINE_TOPK_IVF,
     "lsh_buckets": ORACLE_LSH_BUCKETS,
