@@ -1,0 +1,285 @@
+"""Behavioral analytics over the events stream: funnels, cohorts, RFM.
+
+The product-analytics query family (funnel conversion, cohort
+retention, Markov transition counts, RFM scoring) expressed as native
+window/aggregate plans.  Each is one or two key-partitioned shuffles on
+user_id — the natural distribution key at 100 TB, where a single user's
+history always fits one executor's window buffer.
+
+Ordering inside a user's history is (ts, event_id) — event_id breaks
+timestamp ties so every window walk is total-ordered and the driver's
+hash gate sees one canonical answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+# --- Funnel: view → click → purchase ---------------------------------------
+
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users reaching each ordered funnel stage.
+
+    Stage n = earliest event of type n at-or-after the user's stage
+    n-1 time: three conditional min-aggregates chained by broadcast-
+    joinable per-user frames (each stage's frame is ≤ one row per
+    user).  No self-join explosion — the fact is scanned once per
+    stage with a pushed event_type filter.
+    """
+    ev = table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = [("1_view", s1), ("2_click", s2), ("3_purchase", s3)]
+    frames = [
+        s.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+        for name, s in stages
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+ORACLE_FUNNEL_COUNTS = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2 FROM events e
+    JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts >= s1.t1
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3 FROM events e
+    JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+    GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+UNION ALL
+SELECT '2_click' AS stage, count(*) AS n_users FROM s2
+UNION ALL
+SELECT '3_purchase' AS stage, count(*) AS n_users FROM s3
+"""
+
+
+# --- Weekly retention cohorts ----------------------------------------------
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort = first-activity week; distinct users active per offset.
+
+    Two shuffles: per-user min (cohort assignment) and the cohort×week
+    distinct count.  Week arithmetic on DATE columns (date_trunc to
+    Monday, day-diff ÷ 7) — integer, engine-portable.
+    """
+    ev = table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    activity = ev.select("user_id", week.alias("act_week")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("act_week").alias("cohort_week"))
+    return (
+        activity.join(cohort, "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(F.datediff(F.col("act_week"), F.col("cohort_week")) / 7).cast(
+                "int"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+    FROM events
+),
+cohort AS (
+    SELECT user_id, min(act_week) AS cohort_week FROM activity GROUP BY user_id
+)
+SELECT c.cohort_week,
+       CAST(floor(date_diff('day', c.cohort_week, a.act_week) / 7) AS INT)
+           AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY c.cohort_week, floor(date_diff('day', c.cohort_week, a.act_week) / 7)
+"""
+
+
+# --- Markov transition counts ----------------------------------------------
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count of (previous event type → event type) transitions.
+
+    One lag window per user history (single shuffle on user_id), then a
+    map-side-combining count — the first-order Markov structure of the
+    event stream.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+FROM (
+    SELECT event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+    FROM events
+)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+# --- RFM scoring ------------------------------------------------------------
+
+def q_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency / frequency / monetary quartile scores per user.
+
+    Per-user aggregate (one shuffle on user_id), recency against the
+    corpus max timestamp (1-row broadcast), then quartile labels by
+    comparison against exact interpolated percentiles — also a 1-row
+    broadcast.  Quartile 1 is best (most recent / most frequent /
+    highest spend).  A global ``ntile`` window would force every user
+    row through one partition; percentile-threshold bucketing keeps the
+    plan fully parallel at any user cardinality, and ``percentile`` ↔
+    ``quantile_cont`` is the engine-exact pair proven by
+    q_quantity_quantiles.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum(_dec("value")).cast("double"), 6).alias("monetary"),
+    )
+    max_ts = ev.agg(F.max("ts").alias("corpus_max_ts"))
+    rfm = per_user.crossJoin(F.broadcast(max_ts)).withColumn(
+        "recency_days",
+        F.datediff(
+            F.col("corpus_max_ts").cast("date"), F.col("last_ts").cast("date")
+        ).cast("int"),
+    )
+    thresholds = rfm.agg(
+        *[
+            F.round(F.percentile(c, F.lit(q)), 6).alias(f"{c}_p{int(q * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def _quartile_low_is_good(c: str) -> F.Column:  # recency
+        return (
+            F.lit(1)
+            + (F.col(c) > F.col(f"{c}_p25")).cast("int")
+            + (F.col(c) > F.col(f"{c}_p50")).cast("int")
+            + (F.col(c) > F.col(f"{c}_p75")).cast("int")
+        )
+
+    def _quartile_high_is_good(c: str) -> F.Column:  # frequency, monetary
+        return (
+            F.lit(1)
+            + (F.col(c) < F.col(f"{c}_p75")).cast("int")
+            + (F.col(c) < F.col(f"{c}_p50")).cast("int")
+            + (F.col(c) < F.col(f"{c}_p25")).cast("int")
+        )
+
+    return rfm.crossJoin(F.broadcast(thresholds)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        _quartile_low_is_good("recency_days").alias("r_quartile"),
+        _quartile_high_is_good("frequency").alias("f_quartile"),
+        _quartile_high_is_good("monetary").alias("m_quartile"),
+    )
+
+
+_RFM_THRESHOLDS_SQL = ",\n           ".join(
+    f"round(quantile_cont({c}, {q}), 6) AS {c}_p{int(q * 100)}"
+    for c in ("recency_days", "frequency", "monetary")
+    for q in (0.25, 0.5, 0.75)
+)
+
+ORACLE_USER_RFM = f"""
+WITH per_user AS (
+    SELECT user_id,
+           max(ts) AS last_ts,
+           count(*) AS frequency,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+               AS monetary
+    FROM events GROUP BY user_id
+),
+mx AS (SELECT max(ts) AS corpus_max_ts FROM events),
+rfm AS (
+    SELECT user_id, frequency, monetary,
+           CAST(date_diff('day', CAST(last_ts AS DATE),
+                          CAST(corpus_max_ts AS DATE)) AS INT) AS recency_days
+    FROM per_user, mx
+),
+th AS (
+    SELECT {_RFM_THRESHOLDS_SQL}
+    FROM rfm
+)
+SELECT user_id, recency_days, frequency, monetary,
+       1 + CAST(recency_days > recency_days_p25 AS INT)
+         + CAST(recency_days > recency_days_p50 AS INT)
+         + CAST(recency_days > recency_days_p75 AS INT) AS r_quartile,
+       1 + CAST(frequency < frequency_p75 AS INT)
+         + CAST(frequency < frequency_p50 AS INT)
+         + CAST(frequency < frequency_p25 AS INT) AS f_quartile,
+       1 + CAST(monetary < monetary_p75 AS INT)
+         + CAST(monetary < monetary_p50 AS INT)
+         + CAST(monetary < monetary_p25 AS INT) AS m_quartile
+FROM rfm, th
+"""
+
+
+QUERIES = {
+    "funnel_counts": q_funnel_counts,
+    "retention_cohorts": q_retention_cohorts,
+    "event_transitions": q_event_transitions,
+    "user_rfm": q_user_rfm,
+}
+
+ORACLES = {
+    "funnel_counts": ORACLE_FUNNEL_COUNTS,
+    "retention_cohorts": ORACLE_RETENTION_COHORTS,
+    "event_transitions": ORACLE_EVENT_TRANSITIONS,
+    "user_rfm": ORACLE_USER_RFM,
+}

@@ -1,0 +1,391 @@
+"""Deep TPC-H-style analytics: multi-fact joins, correlated rewrites.
+
+Round-2 breadth beyond queries/tpch_relational.py — the classic "hard"
+TPC-H shapes (Q7/Q8/Q17/Q18/Q2/Q22 analogues), adapted to the test
+schema (no partsupp table: per-(part, supplier) supply stats derive
+from lineitem).  Reference parity: the reference's warehouse layer
+(warehouse/duckdb_client.py, warehouse/snowflake_client.py) delegates
+exactly this class of SQL to its engines; here each shape is a native
+Catalyst plan with the join strategy a 1000-executor run needs —
+dimension chains broadcast, fact-fact joins shuffling on their keys,
+correlated subqueries rewritten as aggregate-then-join.
+
+Float determinism: monetary sums in DECIMAL(18,2) (exact, order-free),
+divisions done once on exact operands then round(·, 6) — the repo-wide
+contract (queries/__init__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+
+def _dec(c: str) -> Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _rev() -> Column:
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+
+
+# --- Q7-style: volume shipping between nation pairs ------------------------
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue flowing supplier-nation → customer-nation, per year.
+
+    Plan shape: nation is broadcast onto supplier and customer (tiny →
+    dim chain), supplier chain is broadcast onto lineitem (still small),
+    orders⋈customer shuffles on custkey, lineitem⋈orders on orderkey —
+    the only two fact-scale exchanges.
+    """
+    nation = table(spark, sf_dir, "nation")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = table(spark, sf_dir, "orders").join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
+    li = table(spark, sf_dir, "lineitem").join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(pair | rpair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_VOLUME_SHIPPING = f"""
+SELECT
+    n1.n_name AS supp_nation,
+    n2.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS INT) AS l_year,
+    CAST(sum({_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+# --- Q8-style: national market share in a region ---------------------------
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_1 suppliers' share of ASIA customers' revenue, per year.
+
+    Conditional-sum-over-sum on exact decimals; one division at the
+    end, rounded — the share is bit-stable however partials merge.
+    """
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = table(spark, sf_dir, "orders").join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    )
+    li = table(spark, sf_dir, "lineitem").join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    vol = F.when(F.col("supp_nation") == "NATION_1", _rev()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(vol).cast("double") / F.sum(_rev()).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+ORACLE_MARKET_SHARE = f"""
+SELECT
+    CAST(year(o_orderdate) AS INT) AS o_year,
+    round(
+        CAST(sum(CASE WHEN n1.n_name = 'NATION_1' THEN {_REV}
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(sum({_REV}) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region ON n2.n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA')
+GROUP BY year(o_orderdate)
+"""
+
+
+# --- Q17-style: small-quantity revenue (correlated avg rewrite) ------------
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of Brand#1 lineitems with quantity < 0.5 × the part's avg.
+
+    The classic correlated scalar subquery, rewritten the distributed
+    way: per-part averages as a map-side-combining aggregate, broadcast
+    back onto the fact — no nested-loop re-scan per row.  The threshold
+    (exact-decimal sum ÷ count, one double multiply) is bit-identical
+    in any engine, so the strict `<` cut is portable.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = (
+        li.groupBy("l_partkey")
+        .agg(
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias(
+                "part_avg_qty"
+            )
+        )
+        .withColumnRenamed("l_partkey", "ap_partkey")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("part_avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_SMALL_QUANTITY_REVENUE = """
+WITH part_avg AS (
+    SELECT l_partkey AS ap_partkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS part_avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT
+    p_brand,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+    count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN part_avg ON l_partkey = ap_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < 0.5 * part_avg_qty
+GROUP BY p_brand
+"""
+
+
+# --- Q18-style: large-volume customers -------------------------------------
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose single order exceeds 250 total quantity.
+
+    HAVING on an exact decimal sum → semi-join-like filter of orders,
+    then the customer dimension broadcast on; deterministic ordering by
+    (totalprice DESC, orderkey).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 250.0)
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+ORACLE_LARGE_VOLUME_CUSTOMERS = """
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+"""
+
+
+# --- Q2-style: min-cost supplier per part (argmin join) --------------------
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per mid-size part, by observed unit price.
+
+    partsupp doesn't exist in the test schema, so supply cost is
+    derived: per (part, supplier), unit price = exact-decimal price sum
+    ÷ exact-decimal quantity sum (one double division, rounded).
+    Argmin per part via dense row_number with suppkey tie-break — the
+    same top-1-per-group shape as R10, here on a derived fact.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    unit = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_name", "p_size")
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double")
+                / F.sum(_dec("l_quantity")).cast("double"),
+                6,
+            ).alias("unit_price")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("unit_price"), F.asc("l_suppkey")
+    )
+    best = (
+        unit.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        best.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "p_size",
+            F.col("s_name").alias("best_supplier"),
+            "unit_price",
+        )
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH unit AS (
+    SELECT l_partkey, l_suppkey,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+               AS unit_price
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY l_partkey ORDER BY unit_price ASC, l_suppkey ASC) AS rn
+        FROM unit
+    ) WHERE rn = 1
+)
+SELECT p_partkey, p_name, p_size, s_name AS best_supplier, unit_price
+FROM best
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size <= 10
+"""
+
+
+# --- Q22-style: idle high-balance customers --------------------------------
+
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: customers with above-average balance and no orders
+    after 2000-01-01.
+
+    Global scalar (average positive balance) via a 1-row broadcast
+    cross join; "no recent orders" as a broadcast anti join — both the
+    shapes AQE keeps cheap at any scale.
+    """
+    cust = table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    recent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+ORACLE_SALES_OPPORTUNITY = """
+WITH avg_bal AS (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS ab
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT
+    CAST(c_nationkey AS INT) AS nationkey,
+    count(*) AS numcust,
+    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+QUERIES = {
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "large_volume_customers": q_large_volume_customers,
+    "min_cost_supplier": q_min_cost_supplier,
+    "sales_opportunity": q_sales_opportunity,
+}
+
+ORACLES = {
+    "volume_shipping": ORACLE_VOLUME_SHIPPING,
+    "market_share": ORACLE_MARKET_SHARE,
+    "small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
+    "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
+    "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
+    "sales_opportunity": ORACLE_SALES_OPPORTUNITY,
+}

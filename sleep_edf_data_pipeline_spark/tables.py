@@ -52,10 +52,13 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     physical plan on the driver for every query build.  File count
     under-estimates splits for multi-row-group files, which only makes
     the guard more conservative (an unneeded repartition of an
-    already-wide scan, never a narrowing).
+    already-wide scan, never a narrowing).  A frame that already
+    carries an explicit Repartition node is trusted as-is.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
+        if "Repartition" in df._jdf.queryExecution().logical().toString():
+            return df
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
