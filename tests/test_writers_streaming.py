@@ -307,3 +307,111 @@ def test_foreach_batch_upsert_last_write_wins(spark, tmp_path):
 
     final = {r["k"]: r["v"] for r in spark.read.parquet(tgt).collect()}
     assert final == {1: "new", 2: "keep", 3: "add"}
+
+
+def test_failed_overwrite_leaves_table_intact_then_retry(spark, epochs, tmp_path):
+    """Crash-safety of the per-subject overwrite (reference
+    tests/test_warehouse.py:107-151 rollback semantics).
+
+    A job that fails mid-computation must leave every partition —
+    including the one being replaced — exactly as it was (Spark stages
+    dynamic-overwrite output under _temporary and only swaps partition
+    dirs at job commit).  A clean retry then succeeds surgically.
+    """
+    path = str(tmp_path / "epochs")
+    write_epochs(epochs, path)
+    before = {
+        r["subject_id"]: r["n"]
+        for r in read_epochs(spark, path)
+        .groupBy("subject_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    s1_stages_before = sorted(
+        r["stage"]
+        for r in read_epochs(spark, path).filter("subject_id = 1").collect()
+    )
+
+    @F.udf("int")
+    def boom(i):
+        raise ValueError("synthetic mid-job failure")
+
+    bad = epochs.filter("subject_id = 1").withColumn("epoch_idx", boom("epoch_idx"))
+    with pytest.raises(Exception, match="synthetic mid-job failure|Job aborted"):
+        write_epochs(bad, path, overwrite=True)
+
+    after = {
+        r["subject_id"]: r["n"]
+        for r in read_epochs(spark, path)
+        .groupBy("subject_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert after == before, "failed overwrite must not change any partition"
+    s1_stages_after = sorted(
+        r["stage"]
+        for r in read_epochs(spark, path).filter("subject_id = 1").collect()
+    )
+    assert s1_stages_after == s1_stages_before
+
+    # retry with a good frame: replaces subject 1 only
+    replacement = epochs.filter("subject_id = 1").limit(5)
+    write_epochs(replacement, path, overwrite=True)
+    final = read_epochs(spark, path)
+    assert final.filter("subject_id = 1").count() == 5
+    assert final.filter("subject_id = 0").count() == before[0]
+    assert final.filter("subject_id = 2").count() == before[2]
+
+
+def test_streaming_sessions_match_batch_query(spark, tmp_path):
+    """Batch/stream equivalence: the driver-green batch session query is
+    the oracle for the streaming path.
+
+    Same events, same 30-minute gap: q_session_window_agg (batch,
+    hash-verified vs DuckDB) and streaming_sessions (incremental,
+    stateful) must produce identical sessions.
+    """
+    from sleep_edf_data_pipeline_spark.queries.event_windows import (
+        q_session_window_agg,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = sorted(
+        q_session_window_agg(spark, sf_dir).collect(),
+        key=lambda r: (r["user_id"], r["session_start"]),
+    )
+
+    # File streams need a directory source; re-stage the events table
+    # with the ts normalization tables.table applies, as TIMESTAMP
+    # (watermarks reject NTZ; the session runs UTC so the
+    # ntz→timestamp→ntz round-trip is value-preserving).
+    from sleep_edf_data_pipeline_spark.tables import table as load_table
+
+    src = str(tmp_path / "events_stream_src")
+    staged = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    staged.write.parquet(src)
+    stream = spark.readStream.schema(staged.schema).parquet(src)
+    q = (
+        streaming_sessions(stream, gap="30 minutes")
+        .withColumn("session_start", F.col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
+        .writeStream.format("memory")
+        .queryName("sessions_equiv")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = sorted(
+        spark.sql("SELECT * FROM sessions_equiv").collect(),
+        key=lambda r: (r["user_id"], r["session_start"]),
+    )
+    assert len(streamed) == len(batch) > 0
+    for b, s in zip(batch, streamed):
+        assert b["user_id"] == s["user_id"]
+        assert b["session_start"] == s["session_start"]
+        assert b["session_end"] == s["session_end"]
+        assert b["n_events"] == s["n_events"]
+        assert b["total_value"] == s["total_value"]
