@@ -43,29 +43,39 @@ from pyspark.sql import functions as F
 FP_SCALE = float(1 << 28)
 
 
-def _sq_dist(vec_col: str, centroid: list[float]) -> F.Column:
-    arr = F.array(*[F.lit(float(c)) for c in centroid])
-    return F.aggregate(
-        F.zip_with(F.col(vec_col), arr, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def assign_clusters(
     vectors: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Adds ``cluster`` (argmin squared distance; lowest id on ties)."""
-    dists = [_sq_dist(vec_col, c) for c in centroids]
-    best_d, best_i = dists[0], F.lit(0)
-    for i in range(1, len(centroids)):
-        cond = dists[i] < best_d
-        best_i = F.when(cond, i).otherwise(best_i)
-        best_d = F.when(cond, dists[i]).otherwise(best_d)
-    return vectors.withColumn("cluster", best_i.cast("int")).withColumn(
-        "sq_dist", best_d
+    """Adds ``cluster`` (argmin squared distance; lowest id on ties).
+
+    The k distances are one ``transform`` over a single k×dim array
+    literal (not k chained ``when`` trees): the same sequential
+    ``(a-b)²`` fold per centroid, but the generated code carries one
+    loop instead of k unrolled expression copies — an order of
+    magnitude less codegen per Lloyd iteration, bit-identical results.
+    ``array_position(d, array_min(d))`` returns the FIRST index of the
+    minimum, preserving the lowest-id tie-break.
+    """
+    cent = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    dists = F.transform(
+        cent,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    tmp = vectors.withColumn("_dists", dists)
+    best_d = F.array_min(F.col("_dists"))
+    best_i = F.array_position(F.col("_dists"), best_d) - 1
+    return (
+        tmp.withColumn("cluster", best_i.cast("int"))
+        .withColumn("sq_dist", best_d)
+        .drop("_dists")
     )
 
 

@@ -324,3 +324,147 @@ ORACLES = {
     "stopword_profile": ORACLE_STOPWORD_PROFILE,
     "ann_recall_eval": _ann_recall_oracle(),
 }
+
+
+def q_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenization stats per document.
+
+    The GPT-2-style pre-tokenizer split (letter runs | digit runs |
+    single non-alnum), reduced to the regex subset Java and RE2 share,
+    via ``regexp_extract_all`` — the whitespace tokenizer's sibling
+    (text_queries.q_token_stats) for corpora where punctuation and
+    numerals matter.  Pure codegen projection + one aggregate-free
+    select; zero shuffles.
+    """
+    docs = table(spark, sf_dir, "documents")
+    arr = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    n_word = F.size(F.filter(arr, lambda x: x.rlike("^[a-z]+$")))
+    n_num = F.size(F.filter(arr, lambda x: x.rlike("^[0-9]+$")))
+    return docs.select(
+        "doc_id",
+        F.size(arr).cast("int").alias("n_bpe_tokens"),
+        n_word.cast("int").alias("n_word_tokens"),
+        n_num.cast("int").alias("n_number_tokens"),
+        (F.size(arr) - n_word - n_num).cast("int").alias("n_punct_tokens"),
+    )
+
+
+ORACLE_REGEX_TOKEN_STATS = r"""
+WITH t AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS arr
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(arr) AS INT) AS n_bpe_tokens,
+       CAST(len(list_filter(arr, x -> regexp_matches(x, '^[a-z]+$'))) AS INT)
+           AS n_word_tokens,
+       CAST(len(list_filter(arr, x -> regexp_matches(x, '^[0-9]+$'))) AS INT)
+           AS n_number_tokens,
+       CAST(len(arr)
+            - len(list_filter(arr, x -> regexp_matches(x, '^[a-z]+$')))
+            - len(list_filter(arr, x -> regexp_matches(x, '^[0-9]+$'))) AS INT)
+           AS n_punct_tokens
+FROM t
+"""
+
+
+def q_deterministic_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-domain downsampling with a content-addressed coin flip.
+
+    Per-source keep-rates (the over-represented source keeps 10%),
+    decided by ``md5(doc_id)`` bucket — reproducible across engines,
+    runs and partitionings, unlike ``sample()``/``TABLESAMPLE`` RNG.
+    This is how a 100 TB pipeline downsamples once and gets the same
+    corpus forever; the whole decision is a shuffle-free projection,
+    aggregated here per source for the report.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ds"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.when(F.col("source") == "src0", 10).otherwise(50)
+    kept = (bucket < rate).cast("bigint")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept).alias("n_sampled"),
+        F.round(F.sum(kept).cast("double") / F.count("*"), 6).alias("sample_rate"),
+    )
+
+
+ORACLE_DETERMINISTIC_DOWNSAMPLE = """
+WITH flags AS (
+    SELECT source,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ds'), 1, 8)
+                          AS BIGINT) % 100
+                     < (CASE WHEN source = 'src0' THEN 10 ELSE 50 END)
+                THEN 1 ELSE 0 END AS kept
+    FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(kept) AS BIGINT) AS n_sampled,
+       round(CAST(sum(kept) AS DOUBLE) / count(*), 6) AS sample_rate
+FROM flags
+GROUP BY source
+"""
+
+
+def q_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing of chunks into 2048-token bins.
+
+    The concat-then-cut packing every pre-training run applies after
+    chunking: within a shard (source), chunks are laid out in stable
+    (doc_id, chunk_idx) order and a running token count assigns each
+    chunk to ``floor(tokens_before / 2048)``.  One shuffle (partition
+    by shard) and a running-sum window — per-shard sequentiality is
+    the real-world contract, so shard count bounds parallelism, not
+    corpus size.
+    """
+    from .corpus_prep import q_document_chunks
+
+    chunks = q_document_chunks(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("doc_id"), F.asc("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("n_tokens").over(w)
+    return (
+        chunks.join(F.broadcast(docs), "doc_id")
+        .withColumn(
+            "bin_id",
+            F.floor((running - F.col("n_tokens")) / F.lit(2048)).cast("int"),
+        )
+        .select("source", "doc_id", "chunk_idx", "n_tokens", "bin_id")
+    )
+
+
+def _context_packing_oracle() -> str:
+    from .corpus_prep import ORACLE_DOCUMENT_CHUNKS
+
+    return f"""
+WITH chunks AS ({ORACLE_DOCUMENT_CHUNKS}),
+joined AS (
+    SELECT d.source, c.doc_id, c.chunk_idx, c.n_tokens
+    FROM chunks c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT source, doc_id, chunk_idx, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (
+                PARTITION BY source
+                ORDER BY doc_id ASC, chunk_idx ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) - n_tokens) / 2048) AS INT) AS bin_id
+FROM joined
+"""
+
+
+QUERIES["regex_token_stats"] = q_regex_token_stats
+QUERIES["deterministic_downsample"] = q_deterministic_downsample
+QUERIES["context_packing"] = q_context_packing
+ORACLES["regex_token_stats"] = ORACLE_REGEX_TOKEN_STATS
+ORACLES["deterministic_downsample"] = ORACLE_DETERMINISTIC_DOWNSAMPLE
+ORACLES["context_packing"] = _context_packing_oracle()

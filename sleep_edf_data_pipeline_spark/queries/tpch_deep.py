@@ -389,3 +389,98 @@ ORACLES = {
     "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
     "sales_opportunity": ORACLE_SALES_OPPORTUNITY,
 }
+
+
+# --- Q15-style: top supplier(s) by quarterly revenue -----------------------
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) achieving the maximum revenue in 1997 H1.
+
+    The Q15 view-plus-max shape: one supplier-keyed aggregate, a 1-row
+    broadcast of the global max, and an equality filter.  Exact decimal
+    sums make the double equality safe — both engines derive the same
+    max from the same sums.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_rev()).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            "total_revenue",
+        )
+    )
+
+
+ORACLE_TOP_SUPPLIER_REVENUE = f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(sum({_REV}) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-07-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+# --- Q19-style: OR-of-ANDs predicate join ----------------------------------
+
+def q_special_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under a disjunction of brand/size/quantity band rules.
+
+    The Q19 shape: the OR-of-ANDs predicate references both join sides,
+    so Catalyst evaluates it post-join while still pushing the
+    single-side conjuncts (brand membership, size floor) into the
+    scans; the part side broadcasts.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    band = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, size_hi))
+        & (F.col("l_quantity").between(q_lo, q_hi))
+    )
+    rule = band("Brand#1", 5, 1, 11) | band("Brand#2", 10, 10, 20) | band(
+        "Brand#3", 15, 20, 30
+    )
+    return j.filter(rule).agg(
+        F.sum(_rev()).cast("double").alias("promo_revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_SPECIAL_PROMO_REVENUE = f"""
+SELECT
+    CAST(sum({_REV}) AS DOUBLE) AS promo_revenue,
+    count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+QUERIES["top_supplier_revenue"] = q_top_supplier_revenue
+QUERIES["special_promo_revenue"] = q_special_promo_revenue
+ORACLES["top_supplier_revenue"] = ORACLE_TOP_SUPPLIER_REVENUE
+ORACLES["special_promo_revenue"] = ORACLE_SPECIAL_PROMO_REVENUE
