@@ -111,3 +111,50 @@ def test_table_helper_preserves_partition_count_for_big_scans(spark):
     df = table(spark, "/root/testdata/sf0.001", "lineitem")
     pre = df.repartition(8)
     assert spread(pre, "l_orderkey").rdd.getNumPartitions() == 8
+
+
+def test_volume_shipping_broadcasts_dims_one_fact_join(spark, sf_dir):
+    """Q7-analogue: nation/supplier chains broadcast; the only sort-merge
+    join (if any) is the lineitem⋈orders fact join, and fact-scale
+    shuffles stay ≤ 3 (two join sides + final agg)."""
+    plan = plan_of(QUERIES["volume_shipping"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+    assert n_shuffles(plan) <= 3, plan
+
+
+def test_native_chunking_is_pure_codegen(spark, sf_dir):
+    """document_chunks (native path) must stay shuffle-free and
+    Python-free — the whole point of de-UDTF-ing it."""
+    plan = plan_of(QUERIES["document_chunks"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_gopher_flags_zero_shuffle_projection(spark, sf_dir):
+    """Quality-rule flags are a pure projection; any exchange means a
+    regression re-introduced an aggregate."""
+    plan = plan_of(QUERIES["gopher_quality_flags"](spark, sf_dir))
+    assert n_shuffles(plan) == 0, plan
+
+
+def test_user_rfm_has_no_global_window_sort(spark, sf_dir):
+    """Quartile labels come from percentile thresholds, not a global
+    ntile: no Window over SinglePartition may appear (the 1-row
+    threshold aggregates legitimately merge on a single partition,
+    but no per-user data may sort through one)."""
+    plan = plan_of(QUERIES["user_rfm"](spark, sf_dir))
+    assert "Window" not in plan or "SinglePartition" not in plan.split("Window")[0], plan
+    assert not re.search(r"Window \[.*ntile", plan), plan
+
+
+def test_kmeans_assignment_shuffle_free(spark, sf_dir):
+    """Cluster assignment folds centroids to literals: the final
+    assignment plan must read the scan with no exchange and no join."""
+    from sleep_edf_data_pipeline_spark.operators.clustering import assign_clusters
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = [[0.0] * 64, [1.0] * 64]
+    plan = plan_of(assign_clusters(emb, centroids))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
