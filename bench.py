@@ -28,6 +28,8 @@ from sleep_edf_data_pipeline_spark.session import get_spark
 #: queries at sf0.1 are committed in BENCH_DUCKDB_SF0.1.json for
 #: comparison (the oracle is the effective baseline per BASELINE.md).
 HEADLINE = [
+    # r01 set — kept verbatim so BENCH_r{N}.json stays comparable
+    # query-for-query round-over-round.
     "staging_cast",
     "moving_average",
     "sleep_metrics",
@@ -42,6 +44,15 @@ HEADLINE = [
     "fuzzy_name_dedup",
     "cosine_topk_bruteforce",
     "multimodal_features",
+    # r02 additions: the de-UDTF'd chunker (r01's one perf-weak item),
+    # the unrolled-oracle iterative k-means, a multi-fact join
+    # (tpch_deep), an explode-heavy text agg, and a worst-case tiny
+    # query (point lookup) so fixed-overhead regressions stay visible.
+    "document_chunks",
+    "kmeans_clusters",
+    "volume_shipping",
+    "bigram_counts",
+    "subject_lookup",
 ]
 
 

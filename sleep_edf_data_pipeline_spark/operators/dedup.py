@@ -412,7 +412,13 @@ def simhash_near_dups(
     ``chunks - 1`` flips shares at least one identical chunk — join on
     (chunk_idx, chunk_value), verify exact Hamming via bit_count(xor).
     Returns (id_a, id_b, hamming ≤ max_hamming).
+
+    The fingerprint frame is persisted before the self-join: both join
+    sides read it, and recomputing it means re-running the token
+    explode + ``bits``-column vote aggregation twice (the dominant
+    cost) — the same read-twice persist as the MinHash signature frame.
     """
+    fingerprints = fingerprints.persist()
     width = bits // chunks
     mask = (1 << width) - 1
     chunk_cols = [
