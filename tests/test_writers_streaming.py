@@ -415,3 +415,97 @@ def test_streaming_sessions_match_batch_query(spark, tmp_path):
         assert b["session_end"] == s["session_end"]
         assert b["n_events"] == s["n_events"]
         assert b["total_value"] == s["total_value"]
+
+
+def test_jsonl_export_shards_and_roundtrips(spark, tmp_path):
+    """Corpus export: bounded-size JSONL shards, schema-pinned re-read."""
+    import glob
+
+    from sleep_edf_data_pipeline_spark.tables import table
+    from sleep_edf_data_pipeline_spark.writers.corpus_export import (
+        export_jsonl_shards,
+        read_jsonl,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    path = str(tmp_path / "corpus_jsonl")
+    export_jsonl_shards(docs.repartition(2), path, max_records_per_file=20)
+
+    shards = glob.glob(f"{path}/part-*")
+    assert len(shards) >= n // 20, f"expected bounded shards, got {len(shards)}"
+    with open(shards[0]) as f:
+        lines = f.readlines()
+    assert 0 < len(lines) <= 20  # per-shard record bound holds
+
+    back = read_jsonl(spark, path, docs.schema)
+    assert back.count() == n
+    a = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in back.select("doc_id").collect())
+    assert a == b
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming dropDuplicates must keep exactly one row per content
+    hash — the batch distinct count is the oracle."""
+    from sleep_edf_data_pipeline_spark.streaming.dedup import (
+        streaming_exact_dedup,
+        with_content_hash,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    src = str(tmp_path / "docs_stream_src")
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    # duplicate the corpus so the stream really has dups to drop
+    docs.unionByName(docs).write.parquet(src)
+
+    n_distinct = with_content_hash(docs).select("content_hash").distinct().count()
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT content_hash) AS d FROM dedup_stream").collect()[0]
+    assert got["n"] == got["d"] == n_distinct
+
+
+def test_streaming_dedup_within_watermark_runs(spark, tmp_path):
+    """Watermarked dedup: state-evicting variant executes end-to-end and
+    suppresses in-horizon duplicates."""
+    from pyspark.sql import functions as SF
+
+    from sleep_edf_data_pipeline_spark.streaming.dedup import (
+        streaming_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "wm_stream_src")
+    rows = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", "alpha"),
+            ("2024-01-01 10:05:00", "alpha"),  # dup inside horizon
+            ("2024-01-01 10:10:00", "beta"),
+        ],
+        "ts_s string, text string",
+    ).select(SF.col("ts_s").cast("timestamp").alias("ts"), "text")
+    rows.write.parquet(src)
+
+    stream = spark.readStream.schema(rows.schema).parquet(src)
+    q = (
+        streaming_dedup_within_watermark(stream, "ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("wm_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    texts = sorted(
+        r["text"] for r in spark.sql("SELECT text FROM wm_dedup_stream").collect()
+    )
+    assert texts == ["alpha", "beta"]
