@@ -1,0 +1,167 @@
+"""Scale smoke: replicate sf0.1 ~10× (≈ SF 1) and measure query scaling.
+
+The correctness gates run at sf0.01; this script answers the next
+question — *does each plan's wall-clock scale ~linearly with the fact
+data* — by synthesizing a 10× corpus with realistic structure and
+timing the headline plans at both scales.
+
+Corpus construction (/tmp/scale10, written once):
+
+- ``lineitem``/``orders``/``events``: 10 copies with order/event/user
+  keys offset per copy (key uniqueness preserved); dimension keys
+  (part/supp/cust/nation) intentionally UNCHANGED — dims stay fixed
+  while fact density per dim key grows 10×, which is how real facts
+  grow.
+- ``documents``: 10 copies with doc_id offset and every token suffixed
+  ``_{copy}`` — within-copy duplicate/near-dup structure is preserved
+  exactly, cross-copy similarity is zero, so dedup output scales
+  linearly instead of quadratically-by-construction.
+- ``embeddings``: 10 copies, vec_id offset, one dimension nudged by a
+  copy-specific epsilon (keeps vectors distinct; labels unchanged).
+- Small dims (region nation customer supplier part) copied as-is.
+
+Usage: python scripts/scale_smoke.py [--regen] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sleep_edf_data_pipeline_spark import registry
+from sleep_edf_data_pipeline_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+SCALED = "/tmp/scale10"
+COPIES = 10
+
+#: Queries worth scaling-testing: the fact-heavy headline plans.
+SMOKE = [
+    "staging_cast",
+    "sleep_summary",
+    "session_window_agg",
+    "product_profit",
+    "volume_shipping",
+    "minhash_lsh_neardups",
+    "simhash_neardups",
+    "ngram_jaccard_neardups",
+    "document_chunks",
+    "bigram_counts",
+    "cosine_topk_bruteforce",
+    "pagerank_copurchase",
+    "exact_moments_suite",
+]
+
+
+def _copy_union(spark, name: str, remap) -> None:
+    base = spark.read.parquet(f"{BASE}/{name}.parquet")
+    parts = [remap(base, i) for i in range(COPIES)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{SCALED}/{name}.parquet")
+
+
+def generate(spark) -> None:
+    os.makedirs(SCALED, exist_ok=True)
+    for name in ("region", "nation", "customer", "supplier", "part"):
+        spark.read.parquet(f"{BASE}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{SCALED}/{name}.parquet")
+
+    okey = 10_000_000
+    _copy_union(
+        spark,
+        "orders",
+        lambda df, i: df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * okey)
+        ),
+    )
+    _copy_union(
+        spark,
+        "lineitem",
+        lambda df, i: df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * okey)
+        ),
+    )
+    _copy_union(
+        spark,
+        "events",
+        lambda df, i: df.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * okey)
+        ).withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000)),
+    )
+
+    def remap_docs(df, i):
+        toks = F.split(F.col("text"), " ")
+        newtext = F.concat_ws(
+            " ", F.transform(toks, lambda t: F.concat(t, F.lit(f"_{i}")))
+        )
+        return (
+            df.withColumn("doc_id", F.col("doc_id") + F.lit(i * okey))
+            .withColumn("text", newtext)
+            .withColumn("n_chars", F.length(F.col("text")))
+        )
+
+    _copy_union(spark, "documents", remap_docs)
+
+    def remap_emb(df, i):
+        eps = F.lit(float(i) * 1e-3)
+        return df.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(i * okey)
+        ).withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda v, j: F.when(j == 0, v + eps).otherwise(v).cast("float"),
+            ),
+        )
+
+    _copy_union(spark, "embeddings", remap_emb)
+
+
+def main() -> None:
+    out_path = sys.argv[-1] if sys.argv[-1].endswith(".json") else "SCALE_SMOKE.json"
+    spark = get_spark(app_name="scale-smoke")
+    if "--regen" in sys.argv or not os.path.isdir(f"{SCALED}/documents.parquet"):
+        t0 = time.perf_counter()
+        generate(spark)
+        print(f"# generated {SCALED} in {time.perf_counter() - t0:.0f}s", file=sys.stderr)
+
+    queries, _ = registry.collect()
+    results = {}
+    for name in SMOKE:
+        fn = queries[name]
+        # warm once at base scale, then best-of-2 at each scale
+        fn(spark, BASE).count()
+        t = {}
+        for label, d in (("sf0.1", BASE), ("scale10", SCALED)):
+            best, rows = float("inf"), 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            t[label] = round(best, 3)
+            t[f"{label}_rows"] = rows
+        t["scaling_x"] = round(t["scale10"] / t["sf0.1"], 2) if t["sf0.1"] else None
+        results[name] = t
+        print(f"# {name}: {t}", file=sys.stderr)
+
+    with open(out_path, "w") as f:
+        json.dump(
+            {"copies": COPIES, "base": BASE, "scaled": SCALED, "queries": results},
+            f,
+            indent=1,
+        )
+        f.write("\n")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
