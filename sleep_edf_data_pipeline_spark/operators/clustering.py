@@ -92,9 +92,9 @@ def kmeans(
     arithmetic step is engine-portable (see module docstring), so the
     whole loop can be replayed as unrolled SQL by any engine.
     """
-    dim = len(vectors.select(vec_col).first()[0])
     seed_rows = vectors.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in seed_rows]
+    dim = len(centroids[0])  # from the seed collect — no extra job
 
     for _ in range(iters):
         assigned = assign_clusters(vectors, centroids, vec_col)
