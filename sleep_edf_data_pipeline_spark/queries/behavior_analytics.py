@@ -283,3 +283,61 @@ ORACLES = {
     "event_transitions": ORACLE_EVENT_TRANSITIONS,
     "user_rfm": ORACLE_USER_RFM,
 }
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is > 3 sample-stddevs from its type's mean.
+
+    Anomaly surfacing with exact arithmetic: per-type mean/std derive
+    from DECIMAL power sums (order-free), broadcast back onto the fact
+    as a tiny per-type frame; the z computation and 3σ cut are then one
+    deterministic double expression per row.
+    """
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.count("value").alias("n"),
+        F.sum(v.cast("decimal(38,4)")).alias("sv"),
+        F.sum((v * v).cast("decimal(38,4)")).alias("svv"),
+    )
+    n = F.col("n").cast("double")
+    sv = F.col("sv").cast("double")
+    svv = F.col("svv").cast("double")
+    stats = stats.select(
+        "et",
+        (sv / n).alias("mean_v"),
+        F.sqrt((svv - sv * sv / n) / (n - 1)).alias("std_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        ev.join(F.broadcast(stats), ev.event_type == stats.et)
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+ORACLE_VALUE_OUTLIERS = """
+WITH stats AS (
+    SELECT event_type AS et,
+           count(value) AS n,
+           sum(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sv,
+           sum(CAST(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS svv
+    FROM events GROUP BY event_type
+),
+m AS (
+    SELECT et,
+           CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
+           sqrt((CAST(svv AS DOUBLE)
+                 - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE) - 1)) AS std_v
+    FROM stats
+)
+SELECT event_id, event_type, value,
+       round((value - mean_v) / std_v, 6) AS z
+FROM events JOIN m ON event_type = et
+WHERE abs(round((value - mean_v) / std_v, 6)) > 3.0
+"""
+
+

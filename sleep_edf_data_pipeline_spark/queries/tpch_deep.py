@@ -484,3 +484,53 @@ QUERIES["top_supplier_revenue"] = q_top_supplier_revenue
 QUERIES["special_promo_revenue"] = q_special_promo_revenue
 ORACLES["top_supplier_revenue"] = ORACLE_TOP_SUPPLIER_REVENUE
 ORACLES["special_promo_revenue"] = ORACLE_SPECIAL_PROMO_REVENUE
+
+
+# --- Shipping-latency percentiles ------------------------------------------
+
+def q_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of order→ship latency days, per priority.
+
+    One fact-fact join on orderkey (orders side pruned to two columns),
+    then grouped exact interpolated percentiles over integer day gaps —
+    the `percentile` ↔ `quantile_cont` engine-exact pair.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority", days.alias("latency_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.percentile("latency_days", F.lit(0.5)), 6).alias("p50_days"),
+            F.round(F.percentile("latency_days", F.lit(0.9)), 6).alias("p90_days"),
+            F.round(F.percentile("latency_days", F.lit(0.99)), 6).alias("p99_days"),
+            F.max("latency_days").alias("max_days"),
+        )
+    )
+
+
+ORACLE_SHIP_LATENCY_PERCENTILES = """
+WITH gaps AS (
+    SELECT o_orderpriority,
+           date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+               AS latency_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       round(quantile_cont(latency_days, 0.50), 6) AS p50_days,
+       round(quantile_cont(latency_days, 0.90), 6) AS p90_days,
+       round(quantile_cont(latency_days, 0.99), 6) AS p99_days,
+       max(latency_days) AS max_days
+FROM gaps
+GROUP BY o_orderpriority
+"""
+
+

@@ -26,6 +26,7 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.behavior_analytics",
     "sleep_edf_data_pipeline_spark.queries.graph_stats",
     "sleep_edf_data_pipeline_spark.queries.serving",
+    "sleep_edf_data_pipeline_spark.queries.extras",
     "sleep_edf_data_pipeline_spark.queries.sleep_relational",
     "sleep_edf_data_pipeline_spark.queries.tpch_relational",
     "sleep_edf_data_pipeline_spark.queries.joins_advanced",
