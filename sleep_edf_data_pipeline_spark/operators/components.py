@@ -38,6 +38,15 @@ def connected_components(
     ``edges`` may be directed pairs (each undirected edge once);
     ``nodes`` must contain every node (isolated nodes keep their own id
     as component).
+
+    Iteration contract: min-label propagation converges in ≤ diameter
+    rounds and the loop exits early on a fixed point, so ``max_iter``
+    (25) only binds on adversarial chains longer than 25 hops — for
+    duplicate clusters (near-cliques, diameter ≤ ~3) it is pure head-
+    room.  If a corpus ever produces deeper chains, raise ``max_iter``
+    or switch the step to pointer-doubling / large-small-star
+    (Kiveris et al., "Connected Components in MapReduce"), which
+    converges in O(log diameter) rounds with the same per-round shape.
     """
     # localCheckpoint (not just persist): each round's plan must START
     # from the previous round's materialized result, or the logical
