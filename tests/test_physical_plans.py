@@ -158,3 +158,19 @@ def test_kmeans_assignment_shuffle_free(spark, sf_dir):
     plan = plan_of(assign_clusters(emb, centroids))
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_copurchase_pairs_no_cartesian(spark, sf_dir):
+    """Basket pair generation must stay an equi-join on the order key —
+    a cartesian/NLJ over lineitem would be quadratic in the fact."""
+    plan = plan_of(QUERIES["copurchase_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_weekly_active_users_is_fanout_not_selfjoin(spark, sf_dir):
+    """The 4-week sliding WAU fans out map-side (explode), never via a
+    range self-join of activity against itself."""
+    plan = plan_of(QUERIES["weekly_active_users"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Generate explode" in plan or "Expand" in plan, plan
