@@ -22,6 +22,17 @@ def entity_window(partition_by: Sequence[str], order_by: Sequence[str]) -> Windo
     return Window.partitionBy(*partition_by).orderBy(*order_by)
 
 
+#: Fixed-point scale for float window aggregates: 2^28 (the same
+#: contract as operators/clustering.py).  `floor(v * 2^28)` summed as
+#: BIGINT is exact under ANY accumulation order — including the
+#: add/remove running sums engines use for sliding frames, whose float
+#: error otherwise accumulates along a long partition (observed: 6 of
+#: 100k rows at sf0.1 crossing the round-to-6 boundary between Spark's
+#: and DuckDB's sliding-avg implementations).  Quantization error
+#: (≤ 4e-9 per value) is invisible at the round-to-6 output contract.
+FP_SCALE = float(1 << 28)
+
+
 def with_moving_averages(
     df: DataFrame,
     cols: Sequence[str],
@@ -30,13 +41,23 @@ def with_moving_averages(
     window_size: int = 5,
     suffix: str = "_moving_avg",
 ) -> DataFrame:
-    """Trailing moving average over a row frame (R4).
+    """Trailing moving average over a row frame (R4), in fixed point.
 
     Reference: 5-epoch (2.5 min) smoothing,
-    ``models/intermediate/sleep_metrics.sql:11-43``.
+    ``models/intermediate/sleep_metrics.sql:11-43``.  The average is an
+    exact integer window sum ÷ window count (see FP_SCALE) so the
+    result is bit-identical in any engine at any partition length.
     """
     w = entity_window(partition_by, order_by).rowsBetween(-(window_size - 1), 0)
-    return df.withColumns({f"{c}{suffix}": F.avg(c).over(w) for c in cols})
+    return df.withColumns(
+        {
+            f"{c}{suffix}": (
+                F.sum(F.floor(F.col(c) * FP_SCALE)).over(w).cast("double")
+                / (F.lit(FP_SCALE) * F.count(c).over(w))
+            )
+            for c in cols
+        }
+    )
 
 
 def with_transition_flag(

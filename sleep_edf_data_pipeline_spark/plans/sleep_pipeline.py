@@ -116,27 +116,20 @@ def summary(metrics_df: DataFrame, epoch_minutes: float = EPOCH_MINUTES) -> Data
     stage = F.col("sleep_stage")
     cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
 
-    # Episode-scoped band-power means are computed over an ordered
-    # full-partition frame, not groupBy().avg(): the ordered frame
-    # aggregates rows in a deterministic order, so the float result is
-    # bit-stable across runs (groupBy partial aggregation merges in
-    # shuffle-arrival order).  Every row in a subject carries the same
-    # value; max() then collapses it losslessly in the grouped agg.
-    from pyspark.sql import Window
+    # Episode-scoped band-power means in fixed point: an exact BIGINT
+    # sum of floor(v·2^28) ÷ (2^28·count) is bit-stable under ANY
+    # partial-aggregation merge order (run-to-run AND cross-engine), so
+    # a plain groupBy works — no ordered full-partition frame needed.
+    # See operators/windows.py FP_SCALE for the error analysis.
+    from ..operators.windows import FP_SCALE
 
-    w_full = (
-        Window.partitionBy("subject_id")
-        .orderBy("epoch_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    pre = metrics_df.withColumns(
-        {
-            f"_avg_{b}": F.avg(F.when(in_p, F.col(f"{b}_moving_avg"))).over(w_full)
-            for b in BANDS
-        }
-    )
+    def _fp_avg(b: str) -> F.Column:
+        q = F.floor(F.col(f"{b}_moving_avg") * FP_SCALE)
+        return F.sum(F.when(in_p, q)).cast("double") / (
+            F.lit(FP_SCALE) * F.sum(F.when(in_p, 1))
+        )
 
-    counts = pre.groupBy("subject_id").agg(
+    counts = metrics_df.groupBy("subject_id").agg(
         F.count("*").alias("recording_epochs"),
         cnt(in_p).alias("sleep_period_epochs"),
         cnt(in_p & stage.isin("N1", "N2", "N3", "REM")).alias("sleep_epochs"),
@@ -147,7 +140,7 @@ def summary(metrics_df: DataFrame, epoch_minutes: float = EPOCH_MINUTES) -> Data
         cnt(in_p & F.col("is_stage_transition") & (stage == "W")).alias(
             "awakening_count"
         ),
-        *[F.max(f"_avg_{b}").alias(f"avg_{b}_power") for b in BANDS],
+        *[_fp_avg(b).alias(f"avg_{b}_power") for b in BANDS],
     )
     minutes = F.lit(epoch_minutes)
     return counts.select(

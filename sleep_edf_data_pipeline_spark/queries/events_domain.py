@@ -110,15 +110,25 @@ staged AS (
 )
 """
 
-WINDOWED_CTE = """
+#: Moving averages in fixed point (exact BIGINT window sums ÷ count):
+#: bit-identical to Spark's with_moving_averages regardless of how
+#: either engine accumulates its sliding frame (see
+#: operators/windows.py FP_SCALE — float sliding sums drift along long
+#: partitions and flip round-to-6 boundaries at sf0.1).
+_FP_MAVG = (
+    "CAST(sum(CAST(floor({c} * 268435456.0) AS BIGINT)) OVER w5 AS DOUBLE)"
+    " / (268435456.0 * count({c}) OVER w5)"
+)
+
+WINDOWED_CTE = f"""
 win AS (
     SELECT
         *,
-        avg(delta_power_uv) OVER w5 AS delta_moving_avg,
-        avg(theta_power_uv) OVER w5 AS theta_moving_avg,
-        avg(alpha_power_uv) OVER w5 AS alpha_moving_avg,
-        avg(sigma_power_uv) OVER w5 AS sigma_moving_avg,
-        avg(beta_power_uv) OVER w5 AS beta_moving_avg,
+        {_FP_MAVG.format(c="delta_power_uv")} AS delta_moving_avg,
+        {_FP_MAVG.format(c="theta_power_uv")} AS theta_moving_avg,
+        {_FP_MAVG.format(c="alpha_power_uv")} AS alpha_moving_avg,
+        {_FP_MAVG.format(c="sigma_power_uv")} AS sigma_moving_avg,
+        {_FP_MAVG.format(c="beta_power_uv")} AS beta_moving_avg,
         CASE
             WHEN lag(sleep_stage) OVER wo IS NULL THEN false
             WHEN lag(sleep_stage) OVER wo != sleep_stage THEN true

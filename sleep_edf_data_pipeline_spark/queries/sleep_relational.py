@@ -233,25 +233,18 @@ def q_sleep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(sp.summary(m), _SUMMARY_FLOAT_COLS)
 
 
+# Episode-scoped band means in fixed point (exact BIGINT sums — same
+# contract as the Spark side, see plans/sleep_pipeline.py::summary).
+_FP_BAND_AVG = (
+    "    round(CAST(sum(CASE WHEN is_in_sleep_period THEN"
+    " CAST(floor({b}_moving_avg * 268435456.0) AS BIGINT) END) AS DOUBLE)"
+    " / (268435456.0 * sum(CASE WHEN is_in_sleep_period THEN 1 END)), 6)"
+    " AS avg_{b}_power"
+)
+
 ORACLE_SLEEP_SUMMARY = (
     METRICS_WITH
-    + """,
-pre AS (
-    SELECT
-        *,
-"""
-    + ",\n".join(
-        f"        avg(CASE WHEN is_in_sleep_period THEN {b}_moving_avg END)"
-        f" OVER wfull AS _avg_{b}"
-        for b in BANDS
-    )
     + """
-    FROM metrics
-    WINDOW wfull AS (
-        PARTITION BY subject_id ORDER BY epoch_idx
-        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
-    )
-)
 SELECT
     subject_id,
     CAST(count(*) AS BIGINT) * CAST(0.5 AS DOUBLE) AS total_recording_minutes,
@@ -302,10 +295,8 @@ SELECT
         6
     ) AS rem_sleep_percentage,
 """
-    + ",\n".join(
-        f"    round(max(_avg_{b}), 6) AS avg_{b}_power" for b in BANDS
-    )
-    + "\nFROM pre\nGROUP BY subject_id"
+    + ",\n".join(_FP_BAND_AVG.format(b=b) for b in BANDS)
+    + "\nFROM metrics\nGROUP BY subject_id"
 )
 
 
