@@ -93,6 +93,13 @@ def with_running_sum(
     return df.withColumn(out_col, F.sum(col).over(w))
 
 
+#: Fixed-point scale for z-score power sums: 2^20 (≈ 1e-6 quantization,
+#: the same precision as the round-to-6 output contract).  Smaller than
+#: FP_SCALE because the SQUARED sums must fit DECIMAL(38,0):
+#: |x| ≲ 1e9 and 1e9 rows/group still leave 10^38 headroom.
+FP_Z = float(1 << 20)
+
+
 def with_group_zscore(
     df: DataFrame,
     cols: Sequence[str],
@@ -102,27 +109,30 @@ def with_group_zscore(
 ) -> DataFrame:
     """Per-group z-score via whole-partition analytic windows (R19).
 
-    ``(x - avg(x) over (partition)) / nullif(stddev(x) over (partition), 0)``
-    with *sample* stddev, matching DuckDB/Snowflake ``stddev``.
+    ``(x - mean) / nullif(sample_std, 0)`` per partition, matching
+    DuckDB/Snowflake ``stddev`` semantics (n > 1, null-skipping).
     Reference: ``models/marts/ml/sleep_features.sql:19-43``.
 
-    Pass ``order_by`` to pin the frame to an explicit full-partition
-    ordered frame: float aggregation then runs in a deterministic row
-    order, so results are bit-stable across runs (an unordered window
-    aggregates in shuffle-arrival order, which varies run to run).
+    mean/std derive from fixed-point power sums: ``floor(x·2^20)``
+    summed exactly in DECIMAL (order-free), then one double expression
+    per statistic — bit-identical across runs, engines, partition
+    lengths and merge orders, so no ordered frame is needed (the
+    ``order_by`` parameter is kept for API compatibility and ignored).
     """
-    if order_by:
-        w = (
-            Window.partitionBy(*partition_by)
-            .orderBy(*order_by)
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        )
-    else:
-        w = Window.partitionBy(*partition_by)
+    w = Window.partitionBy(*partition_by)
     out = {}
     for c in cols:
-        std = F.stddev(c).over(w)
-        out[f"{c}{suffix}"] = (F.col(c) - F.avg(c).over(w)) / F.when(std != 0, std)
+        q = F.floor(F.col(c) * FP_Z)  # LONG, exact
+        qd = q.cast("decimal(19,0)")
+        n = F.count(c).over(w)
+        sq = F.sum(qd).over(w).cast("double")
+        sqq = F.sum(qd * qd).over(w).cast("double")
+        mean = sq / (F.lit(FP_Z) * n)
+        var = (
+            sqq / F.lit(FP_Z * FP_Z) - (sq / F.lit(FP_Z)) * (sq / F.lit(FP_Z)) / n
+        ) / (n - 1)
+        std = F.when(n > 1, F.sqrt(var))
+        out[f"{c}{suffix}"] = (F.col(c) - mean) / F.when(std != 0, std)
     return df.withColumns(out)
 
 

@@ -318,6 +318,26 @@ def q_sleep_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _r6(sp.features(m), _FEATURE_FLOAT_COLS)
 
 
+# Fixed-point z-score, mirroring operators/windows.py::with_group_zscore
+# expression-for-expression (floor(x·2^20) power sums in DECIMAL, then
+# one double tree per statistic — bit-identical in any engine).
+_FPZ = "1048576.0"  # 2^20
+
+
+def _z_sql(c: str) -> str:
+    q = f"CAST(floor({c} * {_FPZ}) AS DECIMAL(19,0))"
+    n = f"count({c}) OVER wsub"
+    sq = f"CAST(sum({q}) OVER wsub AS DOUBLE)"
+    sqq = f"CAST(sum({q} * {q}) OVER wsub AS DOUBLE)"
+    mean = f"{sq} / ({_FPZ} * {n})"
+    var = (
+        f"({sqq} / ({_FPZ} * {_FPZ})"
+        f" - ({sq} / {_FPZ}) * ({sq} / {_FPZ}) / {n}) / ({n} - 1)"
+    )
+    std = f"CASE WHEN {n} > 1 THEN sqrt({var}) END"
+    return f"round(({c} - {mean}) / nullif({std}, 0), 6) AS {c}_z"
+
+
 ORACLE_SLEEP_FEATURES = (
     METRICS_WITH
     + """,
@@ -333,20 +353,13 @@ SELECT
     epoch_id,
     subject_id,
     sleep_stage,
-    round(
-        (delta_beta_ratio - avg(delta_beta_ratio) OVER wsub)
-        / nullif(stddev(delta_beta_ratio) OVER wsub, 0), 6
-    ) AS delta_beta_ratio_z,
-    round(delta_beta_ratio, 6) AS delta_beta_ratio,
-    round(
-        (delta_alpha_ratio - avg(delta_alpha_ratio) OVER wsub)
-        / nullif(stddev(delta_alpha_ratio) OVER wsub, 0), 6
-    ) AS delta_alpha_ratio_z,
-    round(delta_alpha_ratio, 6) AS delta_alpha_ratio,
-    round(
-        (theta_alpha_ratio - avg(theta_alpha_ratio) OVER wsub)
-        / nullif(stddev(theta_alpha_ratio) OVER wsub, 0), 6
-    ) AS theta_alpha_ratio_z,
+    """
+    + _z_sql("delta_beta_ratio")
+    + ",\n    round(delta_beta_ratio, 6) AS delta_beta_ratio,\n    "
+    + _z_sql("delta_alpha_ratio")
+    + ",\n    round(delta_alpha_ratio, 6) AS delta_alpha_ratio,\n    "
+    + _z_sql("theta_alpha_ratio")
+    + """,
     round(theta_alpha_ratio, 6) AS theta_alpha_ratio
 FROM ratios
 WINDOW wsub AS (
