@@ -96,7 +96,10 @@ def with_running_sum(
 #: Fixed-point scale for z-score power sums: 2^20 (≈ 1e-6 quantization,
 #: the same precision as the round-to-6 output contract).  Smaller than
 #: FP_SCALE because the SQUARED sums must fit DECIMAL(38,0):
-#: |x| ≲ 1e9 and 1e9 rows/group still leave 10^38 headroom.
+#: floor(|x|·2^20) at |x| ≈ 1e9 is ≈ 1.05e15, squared ≈ 1.1e30, so the
+#: 10^38 cap leaves ≈ 1e8 rows/group of headroom (Spark non-ANSI would
+#: NULL the sum silently on overflow while DuckDB errors — keep
+#: |x|·sqrt(rows_per_group) ≲ 1e13 or lower FP_Z for wider data).
 FP_Z = float(1 << 20)
 
 
@@ -107,33 +110,61 @@ def with_group_zscore(
     order_by: Sequence[str] = (),
     suffix: str = "_z",
 ) -> DataFrame:
-    """Per-group z-score via whole-partition analytic windows (R19).
+    """Per-group z-score via grouped power sums + broadcast join (R19).
 
-    ``(x - mean) / nullif(sample_std, 0)`` per partition, matching
-    DuckDB/Snowflake ``stddev`` semantics (n > 1, null-skipping).
+    ``(x - mean) / sample_std`` per partition, matching DuckDB/
+    Snowflake ``stddev`` semantics (n > 1, null-skipping; NULL when the
+    variance is zero or negative — sqrt never sees a negative operand).
     Reference: ``models/marts/ml/sleep_features.sql:19-43``.
 
     mean/std derive from fixed-point power sums: ``floor(x·2^20)``
     summed exactly in DECIMAL (order-free), then one double expression
     per statistic — bit-identical across runs, engines, partition
-    lengths and merge orders, so no ordered frame is needed (the
-    ``order_by`` parameter is kept for API compatibility and ignored).
+    lengths and merge orders (the ``order_by`` parameter is kept for
+    API compatibility and ignored).
+
+    The sums come from one map-side-combinable ``groupBy`` and are
+    broadcast-joined back (null-safe on the keys, mirroring window
+    PARTITION BY null grouping) — at 100 TB the stats frame is one row
+    per entity, so this costs a partial agg + broadcast instead of
+    buffering every partition inside a whole-partition window frame
+    (the shape that regressed 1.9× in round 2).
     """
-    w = Window.partitionBy(*partition_by)
+    keys = list(partition_by)
+    aggs = []
+    for c in cols:
+        qd = F.floor(F.col(c) * FP_Z).cast("decimal(19,0)")
+        aggs += [
+            F.count(c).alias(f"__n_{c}"),
+            F.sum(qd).alias(f"__sq_{c}"),
+            F.sum(qd * qd).alias(f"__sqq_{c}"),
+        ]
+    stats = df.groupBy(*[F.col(k).alias(f"__k_{k}") for k in keys]).agg(*aggs)
+    cond = None
+    for k in keys:
+        eq = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+        cond = eq if cond is None else cond & eq
+    joined = df.join(F.broadcast(stats), cond)
     out = {}
     for c in cols:
-        q = F.floor(F.col(c) * FP_Z)  # LONG, exact
-        qd = q.cast("decimal(19,0)")
-        n = F.count(c).over(w)
-        sq = F.sum(qd).over(w).cast("double")
-        sqq = F.sum(qd * qd).over(w).cast("double")
+        n = F.col(f"__n_{c}")
+        sq = F.col(f"__sq_{c}").cast("double")
+        sqq = F.col(f"__sqq_{c}").cast("double")
         mean = sq / (F.lit(FP_Z) * n)
         var = (
             sqq / F.lit(FP_Z * FP_Z) - (sq / F.lit(FP_Z)) * (sq / F.lit(FP_Z)) / n
         ) / (n - 1)
-        std = F.when(n > 1, F.sqrt(var))
-        out[f"{c}{suffix}"] = (F.col(c) - mean) / F.when(std != 0, std)
-    return df.withColumns(out)
+        # var > 0 guard: double rounding of E[x²]−E[x]² can go slightly
+        # negative for near-constant groups; Spark sqrt(neg) = NaN (and
+        # NaN != 0 is true, so a nullif-style guard leaks it) while
+        # DuckDB sqrt(neg) raises.  NULL-on-nonpositive is the one
+        # behavior both engines express identically.
+        std = F.when((n > 1) & (var > 0), F.sqrt(var))
+        out[f"{c}{suffix}"] = (F.col(c) - mean) / std
+    joined = joined.withColumns(out)
+    drop = [f"__k_{k}" for k in keys]
+    drop += [f"__{p}_{c}" for c in cols for p in ("n", "sq", "sqq")]
+    return joined.drop(*drop)
 
 
 def safe_div(num: Column, den: Column) -> Column:

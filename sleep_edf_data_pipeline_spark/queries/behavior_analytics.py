@@ -303,10 +303,14 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n").cast("double")
     sv = F.col("sv").cast("double")
     svv = F.col("svv").cast("double")
+    # var > 0 guard before sqrt: E[x²]−E[x]² double rounding can go
+    # slightly negative for near-constant groups; Spark sqrt(neg)=NaN
+    # but DuckDB raises, so NULL-on-nonpositive is the shared behavior.
+    var_v = (svv - sv * sv / n) / (n - 1)
     stats = stats.select(
         "et",
         (sv / n).alias("mean_v"),
-        F.sqrt((svv - sv * sv / n) / (n - 1)).alias("std_v"),
+        F.when(var_v > 0, F.sqrt(var_v)).alias("std_v"),
     )
     z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
     return (
@@ -329,9 +333,12 @@ WITH stats AS (
 m AS (
     SELECT et,
            CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
-           sqrt((CAST(svv AS DOUBLE)
+           CASE WHEN (CAST(svv AS DOUBLE)
                  - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
-                / (CAST(n AS DOUBLE) - 1)) AS std_v
+                / (CAST(n AS DOUBLE) - 1) > 0
+                THEN sqrt((CAST(svv AS DOUBLE)
+                 - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE) - 1)) END AS std_v
     FROM stats
 )
 SELECT event_id, event_type, value,

@@ -191,13 +191,17 @@ def q_exact_moments_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = (sxy - sx * sy / n) / (n - 1)
     vx = (sxx - sx * sx / n) / (n - 1)
     vy = (syy - sy * sy / n) / (n - 1)
+    # var > 0 guard before sqrt (near-constant groups can round the
+    # E[x²]−E[x]² form slightly negative; DuckDB raises on sqrt(neg)).
+    stdx = F.when(vx > 0, F.sqrt(vx))
+    stdy = F.when(vy > 0, F.sqrt(vy))
     return agg.select(
         "l_returnflag",
         F.col("n"),
         F.round(cov, 6).alias("covar_qty_price"),
-        F.round(F.sqrt(vx), 6).alias("stddev_qty"),
-        F.round(F.sqrt(vy), 6).alias("stddev_price"),
-        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr_qty_price"),
+        F.round(stdx, 6).alias("stddev_qty"),
+        F.round(stdy, 6).alias("stddev_price"),
+        F.round(cov / (stdx * stdy), 6).alias("corr_qty_price"),
     )
 
 
@@ -223,16 +227,22 @@ m AS (
            CAST(sxy AS DOUBLE) AS sxy,
            CAST(n AS DOUBLE) AS nd
     FROM sums
+),
+v AS (
+    SELECT l_returnflag, n, nd, sxy, sx, sy,
+           (sxx - sx * sx / nd) / (nd - 1) AS vx,
+           (syy - sy * sy / nd) / (nd - 1) AS vy
+    FROM m
 )
 SELECT l_returnflag,
        n,
        round((sxy - sx * sy / nd) / (nd - 1), 6) AS covar_qty_price,
-       round(sqrt((sxx - sx * sx / nd) / (nd - 1)), 6) AS stddev_qty,
-       round(sqrt((syy - sy * sy / nd) / (nd - 1)), 6) AS stddev_price,
+       round(CASE WHEN vx > 0 THEN sqrt(vx) END, 6) AS stddev_qty,
+       round(CASE WHEN vy > 0 THEN sqrt(vy) END, 6) AS stddev_price,
        round(((sxy - sx * sy / nd) / (nd - 1))
-             / (sqrt((sxx - sx * sx / nd) / (nd - 1))
-                * sqrt((syy - sy * sy / nd) / (nd - 1))), 6) AS corr_qty_price
-FROM m
+             / ((CASE WHEN vx > 0 THEN sqrt(vx) END)
+                * (CASE WHEN vy > 0 THEN sqrt(vy) END)), 6) AS corr_qty_price
+FROM v
 """
 
 

@@ -320,7 +320,11 @@ def q_sleep_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Fixed-point z-score, mirroring operators/windows.py::with_group_zscore
 # expression-for-expression (floor(x·2^20) power sums in DECIMAL, then
-# one double tree per statistic — bit-identical in any engine).
+# one double tree per statistic — bit-identical in any engine).  The
+# window sums over an unbounded frame equal the groupBy sums the Spark
+# side computes, exactly (DECIMAL accumulation is order-free).  The
+# var > 0 guard before sqrt matches the Spark side: without it DuckDB
+# raises on sqrt(negative) where Spark yields NaN.
 _FPZ = "1048576.0"  # 2^20
 
 
@@ -334,8 +338,8 @@ def _z_sql(c: str) -> str:
         f"({sqq} / ({_FPZ} * {_FPZ})"
         f" - ({sq} / {_FPZ}) * ({sq} / {_FPZ}) / {n}) / ({n} - 1)"
     )
-    std = f"CASE WHEN {n} > 1 THEN sqrt({var}) END"
-    return f"round(({c} - {mean}) / nullif({std}, 0), 6) AS {c}_z"
+    std = f"CASE WHEN {n} > 1 AND {var} > 0 THEN sqrt({var}) END"
+    return f"round(({c} - {mean}) / {std}, 6) AS {c}_z"
 
 
 ORACLE_SLEEP_FEATURES = (

@@ -10,12 +10,26 @@ from pyspark.sql import DataFrame, SparkSession
 #: Query modules, each exposing QUERIES and (optionally) ORACLES.
 #:
 #: ORDER MATTERS for the driver's correctness gate: it verifies the
-#: first 50 entries of collect() per round.  Queries without a green
-#: CORRECTNESS row yet (the LLM-training-data surface, new additions)
-#: go first; the sleep/TPC-H spine — driver-green in round 1
-#: (CORRECTNESS_r01.json) and still covered every round by the local
-#: mirror in tests/test_oracle_parity.py — rotates to the back.
+#: first 50 entries of collect() per round, so the window rotates each
+#: round.  Round-3 window (this ordering): the two never-driver-checked
+#: extras, then the sleep/window spine whose arithmetic was rewritten
+#: AFTER its r01 rows (fixed-point moving averages / z-scores), then
+#: the longest-unverified TPC-H spine (r01 rows only) — extras(2) +
+#: sleep_relational(10) + tpch_relational(16) + joins_advanced(6) +
+#: relational_breadth(4) + event_windows(5) + advanced_windows(6) = 49,
+#: slot 50 = serving.diagnostics.  The LLM-training-data surface
+#: (driver-green r02, CORRECTNESS_r02.json 50/50) rotates to the back;
+#: everything stays covered every round by the local mirror in
+#: tests/test_oracle_parity.py regardless of window position.
 _MODULES = [
+    "sleep_edf_data_pipeline_spark.queries.extras",
+    "sleep_edf_data_pipeline_spark.queries.sleep_relational",
+    "sleep_edf_data_pipeline_spark.queries.tpch_relational",
+    "sleep_edf_data_pipeline_spark.queries.joins_advanced",
+    "sleep_edf_data_pipeline_spark.queries.relational_breadth",
+    "sleep_edf_data_pipeline_spark.queries.event_windows",
+    "sleep_edf_data_pipeline_spark.queries.advanced_windows",
+    "sleep_edf_data_pipeline_spark.queries.serving",
     "sleep_edf_data_pipeline_spark.queries.dedup_queries",
     "sleep_edf_data_pipeline_spark.queries.text_queries",
     "sleep_edf_data_pipeline_spark.queries.similarity_queries",
@@ -25,14 +39,6 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.tpch_deep",
     "sleep_edf_data_pipeline_spark.queries.behavior_analytics",
     "sleep_edf_data_pipeline_spark.queries.graph_stats",
-    "sleep_edf_data_pipeline_spark.queries.serving",
-    "sleep_edf_data_pipeline_spark.queries.extras",
-    "sleep_edf_data_pipeline_spark.queries.sleep_relational",
-    "sleep_edf_data_pipeline_spark.queries.tpch_relational",
-    "sleep_edf_data_pipeline_spark.queries.joins_advanced",
-    "sleep_edf_data_pipeline_spark.queries.relational_breadth",
-    "sleep_edf_data_pipeline_spark.queries.event_windows",
-    "sleep_edf_data_pipeline_spark.queries.advanced_windows",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
