@@ -94,6 +94,11 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
+        # Query constructors persist() frames the lazy result reads
+        # 2-3x (dedup signatures, graph edges); each rep persists a
+        # fresh frame, so drop them here or they accumulate until LRU
+        # pressure distorts later queries.
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

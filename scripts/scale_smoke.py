@@ -152,6 +152,9 @@ def main() -> None:
         t["scaling_x"] = round(t["scale10"] / t["sf0.1"], 2) if t["sf0.1"] else None
         results[name] = t
         print(f"# {name}: {t}", file=sys.stderr)
+        # drop the per-invocation persist()ed frames (dedup signatures,
+        # graph edges) so cached blocks don't accumulate across queries
+        spark.catalog.clearCache()
 
     with open(out_path, "w") as f:
         json.dump(

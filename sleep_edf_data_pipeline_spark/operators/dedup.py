@@ -417,6 +417,11 @@ def simhash_near_dups(
     sides read it, and recomputing it means re-running the token
     explode + ``bits``-column vote aggregation twice (the dominant
     cost) — the same read-twice persist as the MinHash signature frame.
+    As with that path, the CALLER owns the cache lifetime: the returned
+    frame is lazy, so this function cannot unpersist after the action
+    it never runs.  Long-lived sessions that build this query
+    repeatedly should ``spark.catalog.clearCache()`` between
+    invocations (bench.py and scripts/scale_smoke.py do).
     """
     fingerprints = fingerprints.persist()
     width = bits // chunks

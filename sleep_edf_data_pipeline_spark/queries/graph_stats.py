@@ -67,6 +67,11 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregation merge order, and replayable as unrolled SQL
     (the oracle below).  Dangling nodes cannot exist (the graph is
     undirected), so no dangling-mass term is needed.
+
+    ``edges``/``nodes`` are persisted (read once per iteration); the
+    returned frame is lazy, so the caller owns the cache lifetime —
+    long-lived loops release it with ``spark.catalog.clearCache()``
+    (bench.py / scale_smoke.py do) or accept LRU eviction.
     """
     edges = _copurchase_edges(spark, sf_dir).persist()
     nodes = edges.select(F.col("src").alias("part")).distinct().persist()

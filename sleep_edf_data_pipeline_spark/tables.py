@@ -8,8 +8,14 @@ from __future__ import annotations
 
 import os
 
+from py4j.protocol import Py4JError
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: spread() probe failures that mean "can't size this frame" (treated as
+#: 0 files → repartition), vs. genuine bugs which should propagate.
+_SPREAD_EXPECTED_ERRORS = (Py4JError, AnalysisException, AttributeError)
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
@@ -57,10 +63,20 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
-        if "Repartition" in df._jdf.queryExecution().logical().toString():
+        # Node names start each treeString line after the tree-drawing
+        # prefix; anchoring there ("Repartition ..." / ":- Repartition")
+        # avoids matching the word inside expression text.  Only the
+        # expected failure modes (py4j bridge errors, analysis on a
+        # non-file-backed frame) fall back to "assume narrow" — a real
+        # bug should surface, not silently force a shuffle.
+        plan = df._jdf.queryExecution().logical().treeString()
+        if any(
+            line.lstrip(" :+-").startswith("Repartition")
+            for line in plan.splitlines()
+        ):
             return df
         n_files = len(df.inputFiles())
-    except Exception:
+    except _SPREAD_EXPECTED_ERRORS:
         n_files = 0
     if n_files >= target:
         return df

@@ -1,0 +1,76 @@
+"""Bounded checks for the two no-oracle approximate sketches.
+
+``approx_distinct_parts`` and ``approx_quantiles_price`` are no-oracle
+by design (HLL++ / KLL results are engine-specific), but they are not
+unfalsifiable: each has an exact twin in the registry
+(``distinct_counts`` / ``quantity_quantiles``-style exact percentiles)
+and a published error contract (rsd=0.01 for HLL++; rank error ≤ n/acc
+for percentile_approx).  These tests assert the sketch stays inside a
+generous multiple of its contract, so a broken sketch wiring (wrong
+column, wrong group, garbage result) fails loudly instead of passing
+``count() >= 0``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sleep_edf_data_pipeline_spark.queries.joins_advanced import (
+    q_approx_quantiles_price,
+)
+from sleep_edf_data_pipeline_spark.queries.tpch_relational import (
+    q_approx_distinct_parts,
+    q_distinct_counts,
+)
+from sleep_edf_data_pipeline_spark.tables import table
+
+
+def test_approx_distinct_within_3rsd_of_exact(spark, sf_dir):
+    exact = {
+        r["l_returnflag"]: r["n_parts"]
+        for r in q_distinct_counts(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_n_parts"]
+        for r in q_approx_distinct_parts(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, n in exact.items():
+        # rsd=0.01 → 3σ bound 3%; floor of ±2 absorbs tiny-group noise
+        tol = max(2.0, 3 * 0.01 * n)
+        assert abs(approx[flag] - n) <= tol, (flag, approx[flag], n)
+
+
+def test_approx_quantiles_rank_error_within_contract(spark, sf_dir):
+    """percentile_approx(acc) guarantees rank error ≤ n/acc.
+
+    Value-space tolerance is data-dependent, so verify in RANK space:
+    the number of values ≤ the sketch's answer must sit within
+    n/acc (+1 for ties/rounding) of the target rank q·n.
+    """
+    acc = 10_000
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    approx = {
+        r["l_returnflag"]: (r["price_p50_approx"], r["price_p99_approx"])
+        for r in q_approx_quantiles_price(spark, sf_dir).collect()
+    }
+    stats = (
+        li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    )
+    for row in stats:
+        flag, n = row["l_returnflag"], row["n"]
+        for q, val in zip((0.5, 0.99), approx[flag]):
+            rank = (
+                li.filter(
+                    (F.col("l_returnflag") == flag)
+                    & (F.col("l_extendedprice") <= F.lit(val))
+                ).count()
+            )
+            tol = n / acc + 1
+            assert q * n - tol <= rank <= q * n + tol + 1, (
+                flag,
+                q,
+                val,
+                rank,
+                n,
+            )
