@@ -39,6 +39,10 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.tpch_deep",
     "sleep_edf_data_pipeline_spark.queries.behavior_analytics",
     "sleep_edf_data_pipeline_spark.queries.graph_stats",
+    # Round-3 additions stay BEHIND the 50-entry window (slots 103+):
+    # they get local parity + the sf0.1 sweep this round, and rotate
+    # into the driver window next round per the policy above.
+    "sleep_edf_data_pipeline_spark.queries.training_data",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
