@@ -53,6 +53,12 @@ HEADLINE = [
     "volume_shipping",
     "bigram_counts",
     "subject_lookup",
+    # r03 additions: the decontamination broadcast join (gram fan-out ×
+    # broadcast probe), the repetition double-groupBy, and the JSON
+    # sidecar extraction (codegen get_json_object over the events fact).
+    "decontaminate_overlap",
+    "repetition_stats",
+    "json_props_stats",
 ]
 
 

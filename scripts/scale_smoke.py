@@ -56,6 +56,10 @@ SMOKE = [
     "cosine_topk_bruteforce",
     "pagerank_copurchase",
     "exact_moments_suite",
+    # r03: explode-heavy corpus ops whose gram fan-out scales with the
+    # document table — the ones a 100 TB corpus build actually runs.
+    "decontaminate_overlap",
+    "repetition_stats",
 ]
 
 

@@ -534,3 +534,128 @@ GROUP BY o_orderpriority
 """
 
 
+
+
+# --- TPC-H Q13: customer order-count distribution ---------------------------
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + count-including-zero + histogram (TPC-H Q13 shape).
+
+    The two-level aggregation a LEFT OUTER forces: customers with no
+    (non-urgent) orders must appear with c_count = 0, so the outer join
+    cannot be an inner join and the first groupBy counts o_orderkey
+    (null-skipping), not rows.  At 100 TB: orders pre-aggregates to one
+    row per customer BEFORE the join (cuts the join input by the
+    order:customer fan-out); the histogram agg is map-side-combinable
+    on a tiny domain.  Reference parity: the reference's serving layer
+    has no distribution queries; this extends the TPC-H surface per
+    SURVEY §2.3's relational mandate.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+    )
+
+
+ORACLE_CUSTOMER_DISTRIBUTION = """
+WITH per_cust AS (
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority != '1-URGENT') o
+        ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+# --- TPC-H Q21: suppliers who kept orders waiting ---------------------------
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sole-late-supplier detection (TPC-H Q21 shape) as aggregates.
+
+    Q21's EXISTS / NOT EXISTS pair over two lineitem self-joins is
+    rewritten as one per-(order, supplier) aggregate plus one
+    per-order aggregate: a supplier qualifies when it shipped late
+    (> 60 days after order date), the order has ≥ 2 suppliers, and it
+    is the ONLY late one.  Two shuffles on orderkey replace the four
+    correlated scans of the literal translation — the decorrelation a
+    100 TB plan needs, since EXISTS-per-row would re-scan the fact.
+    Finished orders only (o_orderstatus = 'F'), top 20 suppliers.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = (
+        F.col("l_shipdate").cast("date")
+        > F.date_add(F.col("o_orderdate").cast("date"), 60)
+    ).cast("int")
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("is_late").alias("n_late"),
+    )
+    hits = (
+        per_supp.filter(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_suppliers") >= 2) & (F.col("n_late") == 1))
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        hits.join(F.broadcast(supp), hits.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+ORACLE_WAITING_SUPPLIERS = """
+WITH per_supp AS (
+    SELECT l_orderkey, l_suppkey,
+           max(CASE WHEN CAST(l_shipdate AS DATE)
+                    > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+               THEN 1 ELSE 0 END) AS is_late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+    SELECT l_orderkey, count(*) AS n_suppliers,
+           CAST(sum(is_late) AS BIGINT) AS n_late
+    FROM per_supp GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_supp
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE is_late = 1 AND n_suppliers >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+QUERIES["customer_distribution"] = q_customer_distribution
+QUERIES["waiting_suppliers"] = q_waiting_suppliers
+ORACLES["customer_distribution"] = ORACLE_CUSTOMER_DISTRIBUTION
+ORACLES["waiting_suppliers"] = ORACLE_WAITING_SUPPLIERS
