@@ -37,6 +37,10 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 #: Emitted for every CLOSED episode.
 EPISODE_SCHEMA = (
@@ -49,6 +53,56 @@ EPISODE_SCHEMA = (
 STATE_SCHEMA = "start_us long, last_us long, n_events long, total_value double"
 
 
+def _fold_episodes(
+    user_id: int,
+    batches: Iterator[pd.DataFrame],
+    prior: tuple | None,
+    gap_us: int,
+) -> tuple[list[tuple], tuple]:
+    """Shared episode fold: (closed rows, new open-episode state).
+
+    One implementation drives BOTH stateful APIs
+    (``applyInPandasWithState`` and ``transformWithStateInPandas``) so
+    their outputs are equal by construction, not by parallel upkeep.
+    """
+    if prior is not None:
+        start_us, last_us, n_events, total_value = prior
+    else:
+        start_us, last_us, n_events, total_value = None, None, 0, 0.0
+
+    closed: list[tuple[int, int, int, int, float]] = []
+    for pdf in batches:
+        pdf = pdf.sort_values("ts")
+        ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
+        vals = pdf["value"].to_numpy()
+        for t, v in zip(ts_us.to_numpy(), vals):
+            if last_us is not None and t - last_us >= gap_us:
+                closed.append((user_id, start_us, last_us, n_events, total_value))
+                start_us, n_events, total_value = None, 0, 0.0
+            if start_us is None:
+                start_us = int(t)
+            last_us = int(t)
+            n_events += 1
+            total_value += float(v)
+    return closed, (start_us, last_us, n_events, total_value)
+
+
+def _closed_to_pdf(closed: list[tuple]) -> pd.DataFrame:
+    out = pd.DataFrame(
+        closed,
+        columns=[
+            "user_id",
+            "episode_start",
+            "episode_end",
+            "n_events",
+            "total_value",
+        ],
+    )
+    out["episode_start"] = pd.to_datetime(out["episode_start"], unit="us")
+    out["episode_end"] = pd.to_datetime(out["episode_end"], unit="us")
+    return out
+
+
 def _episode_fn(gap_us: int):
     def fn(
         key: tuple[Any, ...],
@@ -56,41 +110,11 @@ def _episode_fn(gap_us: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.exists:
-            start_us, last_us, n_events, total_value = state.get
-        else:
-            start_us, last_us, n_events, total_value = None, None, 0, 0.0
-
-        closed: list[tuple[int, int, int, int, float]] = []
-        for pdf in batches:
-            pdf = pdf.sort_values("ts")
-            ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
-            vals = pdf["value"].to_numpy()
-            for t, v in zip(ts_us.to_numpy(), vals):
-                if last_us is not None and t - last_us >= gap_us:
-                    closed.append((user_id, start_us, last_us, n_events, total_value))
-                    start_us, n_events, total_value = None, 0, 0.0
-                if start_us is None:
-                    start_us = int(t)
-                last_us = int(t)
-                n_events += 1
-                total_value += float(v)
-
-        state.update((start_us, last_us, n_events, total_value))
+        prior = state.get if state.exists else None
+        closed, new_state = _fold_episodes(user_id, batches, prior, gap_us)
+        state.update(new_state)
         if closed:
-            out = pd.DataFrame(
-                closed,
-                columns=[
-                    "user_id",
-                    "episode_start",
-                    "episode_end",
-                    "n_events",
-                    "total_value",
-                ],
-            )
-            out["episode_start"] = pd.to_datetime(out["episode_start"], unit="us")
-            out["episode_end"] = pd.to_datetime(out["episode_end"], unit="us")
-            yield out
+            yield _closed_to_pdf(closed)
 
     return fn
 
@@ -100,10 +124,7 @@ def streaming_episodes(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
     Emits one row per closed episode; the open episode stays in state.
     """
-    amount, unit = gap.split()
-    per_unit = {"seconds": 1, "second": 1, "minutes": 60, "minute": 60,
-                "hours": 3600, "hour": 3600}[unit]
-    gap_us = int(amount) * per_unit * 1_000_000
+    gap_us = _parse_gap_us(gap)
     return (
         events.select("user_id", "ts", "value")
         .groupBy("user_id")
@@ -113,5 +134,68 @@ def streaming_episodes(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _parse_gap_us(gap: str) -> int:
+    amount, unit = gap.split()
+    per_unit = {"seconds": 1, "second": 1, "minutes": 60, "minute": 60,
+                "hours": 3600, "hour": 3600}[unit]
+    return int(amount) * per_unit * 1_000_000
+
+
+class _EpisodeProcessor(StatefulProcessor):
+    """``transformWithState`` port of the episode fold (Spark 4 API).
+
+    Same semantics as ``streaming_episodes`` via the shared
+    ``_fold_episodes``; the open episode lives in a named ValueState
+    (RocksDB-backed, off-heap at scale) instead of the legacy
+    ``GroupState`` blob.  The v2 API additionally offers timers and
+    TTL — the natural home for "close an episode after N idle minutes
+    of wall clock" semantics a follow-up could add.
+    """
+
+    def __init__(self, gap_us: int) -> None:
+        self._gap_us = gap_us
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._open = handle.getValueState("open_episode", STATE_SCHEMA)
+
+    def handleInputRows(
+        self,
+        key: tuple[Any, ...],
+        rows: Iterator[pd.DataFrame],
+        timerValues: Any,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        prior = self._open.get() if self._open.exists() else None
+        closed, new_state = _fold_episodes(user_id, rows, prior, self._gap_us)
+        self._open.update(new_state)
+        if closed:
+            yield _closed_to_pdf(closed)
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_episodes_tws(
+    events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """``streaming_episodes`` on the transformWithStateInPandas API.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``RocksDBStateStoreProvider``) — the provider a large cluster runs
+    anyway, since HDFS-backed state heaps out long before 10^9 keys.
+    """
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_EpisodeProcessor(_parse_gap_us(gap)),
+            outputStructType=EPISODE_SCHEMA,
+            outputMode="append",
+            timeMode="none",
         )
     )

@@ -509,3 +509,88 @@ def test_streaming_dedup_within_watermark_runs(spark, tmp_path):
         r["text"] for r in spark.sql("SELECT text FROM wm_dedup_stream").collect()
     )
     assert texts == ["alpha", "beta"]
+
+
+def test_streaming_episodes_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas twin emits the same closed episodes.
+
+    Same two-micro-batch scenario as the applyInPandasWithState test:
+    the open episode must survive the batch boundary inside a named
+    ValueState (RocksDB provider — required by the v2 API).
+
+    The v2 API's Python driver worker speaks protobuf to the JVM; in
+    environments without the protobuf package the operator cannot run
+    (its fold logic is still covered — _fold_episodes is shared with
+    the applyInPandasWithState path tested above).
+    """
+    pytest.importorskip("google.protobuf")
+    import os as _os
+    import time as _time
+
+    src = str(tmp_path / "tws_src")
+    _os.makedirs(src)
+
+    def write_file(rows, mtime):
+        spark.createDataFrame(
+            rows, "user_id bigint, ts_s string, value double"
+        ).select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        ).coalesce(1).write.mode("append").parquet(src)
+        for f in _os.listdir(src):
+            p = _os.path.join(src, f)
+            if f.endswith(".parquet") and _os.path.getmtime(p) > mtime:
+                _os.utime(p, (mtime, mtime))
+
+    t0 = _time.time() - 1000
+    write_file([(1, "2024-01-01 10:00:00", 1.0), (1, "2024-01-01 10:10:00", 2.0)], t0)
+    write_file(
+        [
+            (1, "2024-01-01 11:00:00", 3.0),
+            (1, "2024-01-01 11:05:00", 4.0),
+            (2, "2024-01-01 09:00:00", 5.0),
+            (2, "2024-01-01 10:00:00", 6.0),
+        ],
+        t0 + 10,
+    )
+
+    from sleep_edf_data_pipeline_spark.streaming.stateful import (
+        streaming_episodes_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_episodes_tws(stream, gap="30 minutes")
+            .writeStream.format("memory")
+            .queryName("episodes_tws_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+    rows = spark.sql(
+        "SELECT * FROM episodes_tws_test ORDER BY user_id, episode_start"
+    ).collect()
+    assert [
+        (r["user_id"], str(r["episode_start"]), str(r["episode_end"]),
+         r["n_events"], r["total_value"])
+        for r in rows
+    ] == [
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2, 3.0),
+        (2, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1, 5.0),
+    ]
