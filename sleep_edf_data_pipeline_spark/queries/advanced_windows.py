@@ -291,3 +291,96 @@ ORACLES = {
     "modern_agg_suite": ORACLE_MODERN_AGG_SUITE,
     "weighted_discount_udaf": ORACLE_WEIGHTED_DISCOUNT_UDAF,
 }
+
+
+def q_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation over sensor dropouts.
+
+    The step past LOCF (`q_locf_gap_fill`): a masked reading is
+    reconstructed from its nearest non-null neighbors on BOTH sides,
+    weighted by event-time distance — ``prev + (next − prev)·(t −
+    t_prev)/(t_next − t_prev)``.  Four ignore-nulls window lookups
+    (value/ts × last-before/first-after) over one partition order; no
+    float aggregation anywhere (times are exact int64 micros, the lerp
+    is a single scalar double expression both engines evaluate with
+    the same IEEE ops), so results are bit-stable.  Leading gaps
+    backfill from the next reading, trailing gaps carry the last one.
+    """
+    ev = table(spark, sf_dir, "events")
+    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    before = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    after = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_t = F.when(masked.isNotNull(), t_us)
+    prev_v = F.last(masked, ignorenulls=True).over(before)
+    prev_t = F.last(obs_t, ignorenulls=True).over(before)
+    next_v = F.first(masked, ignorenulls=True).over(after)
+    next_t = F.first(obs_t, ignorenulls=True).over(after)
+    frac = (t_us - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    interp = F.when(
+        masked.isNotNull(), masked
+    ).when(
+        prev_v.isNotNull() & next_v.isNotNull() & (next_t != prev_t),
+        prev_v + (next_v - prev_v) * frac,
+    ).otherwise(F.coalesce(prev_v, next_v))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.round(interp, 6).alias("value_interp"),
+    )
+
+
+ORACLE_LINEAR_INTERPOLATION = """
+WITH base AS (
+    SELECT
+        event_id, user_id, ts, event_type,
+        CASE WHEN event_type != 'error' THEN value END AS masked,
+        epoch_us(ts) AS t_us
+    FROM events
+),
+neighbors AS (
+    SELECT *,
+        last_value(masked IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        last_value(CASE WHEN masked IS NOT NULL THEN t_us END IGNORE NULLS)
+            OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+        first_value(masked IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        first_value(CASE WHEN masked IS NOT NULL THEN t_us END IGNORE NULLS)
+            OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+    FROM base
+)
+SELECT
+    event_id, user_id, ts, event_type,
+    round(
+        CASE
+            WHEN masked IS NOT NULL THEN masked
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND next_t != prev_t
+                THEN prev_v + (next_v - prev_v)
+                     * (CAST(t_us - prev_t AS DOUBLE)
+                        / CAST(next_t - prev_t AS DOUBLE))
+            ELSE coalesce(prev_v, next_v)
+        END, 6) AS value_interp
+FROM neighbors
+"""
+
+
+QUERIES["linear_interpolation"] = q_linear_interpolation
+ORACLES["linear_interpolation"] = ORACLE_LINEAR_INTERPOLATION

@@ -16,8 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 #: AFTER its r01 rows (fixed-point moving averages / z-scores), then
 #: the longest-unverified TPC-H spine (r01 rows only) — extras(2) +
 #: sleep_relational(10) + tpch_relational(16) + joins_advanced(6) +
-#: relational_breadth(4) + event_windows(5) + advanced_windows(6) = 49,
-#: slot 50 = serving.diagnostics.  The LLM-training-data surface
+#: relational_breadth(4) + event_windows(5) + advanced_windows(7) = 50
+#: (slot 50 = the new linear_interpolation, driver-checked in its
+#: debut round; serving.diagnostics, r02-green, rotates just outside).
+#: The LLM-training-data surface
 #: (driver-green r02, CORRECTNESS_r02.json 50/50) rotates to the back;
 #: everything stays covered every round by the local mirror in
 #: tests/test_oracle_parity.py regardless of window position.
