@@ -190,3 +190,66 @@ def vacuum(path: str, keep_last: int = 1) -> list[int]:
         if name.startswith("d_") and name not in referenced:
             shutil.rmtree(os.path.join(path, name), ignore_errors=True)
     return removed
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    delete_condition: str | None = None,
+    max_retries: int = 5,
+) -> int:
+    """MERGE INTO semantics on a versioned table (last-write-wins).
+
+    * matched rows are replaced by their update row (WHEN MATCHED THEN
+      UPDATE SET *),
+    * unmatched update rows are inserted (WHEN NOT MATCHED THEN INSERT *),
+    * target rows matching ``delete_condition`` (and not re-asserted by
+      an update) are dropped (WHEN MATCHED AND cond THEN DELETE).
+
+    Plan shape: one left-anti join of the target against the (typically
+    much smaller) update set — Spark broadcasts it under AQE — plus a
+    union.  The commit inherits the CAS protocol, so concurrent merges
+    serialize instead of losing writes (the lost-update anomaly a
+    non-transactional read-modify-write would have).
+    """
+    for _ in range(max_retries):
+        base = current_version(path)
+        if base is None:
+            merged = updates
+        else:
+            target = read_versioned(spark, path, base)
+            if delete_condition is not None:
+                target = target.filter(f"NOT ({delete_condition})")
+            keep = target.join(updates.select(*keys), keys, "left_anti")
+            merged = keep.unionByName(updates)
+        try:
+            return commit_versioned(merged, path, base)
+        except CommitConflictError:
+            continue
+    raise CommitConflictError(f"gave up after {max_retries} conflicts on {path}")
+
+
+def compact(
+    spark: SparkSession, path: str, target_files: int = 1, max_retries: int = 5
+) -> int:
+    """Small-file compaction: rewrite the current snapshot into
+    ``target_files`` files as a new version.
+
+    The maintenance job every high-frequency-ingest table needs — many
+    tiny commits degrade scan parallelism bookkeeping and open-file
+    overhead until a compactor folds them.  Runs under the same CAS:
+    a concurrent ingest wins the slot and the compactor retries on the
+    fresh snapshot, so no data is ever lost to the rewrite.
+    """
+    for _ in range(max_retries):
+        base = current_version(path)
+        if base is None:
+            raise FileNotFoundError(f"nothing to compact at {path}")
+        snapshot = read_versioned(spark, path, base).coalesce(target_files)
+        try:
+            return commit_versioned(snapshot, path, base)
+        except CommitConflictError:
+            continue
+    raise CommitConflictError(f"gave up after {max_retries} conflicts on {path}")

@@ -105,3 +105,51 @@ def test_vacuum_keeps_recent_versions_readable(spark, tmp_path):
     assert {r.value for r in read_versioned(spark, path).collect()} == {3.0}
     with pytest.raises(FileNotFoundError):
         read_versioned(spark, path, 1)
+
+
+def test_merge_upsert_update_insert_delete(spark, tmp_path):
+    from sleep_edf_data_pipeline_spark.writers.versioned import merge_upsert
+
+    path = str(tmp_path / "t")
+    commit_versioned(_df(spark, [(1, 1.0), (2, 2.0), (3, 3.0)]), path, None)
+    v = merge_upsert(
+        spark,
+        path,
+        _df(spark, [(2, 20.0), (4, 40.0)]),
+        keys=["subject_id"],
+        delete_condition="subject_id = 3",
+    )
+    assert v == 2
+    rows = {(r.subject_id, r.value) for r in read_versioned(spark, path).collect()}
+    # 1 untouched, 2 updated, 3 deleted, 4 inserted
+    assert rows == {(1, 1.0), (2, 20.0), (4, 40.0)}
+
+
+def test_merge_upsert_into_empty_table(spark, tmp_path):
+    from sleep_edf_data_pipeline_spark.writers.versioned import merge_upsert
+
+    path = str(tmp_path / "t")
+    assert merge_upsert(spark, path, _df(spark, [(1, 1.0)]), ["subject_id"]) == 1
+    assert {r.subject_id for r in read_versioned(spark, path).collect()} == {1}
+
+
+def test_compact_preserves_rows_in_fewer_files(spark, tmp_path):
+    from sleep_edf_data_pipeline_spark.writers.versioned import (
+        compact,
+        snapshot_dir,
+    )
+
+    path = str(tmp_path / "t")
+    commit_versioned(_df(spark, [(i, float(i)) for i in range(20)]).repartition(8), path, None)
+    n_before = len(
+        [f for f in os.listdir(snapshot_dir(path, 1)) if f.endswith(".parquet")]
+    )
+    assert n_before == 8
+    v = compact(spark, path, target_files=1)
+    assert v == 2
+    n_after = len(
+        [f for f in os.listdir(snapshot_dir(path, 2)) if f.endswith(".parquet")]
+    )
+    assert n_after == 1
+    rows = {(r.subject_id, r.value) for r in read_versioned(spark, path).collect()}
+    assert rows == {(i, float(i)) for i in range(20)}
