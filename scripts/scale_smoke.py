@@ -130,9 +130,95 @@ def generate(spark) -> None:
     _copy_union(spark, "embeddings", remap_emb)
 
 
+SCALED100 = "/tmp/scale100"
+
+#: The dedup family gets a second decade (~500k docs ≈ SF 1 for the
+#: documents table): candidate generation is the part of these plans
+#: that could go quadratic, so it gets the deepest scaling evidence.
+DEDUP100 = [
+    "minhash_lsh_neardups",
+    "simhash_neardups",
+    "ngram_jaccard_neardups",
+]
+
+
+def generate_docs100(spark) -> None:
+    """100 copies of sf0.1 documents, same suffix scheme as generate().
+
+    Cross-copy token vocabularies are disjoint, so every near-dup pair
+    is within-copy and the TRUE pair count scales exactly linearly —
+    any super-linear wall growth is the algorithm's fault, not the
+    data's.
+    """
+    os.makedirs(SCALED100, exist_ok=True)
+    base = spark.read.parquet(f"{BASE}/documents.parquet")
+    okey = 10_000_000
+    parts = []
+    for i in range(100):
+        toks = F.split(F.col("text"), " ")
+        newtext = F.concat_ws(
+            " ", F.transform(toks, lambda t: F.concat(t, F.lit(f"_{i}")))
+        )
+        parts.append(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(i * okey))
+            .withColumn("text", newtext)
+            .withColumn("n_chars", F.length(F.col("text")))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(64).write.mode("overwrite").parquet(
+        f"{SCALED100}/documents.parquet"
+    )
+
+
+def dedup100(spark, out_path: str) -> None:
+    if "--regen" in sys.argv or not os.path.isdir(f"{SCALED100}/documents.parquet"):
+        t0 = time.perf_counter()
+        generate_docs100(spark)
+        print(
+            f"# generated {SCALED100} in {time.perf_counter() - t0:.0f}s",
+            file=sys.stderr,
+        )
+    queries, _ = registry.collect()
+    results = {}
+    for name in DEDUP100:
+        fn = queries[name]
+        t = {}
+        for label, d, reps in (
+            ("sf0.1", BASE, 2),
+            ("scale10", SCALED, 2),
+            ("scale100", SCALED100, 1),
+        ):
+            best, rows = float("inf"), 0
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                rows = fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            t[label] = round(best, 3)
+            t[f"{label}_rows"] = rows
+            spark.catalog.clearCache()
+        t["x10"] = round(t["scale10"] / t["sf0.1"], 2)
+        t["x100"] = round(t["scale100"] / t["sf0.1"], 2)
+        results[name] = t
+        print(f"# {name}: {t}", file=sys.stderr)
+    with open(out_path, "w") as f:
+        json.dump({"base": BASE, "queries": results}, f, indent=1)
+        f.write("\n")
+    print(json.dumps(results))
+
+
 def main() -> None:
     out_path = sys.argv[-1] if sys.argv[-1].endswith(".json") else "SCALE_SMOKE.json"
     spark = get_spark(app_name="scale-smoke")
+    if "--dedup100" in sys.argv:
+        dedup100(
+            spark,
+            out_path
+            if sys.argv[-1].endswith(".json")
+            else "SCALE_SMOKE_100.json",
+        )
+        return
     if "--regen" in sys.argv or not os.path.isdir(f"{SCALED}/documents.parquet"):
         t0 = time.perf_counter()
         generate(spark)

@@ -190,6 +190,19 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_assignment_ctes(
+    k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM
+) -> tuple[list[str], str]:
+    """(CTE list, final-assignment CTE name) for the unrolled Lloyd loop.
+
+    Shared by the kmeans oracle here and the SemDeDup oracle
+    (queries/training_data.py), which consumes the final assignment
+    ``a{iters}(vec_id, v, cluster, d)`` as its clustering stage.
+    """
+    ctes, final = _kmeans_cte_chain(k, iters, dim)
+    return ctes, final
+
+
 def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM) -> str:
     """Unrolled Lloyd loop as DuckDB SQL (one CTE chain per iteration).
 
@@ -199,6 +212,17 @@ def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM) -
     ``floor(v * 2^28)`` integer sums (exact, order-free in any engine)
     with empty clusters keeping their previous centroid.
     """
+    ctes, final = _kmeans_cte_chain(k, iters, dim)
+    return (
+        "WITH\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cluster, round(d, 6) AS sq_dist FROM {final}"
+    )
+
+
+def _kmeans_cte_chain(
+    k: int, iters: int, dim: int
+) -> tuple[list[str], str]:
     rng = f"range(1, {dim + 1})"
     sq = f"list_sum([ (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]) for i in {rng} ])"
     ctes = [
@@ -236,11 +260,7 @@ def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM) -
             f"c{it + 1} AS (\n    SELECT p.cluster, COALESCE(g.c, p.c) AS c\n"
             f"    FROM c{it} p LEFT JOIN g{it} g USING (cluster)\n)"
         )
-    return (
-        "WITH\n"
-        + ",\n".join(ctes)
-        + f"\nSELECT vec_id, cluster, round(d, 6) AS sq_dist FROM a{iters}"
-    )
+    return ctes, f"a{iters}"
 
 
 ORACLE_KMEANS_CLUSTERS = _kmeans_oracle()

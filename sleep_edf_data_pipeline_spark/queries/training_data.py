@@ -382,6 +382,102 @@ GROUP BY cluster_size
 """
 
 
+#: SemDeDup cosine threshold.  Calibrated to THIS corpus's embedding
+#: geometry (within-cluster cosine p99 ≈ 0.34, max ≈ 0.51 at sf0.01);
+#: real text embeddings run far tighter (the paper uses ~0.95+) — the
+#: threshold is a knob, the plan shape is the point.
+SEMDEDUP_TAU = 0.35
+
+#: Lloyd geometry shared with queries/similarity_queries.py.
+_SD_K, _SD_ITERS, _SD_DIM = 8, 3, 64
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster embeddings, prune near-semantic-duplicates.
+
+    Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): k-means the embedding space, then
+    compare pairs ONLY within a cluster — the cluster key is the
+    blocking key, so candidate generation is an equi-join, never
+    all-pairs (at 100 TB: O(N²/k) pairs with both sides co-partitioned
+    on the cluster id, versus O(N²) for a naive sweep).  A vector is
+    pruned when a lower-id same-cluster vector sits above the cosine
+    threshold — deterministic, order-free survivor choice, same
+    lowest-id convention as the MinHash/SimHash paths.
+
+    Clustering is the engine-portable fixed-point Lloyd loop
+    (operators/clustering.py), so the oracle replays training,
+    assignment, AND pruning as one unrolled SQL statement.
+    Returns one row per vector: (vec_id, cluster, pruned).
+    """
+    from sleep_edf_data_pipeline_spark.operators.clustering import kmeans
+    from sleep_edf_data_pipeline_spark.operators.similarity import dot, norm
+
+    vecs = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    assigned, _ = kmeans(vecs, k=_SD_K, iters=_SD_ITERS)
+    assigned = assigned.select("vec_id", "embedding", "cluster")
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+        F.col("cluster").alias("_c"),
+        norm(F.col("embedding")).alias("_na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+        F.col("cluster").alias("_c"),
+        norm(F.col("embedding")).alias("_nb"),
+    )
+    den = F.col("_na") * F.col("_nb")
+    cos = F.round(F.when(den > 0, dot(F.col("_va"), F.col("_vb")) / den), 6)
+    pruned = (
+        a.join(b, "_c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= SEMDEDUP_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return (
+        assigned.join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(F.col("_pruned"), F.lit(False)).alias("pruned"),
+        )
+    )
+
+
+def _semdedup_oracle() -> str:
+    from sleep_edf_data_pipeline_spark.queries.similarity_queries import (
+        kmeans_assignment_ctes,
+    )
+
+    ctes, final = kmeans_assignment_ctes(_SD_K, _SD_ITERS, _SD_DIM)
+    rng = f"range(1, {_SD_DIM + 1})"
+    dot_ab = f"list_sum([a.v[i] * b.v[i] for i in {rng}])"
+    na = f"sqrt(list_sum([a.v[i] * a.v[i] for i in {rng}]))"
+    nb = f"sqrt(list_sum([b.v[i] * b.v[i] for i in {rng}]))"
+    return (
+        "WITH\n"
+        + ",\n".join(ctes)
+        + f""",
+sd_pruned AS (
+    SELECT DISTINCT b.vec_id
+    FROM {final} a JOIN {final} b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE round({dot_ab} / nullif({na} * {nb}, 0), 6) >= {SEMDEDUP_TAU}
+)
+SELECT t.vec_id, t.cluster,
+       (t.vec_id IN (SELECT vec_id FROM sd_pruned)) AS pruned
+FROM {final} t"""
+    )
+
+
+ORACLE_SEMDEDUP_PRUNE = _semdedup_oracle()
+
+
 QUERIES = {
     "decontaminate_overlap": q_decontaminate_overlap,
     "repetition_stats": q_repetition_stats,
@@ -390,6 +486,7 @@ QUERIES = {
     "json_props_stats": q_json_props_stats,
     "pii_scrub": q_pii_scrub,
     "cluster_size_histogram": q_cluster_size_histogram,
+    "semdedup_prune": q_semdedup_prune,
 }
 
 ORACLES = {
@@ -400,4 +497,5 @@ ORACLES = {
     "json_props_stats": ORACLE_JSON_PROPS_STATS,
     "pii_scrub": ORACLE_PII_SCRUB,
     "cluster_size_histogram": ORACLE_CLUSTER_SIZE_HISTOGRAM,
+    "semdedup_prune": ORACLE_SEMDEDUP_PRUNE,
 }

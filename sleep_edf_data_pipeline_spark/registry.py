@@ -45,6 +45,7 @@ _MODULES = [
     # they get local parity + the sf0.1 sweep this round, and rotate
     # into the driver window next round per the policy above.
     "sleep_edf_data_pipeline_spark.queries.training_data",
+    "sleep_edf_data_pipeline_spark.queries.tpch_complete",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
