@@ -173,6 +173,8 @@ def generate_docs100(spark) -> None:
 
 
 def dedup100(spark, out_path: str) -> None:
+    if not os.path.isdir(f"{SCALED}/documents.parquet"):
+        generate(spark)
     if "--regen" in sys.argv or not os.path.isdir(f"{SCALED100}/documents.parquet"):
         t0 = time.perf_counter()
         generate_docs100(spark)

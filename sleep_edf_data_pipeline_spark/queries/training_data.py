@@ -478,6 +478,125 @@ FROM {final} t"""
 ORACLE_SEMDEDUP_PRUNE = _semdedup_oracle()
 
 
+#: Minimum duplicated-substring length (tokens) for span detection.
+#: Lee et al. 2021 use 50 BPE tokens on natural text; the synthetic
+#: corpus's ~40-token vocabulary needs a shorter window to put match
+#: density in the same operating regime.
+SPAN_L = 10
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans, Lee et al. 2021 style.
+
+    "Deduplicating Training Data Makes Language Models Better"
+    (ExactSubstr): find every maximal token span that also occurs
+    elsewhere in the corpus.  Suffix arrays don't distribute well;
+    the equivalent-at-fixed-L formulation does: posexplode L-token
+    shingles with their start positions, mark shingles whose corpus
+    frequency > 1 (one unordered window count — a single shuffle on
+    the gram), then merge overlapping duplicated windows per document
+    with the islands pattern (running max-end, integer-only — hash
+    stable).  At 100 TB the gram shuffle is the cost; it is map-side
+    combinable and the gram key can be hashed to 8 bytes (xxhash64)
+    to cut shuffle width — kept as the string here so the oracle can
+    replay it verbatim.
+
+    Returns one row per maximal duplicated span:
+    (doc_id, span_start, span_end, span_tokens), positions 1-based.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= SPAN_L
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("w"), SPAN_L)).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("start"), "gram")
+    dup = (
+        grams.withColumn(
+            "_freq", F.count("*").over(Window.partitionBy("gram"))
+        )
+        .filter(F.col("_freq") > 1)
+        .select("doc_id", "start", (F.col("start") + SPAN_L - 1).alias("end"))
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = dup.withColumn(
+        "_brk",
+        F.when(
+            F.col("start")
+            > F.coalesce(F.max("end").over(w_prev), F.lit(-1)) + 1,
+            1,
+        ).otherwise(0),
+    ).withColumn("_gid", F.sum("_brk").over(w_run))
+    return (
+        flagged.groupBy("doc_id", "_gid")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+ORACLE_DUPLICATE_SPANS = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, u['s'] AS start, u['g'] AS gram FROM (
+        SELECT doc_id,
+               unnest([
+                   {{'s': i, 'g': array_to_string(w[i:i + {SPAN_L - 1}], ' ')}}
+                   FOR i IN range(1, len(w) - {SPAN_L} + 2)
+               ]) AS u
+        FROM toks WHERE len(w) >= {SPAN_L}
+    )
+),
+dup AS (
+    SELECT doc_id, start, start + {SPAN_L - 1} AS e
+    FROM (SELECT *, count(*) OVER (PARTITION BY gram) AS freq FROM grams)
+    WHERE freq > 1
+),
+flagged AS (
+    SELECT doc_id, start, e,
+           CASE WHEN start > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                THEN 1 ELSE 0 END AS brk
+    FROM dup
+),
+grp AS (
+    SELECT doc_id, start, e,
+           CAST(sum(brk) OVER (
+               PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS gid
+    FROM flagged
+)
+SELECT doc_id,
+       CAST(min(start) AS INT) AS span_start,
+       CAST(max(e) AS INT) AS span_end,
+       CAST(max(e) - min(start) + 1 AS INT) AS span_tokens
+FROM grp
+GROUP BY doc_id, gid
+"""
+
+
 QUERIES = {
     "decontaminate_overlap": q_decontaminate_overlap,
     "repetition_stats": q_repetition_stats,
@@ -487,6 +606,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "cluster_size_histogram": q_cluster_size_histogram,
     "semdedup_prune": q_semdedup_prune,
+    "duplicate_spans": q_duplicate_spans,
 }
 
 ORACLES = {
@@ -498,4 +618,5 @@ ORACLES = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "cluster_size_histogram": ORACLE_CLUSTER_SIZE_HISTOGRAM,
     "semdedup_prune": ORACLE_SEMDEDUP_PRUNE,
+    "duplicate_spans": ORACLE_DUPLICATE_SPANS,
 }
