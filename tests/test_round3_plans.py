@@ -1,0 +1,146 @@
+"""Plan + property pins for the round-3 additions.
+
+Same contract as test_physical_plans.py: prove Catalyst produced the
+plan the 100 TB design calls for, and pin the semantic invariants the
+oracle hash can't see (monotonicity, bounds, survivor rules).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from sleep_edf_data_pipeline_spark import registry
+
+QUERIES, _ = registry.collect()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def n_shuffles(plan: str) -> int:
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", plan)) - len(
+        re.findall(r"ReusedExchange", plan)
+    )
+
+
+# --- TPC-H completion ------------------------------------------------------
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """priority_order_counts must keep the EXISTS as a semi-join —
+    an inner join + distinct would materialize the match fan-out."""
+    plan = plan_of(QUERIES["priority_order_counts"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_q6_full_pushdown_no_join(spark, sf_dir):
+    """forecast_revenue: predicates reach the scan; no join anywhere;
+    ReadSchema carries only the 4 referenced columns."""
+    plan = plan_of(QUERIES["forecast_revenue"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan", plan), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len([c for c in m.group(1).split(",") if c]) <= 4, plan
+
+
+def test_q10_dims_broadcast(spark, sf_dir):
+    """returned_item_customers: customer and nation must broadcast onto
+    the aggregated revenue frame (never shuffle the dims)."""
+    plan = plan_of(QUERIES["returned_item_customers"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q16_anti_join_and_partial_distinct(spark, sf_dir):
+    """part_supplier_diversity: the NOT-IN must be a broadcast anti
+    join; count(DISTINCT) must expand to the two-phase partial form
+    (HashAggregate on (group, suppkey) before the final)."""
+    plan = plan_of(QUERIES["part_supplier_diversity"](spark, sf_dir))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, plan
+
+
+def test_q20_no_cartesian_no_fact_broadcast(spark, sf_dir):
+    """dominant_small_part_suppliers: nested-agg comparison joins on
+    partkey — no CartesianProduct, no broadcast of a fact-derived
+    frame larger than the per-part aggregate."""
+    plan = plan_of(QUERIES["dominant_small_part_suppliers"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_q11_threshold_is_one_row_broadcast(spark, sf_dir):
+    """important_stock: the global threshold must arrive as a 1-row
+    broadcast (BroadcastNestedLoopJoin), not a shuffled join."""
+    plan = plan_of(QUERIES["important_stock"](spark, sf_dir))
+    assert "BroadcastNestedLoop" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+# --- SemDeDup --------------------------------------------------------------
+
+
+def test_semdedup_blocks_on_cluster(spark, sf_dir):
+    """The pair join must be an equi-join on the cluster id (blocked),
+    never a cartesian sweep of the embedding table."""
+    df = QUERIES["semdedup_prune"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_semdedup_survivor_rule(spark, sf_dir):
+    """In every cluster at least one vector survives, and the lowest
+    id in a cluster is never pruned (no lower-id neighbor exists)."""
+    df = QUERIES["semdedup_prune"](spark, sf_dir).cache()
+    try:
+        per_cluster = (
+            df.groupBy("cluster")
+            .agg(
+                F.sum(F.when(~F.col("pruned"), 1).otherwise(0)).alias("kept"),
+                F.min("vec_id").alias("min_id"),
+            )
+            .collect()
+        )
+        assert all(r["kept"] >= 1 for r in per_cluster)
+        min_ids = {r["min_id"] for r in per_cluster}
+        pruned_ids = {
+            r["vec_id"] for r in df.filter("pruned").select("vec_id").collect()
+        }
+        assert not (min_ids & pruned_ids)
+    finally:
+        df.unpersist()
+
+
+# --- duplicate_spans -------------------------------------------------------
+
+
+def test_duplicate_spans_maximal_and_disjoint(spark, sf_dir):
+    """Spans are per-doc disjoint with at least one token gap (maximal
+    merge worked) and every span is >= L tokens."""
+    from sleep_edf_data_pipeline_spark.queries.training_data import SPAN_L
+
+    rows = (
+        QUERIES["duplicate_spans"](spark, sf_dir)
+        .orderBy("doc_id", "span_start")
+        .collect()
+    )
+    assert rows, "expected duplicated spans in the synthetic corpus"
+    prev = None
+    for r in rows:
+        assert r["span_tokens"] >= SPAN_L
+        assert r["span_end"] - r["span_start"] + 1 == r["span_tokens"]
+        if prev is not None and prev["doc_id"] == r["doc_id"]:
+            # a zero- or one-gap adjacency would have merged
+            assert r["span_start"] > prev["span_end"] + 1
+        prev = r
+
+
+def test_duplicate_spans_single_gram_shuffle_no_join(spark, sf_dir):
+    """The frequency mark is a window over the gram — there must be no
+    self-join of the gram frame (one fact-scale exchange for the count,
+    one for the per-doc islands)."""
+    plan = plan_of(QUERIES["duplicate_spans"](spark, sf_dir))
+    assert "Join" not in plan, plan
