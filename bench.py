@@ -59,6 +59,9 @@ HEADLINE = [
     "decontaminate_overlap",
     "repetition_stats",
     "json_props_stats",
+    "duplicate_spans",
+    "semdedup_prune",
+    "returned_item_customers",
 ]
 
 

@@ -60,6 +60,7 @@ SMOKE = [
     # document table — the ones a 100 TB corpus build actually runs.
     "decontaminate_overlap",
     "repetition_stats",
+    "duplicate_spans",
 ]
 
 

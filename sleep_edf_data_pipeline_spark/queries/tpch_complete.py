@@ -189,13 +189,17 @@ LIMIT 20
 # --- Q11: important stock (grouped value vs global-fraction threshold) -----
 
 def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts whose supply value from nations 0-4 exceeds 0.06% of total.
+    """Parts whose supply value from nations 0-4 exceeds 2× the mean.
 
     Q11's nested aggregate (HAVING value > SELECT sum(...)*fraction)
     becomes: one partkey-grouped exact sum, a 1-row global re-agg
     broadcast back, and a filter — no correlated subquery, no second
     fact scan.  Supply value derives from lineitem (no partsupp in
     this schema): revenue shipped by suppliers of the chosen nations.
+    TPC-H's 0.0001/SF fraction is scale-dependent; 2× the per-part
+    mean keeps the selectivity meaningful at every SF.  Both compare
+    operands are exact decimal sums cast once to double, so the
+    comparison is bit-identical cross-engine.
     """
     supp = (
         table(spark, sf_dir, "supplier")
@@ -209,13 +213,15 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_rev()).alias("__value_dec")
     )
     total = by_part.agg(
-        (F.sum("__value_dec") * F.lit(0.0006).cast("decimal(8,4)")).alias(
-            "__threshold"
-        )
+        F.sum("__value_dec").cast("double").alias("__total"),
+        F.count("*").alias("__n_parts"),
     )
     return (
         by_part.crossJoin(F.broadcast(total))
-        .filter(F.col("__value_dec") > F.col("__threshold"))
+        .filter(
+            F.col("__value_dec").cast("double") * F.col("__n_parts")
+            > F.lit(2.0) * F.col("__total")
+        )
         .select(
             F.col("l_partkey").alias("partkey"),
             F.col("__value_dec").cast("double").alias("supply_value"),
@@ -234,7 +240,8 @@ WITH by_part AS (
 SELECT CAST(l_partkey AS INT) AS partkey,
        CAST(value_dec AS DOUBLE) AS supply_value
 FROM by_part
-WHERE value_dec > (SELECT sum(value_dec) * CAST(0.0006 AS DECIMAL(8,4)) FROM by_part)
+WHERE CAST(value_dec AS DOUBLE) * (SELECT count(*) FROM by_part)
+      > 2.0 * (SELECT CAST(sum(value_dec) AS DOUBLE) FROM by_part)
 ORDER BY supply_value DESC, partkey
 """
 

@@ -594,3 +594,97 @@ def test_streaming_episodes_transform_with_state(spark, tmp_path):
         (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2, 3.0),
         (2, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1, 5.0),
     ]
+
+
+def test_streaming_episode_parity_full_seeded_corpus(spark, tmp_path):
+    """Replay the whole seeded nap+night corpus through the stateful
+    episode operator and match the batch islands chain exactly.
+
+    Batch: R7-R9 (double-row_number runs → ≥120-epoch wake-run breaks →
+    running-sum episode ids) over every seeded subject, keeping episodes
+    with sleep.  Stream: sleep epochs as timestamped events through
+    applyInPandasWithState with gap = 121 epochs × 30 s = 3630 s — the
+    exact translation of "wake run ≥ 120 epochs" into a time gap (break
+    when Δidx ≥ 121).  A far-future sentinel per subject closes each
+    final open episode so append mode emits everything; sentinel
+    episodes are dropped before comparing.  The nap in the seed grammar
+    is the adversarial case: it must form its own episode in BOTH paths.
+    """
+    from sleep_edf_data_pipeline_spark.operators.islands import (
+        with_episode_breaks,
+        with_episode_ids,
+        with_run_keys,
+    )
+    from sleep_edf_data_pipeline_spark.sources.seed import seed_epochs
+    from sleep_edf_data_pipeline_spark.streaming.stateful import (
+        streaming_episodes,
+    )
+
+    epochs = seed_epochs(spark, n_subjects=3).select(
+        "subject_id",
+        "epoch_idx",
+        F.when(F.col("stage") == "W", 0).otherwise(1).alias("is_sleep"),
+    )
+
+    # --- batch side: all sleep episodes' (onset, final) bounds
+    chain = with_run_keys(epochs, "is_sleep", ["subject_id"], ["epoch_idx"])
+    chain = with_episode_breaks(chain, gap_epochs=120, partition_by=["subject_id"])
+    chain = with_episode_ids(chain, ["subject_id"], ["epoch_idx"])
+    in_sleep = F.when(F.col("is_sleep") == 1, F.col("epoch_idx"))
+    batch = (
+        chain.groupBy("subject_id", "episode_id")
+        .agg(
+            F.min(in_sleep).alias("onset"),
+            F.max(in_sleep).alias("final"),
+            F.sum("is_sleep").alias("n_sleep"),
+        )
+        .filter(F.col("n_sleep") > 0)
+    )
+    batch_set = {
+        (r["subject_id"], r["onset"], r["final"], r["n_sleep"])
+        for r in batch.collect()
+    }
+    assert len(batch_set) >= 4, "seed grammar should yield nap + night episodes"
+
+    # --- stream side: sleep epochs as events, plus a sentinel per subject
+    sentinel_idx = 10_000_000
+    events = epochs.filter(F.col("is_sleep") == 1).select(
+        F.col("subject_id").cast("bigint").alias("user_id"),
+        F.timestamp_seconds(F.col("epoch_idx").cast("bigint") * 30).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    sentinels = (
+        epochs.select("subject_id")
+        .distinct()
+        .select(
+            F.col("subject_id").cast("bigint").alias("user_id"),
+            F.timestamp_seconds(F.lit(sentinel_idx) * 30).alias("ts"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    src = str(tmp_path / "corpus_events")
+    events.unionByName(sentinels).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, value double"
+    ).parquet(src)
+    q = (
+        streaming_episodes(stream, gap="3630 seconds")
+        .writeStream.format("memory")
+        .queryName("corpus_episode_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM corpus_episode_parity").collect()
+    stream_set = {
+        (
+            r["user_id"],
+            int(r["episode_start"].timestamp()) // 30,
+            int(r["episode_end"].timestamp()) // 30,
+            r["n_events"],
+        )
+        for r in out
+    }
+    assert batch_set == stream_set
