@@ -97,9 +97,12 @@ def with_running_sum(
 #: the same precision as the round-to-6 output contract).  Smaller than
 #: FP_SCALE because the SQUARED sums must fit DECIMAL(38,0):
 #: floor(|x|·2^20) at |x| ≈ 1e9 is ≈ 1.05e15, squared ≈ 1.1e30, so the
-#: 10^38 cap leaves ≈ 1e8 rows/group of headroom (Spark non-ANSI would
-#: NULL the sum silently on overflow while DuckDB errors — keep
-#: |x|·sqrt(rows_per_group) ≲ 1e13 or lower FP_Z for wider data).
+#: 10^38 cap leaves ≈ 1e8 rows/group of headroom.  Under ANSI mode
+#: (the Spark 4 default this engine runs with) decimal overflow RAISES
+#: — matching DuckDB — so an out-of-contract input fails loudly on
+#: both sides instead of silently diverging; legacy non-ANSI sessions
+#: would NULL the sum instead.  Keep |x|·sqrt(rows_per_group) ≲ 1e13
+#: or lower FP_Z for wider data.
 FP_Z = float(1 << 20)
 
 
