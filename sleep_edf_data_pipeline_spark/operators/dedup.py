@@ -477,3 +477,138 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def incremental_minhash_dedup(
+    index_df: DataFrame,
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    shingle_n: int = 1,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Incremental near-dup admission: a NEW batch vs the existing corpus.
+
+    The production dedup workflow at 100 TB is never "re-dedup
+    everything": the historical corpus keeps a persisted band index
+    (``(band_idx, band_key, id)`` plus per-doc hash sets), and each
+    ingest batch is signed, banded, and joined against that index and
+    against itself.  This operator expresses that admission decision;
+    here both sides are signed in one pass for test determinism, while
+    in production the index side's ``agg`` frame IS the stored index —
+    the plan below only ever joins the new batch's bands against it
+    (candidate generation scales with the batch, not the corpus).
+
+    A batch doc is rejected when a verified match (exact Jaccard on
+    hashed shingle sets ≥ ``threshold``) exists against any index doc
+    or any lower-id batch doc (the same deterministic survivor rule as
+    the full-corpus paths).  Returns one row per batch doc:
+    ``(id, keep, dup_of)`` with ``dup_of`` the smallest matching id,
+    NULL when admitted.
+    """
+    union = index_df.select(
+        F.col(id_col), F.col(text_col), F.lit(0).alias("_src")
+    ).unionByName(
+        batch_df.select(F.col(id_col), F.col(text_col), F.lit(1).alias("_src"))
+    )
+    sh = union.select(
+        F.col(id_col),
+        F.col("_src"),
+        F.explode(word_shingles(tokens(F.col(text_col)), shingle_n)).alias("_s"),
+    ).withColumn("_h", hash64(F.col("_s")))
+    agg = sh.groupBy(id_col).agg(
+        *[
+            F.min(perm_hash(F.col("_h"), a, b)).alias(f"_m{j}")
+            for j, (a, b) in enumerate(perm_coeffs(k))
+        ],
+        F.collect_set("_h").alias("_hset"),
+        F.first("_src").alias("_src"),
+    ).persist()
+
+    keys = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    long = agg.select(F.col(id_col), F.col("_src"), keys.alias("_keys")).select(
+        F.col(id_col),
+        "_src",
+        "_keys",
+        F.posexplode("_keys").alias("band_idx", "band_key"),
+    )
+    first_match = None
+    for j in range(bands - 1):
+        cond = (F.col("band_idx") <= j) | (
+            F.element_at("_ka", j + 1) != F.element_at("_kb", j + 1)
+        )
+        first_match = cond if first_match is None else first_match & cond
+    admissible = (F.col("src_b") == 1) & (
+        (F.col("src_a") == 0)
+        | ((F.col("src_a") == 1) & (F.col("id_a") < F.col("id_b")))
+    )
+    cands = (
+        long.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_src").alias("src_a"),
+            F.col("_keys").alias("_ka"),
+            "band_idx",
+            "band_key",
+        )
+        .join(
+            long.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_src").alias("src_b"),
+                F.col("_keys").alias("_kb"),
+                "band_idx",
+                "band_key",
+            ),
+            ["band_idx", "band_key"],
+        )
+        .filter((F.col("id_a") != F.col("id_b")) & admissible & first_match)
+        .select("id_a", "id_b")
+    )
+
+    sets = agg.select(F.col(id_col), F.col("_hset"), F.size("_hset").alias("_n"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).cast("double")
+    union_n = (F.col("n_a") + F.col("n_b")).cast("double") - inter
+    matches = (
+        cands.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_hset").alias("set_a"),
+                F.col("_n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_hset").alias("set_b"),
+                F.col("_n").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "_j",
+            F.round(F.when(union_n > 0, inter / union_n).otherwise(F.lit(0.0)), 6),
+        )
+        .filter(F.col("_j") >= threshold)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        agg.filter(F.col("_src") == 1)
+        .select(F.col(id_col))
+        .join(matches.withColumnRenamed("id_b", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )

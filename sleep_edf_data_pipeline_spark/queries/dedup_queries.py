@@ -354,7 +354,83 @@ FROM comp
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch admission vs an existing corpus index.
+
+    Even doc_ids play the historical corpus, odd doc_ids the incoming
+    batch; each batch doc is admitted unless a verified MinHash-LSH
+    match (Jaccard ≥ 0.6) exists in the index or among lower-id batch
+    docs.  See operators/dedup.py: incremental_minhash_dedup for the
+    production index-side contract.
+    """
+    from ..operators.dedup import incremental_minhash_dedup
+
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    return incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+        k=16,
+        shingle_n=1,
+        bands=4,
+        rows_per_band=4,
+        threshold=0.6,
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = f"""
+WITH t AS (
+    SELECT doc_id, doc_id % 2 AS src,
+           regexp_split_to_array(lower(text), '\\s+') AS words
+    FROM documents
+),
+base AS (
+    SELECT doc_id, src,
+           list_distinct(words) AS wset,
+           list_transform(words, s -> {H64.format(s="s")}) AS hs
+    FROM t
+),
+sigs AS (
+    SELECT doc_id, src, wset,
+        [{", ".join(f"list_min(list_transform(hs, h -> (CAST({a} AS BIGINT) * (h % {PERM_P}) + {b}) % {PERM_P}))" for a, b in _COEFFS)}] AS sig
+    FROM base
+),
+bands AS (
+    SELECT doc_id, src, wset, b AS band_idx,
+           md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',')) AS band_hash
+    FROM sigs
+    CROSS JOIN unnest(range(0, 4)) AS tt(b)
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands AS a
+    JOIN bands AS b USING (band_idx, band_hash)
+    WHERE a.doc_id != b.doc_id
+      AND b.src = 1
+      AND (a.src = 0 OR a.doc_id < b.doc_id)
+),
+verified AS (
+    SELECT c.id_a, c.id_b
+    FROM cands AS c
+    JOIN sigs AS sa ON c.id_a = sa.doc_id
+    JOIN sigs AS sb ON c.id_b = sb.doc_id
+    WHERE round(
+        CAST(len(list_intersect(sa.wset, sb.wset)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(sa.wset, sb.wset))) AS DOUBLE),
+        6) >= 0.6
+),
+matches AS (
+    SELECT id_b AS doc_id, min(id_a) AS dup_of FROM verified GROUP BY id_b
+)
+SELECT s.doc_id, (m.dup_of IS NULL) AS keep, m.dup_of
+FROM sigs s LEFT JOIN matches m USING (doc_id)
+WHERE s.src = 1
+"""
+
+
 QUERIES = {
+    "incremental_dedup": q_incremental_dedup,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
     "minhash_signatures": q_minhash_signatures,
@@ -365,6 +441,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "minhash_signatures": ORACLE_MINHASH_SIGNATURES,
