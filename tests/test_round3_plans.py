@@ -144,3 +144,42 @@ def test_duplicate_spans_single_gram_shuffle_no_join(spark, sf_dir):
     one for the per-doc islands)."""
     plan = plan_of(QUERIES["duplicate_spans"](spark, sf_dir))
     assert "Join" not in plan, plan
+
+
+# --- incremental_dedup -----------------------------------------------------
+
+
+def test_incremental_dedup_no_cartesian(spark, sf_dir):
+    """Candidate generation must stay a band equi-join."""
+    plan = plan_of(QUERIES["incremental_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_incremental_dedup_semantics(spark, sf_dir):
+    """Only batch (odd-id) docs in the output; every exact duplicate of
+    an index doc is rejected with dup_of pointing at a smaller id; keep
+    is exactly (dup_of IS NULL)."""
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    rows = QUERIES["incremental_dedup"](spark, sf_dir).collect()
+    assert rows and all(r["doc_id"] % 2 == 1 for r in rows)
+    assert all((r["dup_of"] is None) == r["keep"] for r in rows)
+    assert all(
+        r["dup_of"] is None or r["dup_of"] < r["doc_id"] or r["dup_of"] % 2 == 0
+        for r in rows
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    by_text = {}
+    for d in docs:
+        by_text.setdefault(d["text"], []).append(d["doc_id"])
+    rejected = {r["doc_id"] for r in rows if not r["keep"]}
+    exact_dup_batch = {
+        i
+        for ids in by_text.values()
+        for i in ids
+        if i % 2 == 1 and any(j != i and (j % 2 == 0 or j < i) for j in ids)
+    }
+    # exact duplicates are Jaccard-1.0 → always verified → always rejected
+    assert exact_dup_batch <= rejected
