@@ -273,7 +273,73 @@ LIMIT 20
 """
 
 
+#: Linear quality-classifier weights (offline-trained contract; the
+#: engine's job is broadcastable scoring, not training).  Ordered as
+#: (alpha_ratio, space_ratio, stopword_ratio, token_diversity,
+#: length_score); bias calibrated to split this corpus near its median.
+CLS_W = (2.0, -1.5, 3.0, 1.5, 0.8)
+CLS_B = -3.5
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality model scored engine-side.
+
+    The production pattern for model-based corpus filtering at 100 TB:
+    weights are a handful of floats folded into the projection as
+    literals (broadcast-by-constant), scoring is one fused columnar
+    expression over features already computed in the scan stage — no
+    UDF, no model server round-trip.  The score stays in logit space
+    (w·x + b, no transcendental), and the dot product runs in exact
+    integer arithmetic: features are round-6 doubles, so
+    ``round(x·10⁶)`` recovers their exact integer micros in any IEEE
+    engine, and the weighted sum of (micros × 10·w) is a plain BIGINT
+    — a float dot product is NOT cross-engine stable (DuckDB's FMA
+    contraction flipped one round-6 boundary in 500 docs at sf0.01).
+    """
+    feats = q_quality_scores(spark, sf_dir)
+
+    def micros(c: str) -> F.Column:
+        return F.round(F.col(c) * 1e6).cast("bigint")
+
+    logit_tm = (  # tenth-micro units: weights ×10 are integers
+        F.lit(int(CLS_W[0] * 10)) * micros("alpha_ratio")
+        + F.lit(int(CLS_W[1] * 10)) * micros("space_ratio")
+        + F.lit(int(CLS_W[2] * 10)) * micros("stopword_ratio")
+        + F.lit(int(CLS_W[3] * 10)) * micros("token_diversity")
+        + F.lit(int(CLS_W[4] * 10)) * micros("length_score")
+        + F.lit(int(CLS_B * 10) * 1_000_000)
+    )
+    # NO round(·, 6) here: the logit's exact value has 7 decimals
+    # (tenth-micro units), so a 6-digit round ties on a half boundary
+    # whenever the last digit is 5 — exactly where Spark (shortest-repr
+    # HALF_UP) and DuckDB (binary-value) rounding diverge.  The single
+    # division of identical BIGINTs is already bit-identical.
+    return feats.select(
+        "doc_id",
+        (logit_tm.cast("double") / F.lit(1e7)).alias("quality_logit"),
+        (logit_tm > 0).alias("is_quality"),
+    )
+
+
+_CLS_TERMS = " + ".join(
+    f"({int(w * 10)} * CAST(round({c} * 1000000) AS BIGINT))"
+    for w, c in zip(
+        CLS_W,
+        ("alpha_ratio", "space_ratio", "stopword_ratio", "token_diversity", "length_score"),
+    )
+)
+
+ORACLE_QUALITY_CLASSIFIER = f"""
+SELECT doc_id,
+       CAST({_CLS_TERMS} + {int(CLS_B * 10) * 1_000_000} AS DOUBLE) / 1e7
+           AS quality_logit,
+       ({_CLS_TERMS} + {int(CLS_B * 10) * 1_000_000}) > 0 AS is_quality
+FROM ({ORACLE_QUALITY_SCORES})
+"""
+
+
 QUERIES = {
+    "quality_classifier": q_quality_classifier,
     "token_stats": q_token_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_tokens": q_vocab_top_tokens,
@@ -283,6 +349,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
     "token_stats": ORACLE_TOKEN_STATS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "vocab_top_tokens": ORACLE_VOCAB_TOP_TOKENS,
