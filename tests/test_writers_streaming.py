@@ -688,3 +688,75 @@ def test_streaming_episode_parity_full_seeded_corpus(spark, tmp_path):
         for r in out
     }
     assert batch_set == stream_set
+
+
+def test_streaming_lsh_admission_matches_batch_bands(spark, tmp_path):
+    """Stream odd docs against the even-docs band index: the admitted
+    set must equal the batch-computed no-band-collision set, and the
+    per-row HOF signer must produce the batch signer's exact bands."""
+    from sleep_edf_data_pipeline_spark.operators.dedup import with_minhash
+    from sleep_edf_data_pipeline_spark.streaming.dedup import (
+        rowwise_minhash_bands,
+        streaming_lsh_admission,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    index_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch_docs = docs.filter(F.col("doc_id") % 2 == 1)
+
+    index_signed = with_minhash(index_docs, "doc_id", "text", k=16, shingle_n=1)
+
+    # batch expectation: band keys from the BATCH signer on both sides
+    def band_keys(signed):
+        return signed.select(
+            "doc_id",
+            *[
+                F.xxhash64(
+                    *[F.element_at("sig", b * 4 + r + 1) for r in range(4)]
+                ).alias(f"band_{b}")
+                for b in range(4)
+            ],
+        )
+
+    idx_b = band_keys(index_signed)
+    bat_b = band_keys(with_minhash(batch_docs, "doc_id", "text", k=16, shingle_n=1))
+    rejected_expected = set()
+    for b in range(4):
+        rejected_expected |= {
+            r["doc_id"]
+            for r in bat_b.join(
+                idx_b.select(F.col(f"band_{b}")).distinct(), f"band_{b}"
+            )
+            .select("doc_id")
+            .collect()
+        }
+    admitted_expected = {
+        r["doc_id"] for r in batch_docs.select("doc_id").collect()
+    } - rejected_expected
+
+    # per-row signer must reproduce the batch band keys exactly
+    row_b = rowwise_minhash_bands(batch_docs, "text").select(
+        "doc_id", *[f"band_{b}" for b in range(4)]
+    )
+    assert {tuple(r) for r in row_b.collect()} == {
+        tuple(r) for r in bat_b.collect()
+    }
+
+    src = str(tmp_path / "admission_src")
+    batch_docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = (
+        streaming_lsh_admission(stream, index_signed)
+        .select("doc_id", "admitted")
+        .writeStream.format("memory")
+        .queryName("lsh_admission")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM lsh_admission").collect()
+    assert len(rows) == batch_docs.count()
+    assert {r["doc_id"] for r in rows if r["admitted"]} == admitted_expected
