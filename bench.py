@@ -62,6 +62,7 @@ HEADLINE = [
     "duplicate_spans",
     "semdedup_prune",
     "returned_item_customers",
+    "quality_classifier",
 ]
 
 
