@@ -183,3 +183,25 @@ def test_incremental_dedup_semantics(spark, sf_dir):
     }
     # exact duplicates are Jaccard-1.0 → always verified → always rejected
     assert exact_dup_batch <= rejected
+
+
+# --- partition pruning on the staged layout --------------------------------
+
+
+def test_partitioned_staging_prunes_partitions(spark, tmp_path):
+    """A subject point-read over the hive-partitioned staging layout
+    must prune at the PARTITION level (PartitionFilters in the scan,
+    only the hit partition's files read) — the property that makes
+    per-subject serving reads O(subject), not O(corpus)."""
+    from sleep_edf_data_pipeline_spark.sources.seed import seed_epochs
+    from sleep_edf_data_pipeline_spark.writers.atomic import write_epochs
+
+    path = str(tmp_path / "staged")
+    write_epochs(seed_epochs(spark, n_subjects=3), path)
+
+    df = spark.read.parquet(path).filter(F.col("subject_id") == 1)
+    plan = plan_of(df)
+    # the predicate must land in PartitionFilters (directory pruning),
+    # not DataFilters (post-scan row filtering)
+    assert re.search(r"PartitionFilters: \[[^\]]*subject_id", plan), plan
+    assert [r["subject_id"] for r in df.select("subject_id").distinct().collect()] == [1]
