@@ -384,3 +384,51 @@ FROM neighbors
 
 QUERIES["linear_interpolation"] = q_linear_interpolation
 ORACLES["linear_interpolation"] = ORACLE_LINEAR_INTERPOLATION
+
+
+def q_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every SQL ranking function in one frame, tie-behavior exercised.
+
+    rank / dense_rank / percent_rank / cume_dist rank customers within
+    their market segment by WHOLE-dollar balance (coarsened on purpose
+    so ties actually occur — tied rows must agree in every engine),
+    while ntile runs over the fully tie-broken (balance, custkey)
+    order, because ntile assigns by row POSITION and is only
+    deterministic under a total order.  percent_rank/cume_dist are
+    single divisions of identical integers — bit-stable unrounded.
+    """
+    cust = table(spark, sf_dir, "customer")
+    coarse = F.floor(F.col("c_acctbal"))
+    w_tie = Window.partitionBy("c_mktsegment").orderBy(F.desc(coarse))
+    w_total = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        coarse.cast("bigint").alias("balance_floor"),
+        F.rank().over(w_tie).alias("bal_rank"),
+        F.dense_rank().over(w_tie).alias("bal_dense_rank"),
+        F.percent_rank().over(w_tie).alias("bal_percent_rank"),
+        F.cume_dist().over(w_tie).alias("bal_cume_dist"),
+        F.ntile(4).over(w_total).alias("bal_quartile"),
+    )
+
+
+ORACLE_RANKING_SUITE = """
+SELECT
+    c_custkey,
+    c_mktsegment,
+    CAST(floor(c_acctbal) AS BIGINT) AS balance_floor,
+    CAST(rank() OVER w_tie AS INT) AS bal_rank,
+    CAST(dense_rank() OVER w_tie AS INT) AS bal_dense_rank,
+    percent_rank() OVER w_tie AS bal_percent_rank,
+    cume_dist() OVER w_tie AS bal_cume_dist,
+    CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS bal_quartile
+FROM customer
+WINDOW w_tie AS (PARTITION BY c_mktsegment ORDER BY floor(c_acctbal) DESC)
+"""
+
+QUERIES["ranking_suite"] = q_ranking_suite
+ORACLES["ranking_suite"] = ORACLE_RANKING_SUITE
