@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_lsh_dedup, tokens, word_shingles
-from ..quality.validate import Check
+from ..quality.validate import Check, not_null
 from ..tables import table
 from ..writers.corpus_export import export_jsonl_shards
 from .runner import Model, ModelRunner
@@ -153,7 +153,7 @@ def build_corpus(
         Model(
             "corpus_raw",
             lambda s: table(s, sf_dir, "documents"),
-            checks=(Check("doc_id_not_null", F.col("doc_id").isNotNull()),),
+            checks=(not_null("doc_id"),),
             unique_keys=(("doc_id",),),
         ),
         Model(
@@ -186,7 +186,8 @@ def build_corpus(
             checks=(
                 Check(
                     "chunk_len_bounded",
-                    (F.col("n_tokens") > 0) & (F.col("n_tokens") <= CHUNK_TOKENS),
+                    (F.col("n_tokens") <= 0)
+                    | (F.col("n_tokens") > CHUNK_TOKENS),
                 ),
             ),
         ),

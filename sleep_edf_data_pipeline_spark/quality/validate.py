@@ -62,8 +62,13 @@ def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     """Evaluate all row-wise checks in one aggregation pass.
 
     Returns (check_name, violations) rows via sum(when)+unpivot — a
-    single scan regardless of check count.
+    single scan regardless of check count.  An empty check list yields
+    an empty result frame (callers may gate on unique_keys alone).
     """
+    if not checks:
+        return df.sparkSession.createDataFrame(
+            [], "check_name string, violations bigint"
+        )
     agg = df.agg(
         *[
             F.sum(F.when(c.violation, 1).otherwise(0))
