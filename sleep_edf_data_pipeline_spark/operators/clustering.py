@@ -92,6 +92,12 @@ def kmeans(
     arithmetic step is engine-portable (see module docstring), so the
     whole loop can be replayed as unrolled SQL by any engine.
     """
+    # One materialization serves seed + every Lloyd round: without it
+    # each iteration re-scans the source (iters+1 full reads).  The
+    # cache is released before returning — the returned assignment
+    # frame re-reads the source lazily, which its (single) consumer
+    # action pays once.
+    vectors = vectors.persist()
     seed_rows = vectors.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in seed_rows]
     dim = len(centroids[0])  # from the seed collect — no extra job
@@ -120,4 +126,5 @@ def kmeans(
             new_centroids[c] = vals
         centroids = new_centroids
 
+    vectors.unpersist()
     return assign_clusters(vectors, centroids, vec_col), centroids

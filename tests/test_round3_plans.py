@@ -205,3 +205,40 @@ def test_partitioned_staging_prunes_partitions(spark, tmp_path):
     # not DataFilters (post-scan row filtering)
     assert re.search(r"PartitionFilters: \[[^\]]*subject_id", plan), plan
     assert [r["subject_id"] for r in df.select("subject_id").distinct().collect()] == [1]
+
+
+# --- triangle_counts -------------------------------------------------------
+
+
+def test_triangle_counts_match_naive(spark, sf_dir):
+    """Degree-oriented enumeration must equal the naive closed-wedge
+    count: total corner count = 3 × #triangles, and per-node counts
+    match a brute-force adjacency check on the collected edge set."""
+    from itertools import combinations
+
+    from sleep_edf_data_pipeline_spark.queries.graph_stats import (
+        _copurchase_edges,
+    )
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in _copurchase_edges(spark, sf_dir)
+        .filter(F.col("src") < F.col("dst"))
+        .collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    naive: dict[int, int] = {}
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            if u < w and v < w:  # count each triangle once at (u<v<w)
+                for node in (u, v, w):
+                    naive[node] = naive.get(node, 0) + 1
+    got = {
+        r["part"]: r["n_triangles"]
+        for r in QUERIES["triangle_counts"](spark, sf_dir).collect()
+    }
+    assert got == naive
+    assert sum(got.values()) % 3 == 0
