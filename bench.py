@@ -63,6 +63,7 @@ HEADLINE = [
     "semdedup_prune",
     "returned_item_customers",
     "quality_classifier",
+    "triangle_counts",
 ]
 
 

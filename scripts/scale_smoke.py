@@ -12,10 +12,16 @@ Corpus construction (/tmp/scale10, written once):
   (part/supp/cust/nation) intentionally UNCHANGED — dims stay fixed
   while fact density per dim key grows 10×, which is how real facts
   grow.
-- ``documents``: 10 copies with doc_id offset and every token suffixed
-  ``_{copy}`` — within-copy duplicate/near-dup structure is preserved
-  exactly, cross-copy similarity is zero, so dedup output scales
-  linearly instead of quadratically-by-construction.
+- ``documents``: 10 copies with doc_id offset and every NON-stopword
+  token given a letters-only per-copy suffix — within-copy
+  duplicate/near-dup structure is preserved exactly; cross-copy
+  Jaccard is only the tiny shared-stopword overlap (~0.1, far below
+  every dedup threshold) so dedup output still scales linearly; and
+  the language-model features (alpha-ratio, stopword-ratio) keep
+  their distribution, so quality stages see realistic text.  (The
+  100x dedup-only corpus keeps the stricter full-suffix scheme —
+  exactly-zero cross-copy similarity — since nothing there scores
+  language features.)
 - ``embeddings``: 10 copies, vec_id offset, one dimension nudged by a
   copy-specific epsilon (keeps vectors distinct; labels unchanged).
 - Small dims (region nation customer supplier part) copied as-is.
@@ -104,9 +110,18 @@ def generate(spark) -> None:
     )
 
     def remap_docs(df, i):
+        from sleep_edf_data_pipeline_spark.operators.text import LANG_MARKERS
+
         toks = F.split(F.col("text"), " ")
+        suffix = chr(97 + i // 26) + chr(97 + i % 26)  # letters only
         newtext = F.concat_ws(
-            " ", F.transform(toks, lambda t: F.concat(t, F.lit(f"_{i}")))
+            " ",
+            F.transform(
+                toks,
+                lambda t: F.when(
+                    t.isin(*LANG_MARKERS["en"]), t
+                ).otherwise(F.concat(t, F.lit(suffix))),
+            ),
         )
         return (
             df.withColumn("doc_id", F.col("doc_id") + F.lit(i * okey))
@@ -157,8 +172,9 @@ def generate_docs100(spark) -> None:
     parts = []
     for i in range(100):
         toks = F.split(F.col("text"), " ")
+        suffix = chr(97 + i // 26) + chr(97 + i % 26)  # letters only
         newtext = F.concat_ws(
-            " ", F.transform(toks, lambda t: F.concat(t, F.lit(f"_{i}")))
+            " ", F.transform(toks, lambda t: F.concat(t, F.lit(suffix)))
         )
         parts.append(
             base.withColumn("doc_id", F.col("doc_id") + F.lit(i * okey))
