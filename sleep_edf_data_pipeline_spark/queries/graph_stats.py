@@ -373,17 +373,31 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # The oriented edge list IS the compressed graph (2 ints/edge) —
+    # orders of magnitude smaller than the wedge stream it closes, so
+    # it broadcasts: the O(m^1.5) wedge frame never shuffles, each
+    # task closes its own wedges against the broadcast edge set.
+    # (On a graph whose edge list outgrows the broadcast budget, drop
+    # the hints and both joins fall back to hash-partitioned shuffles
+    # on their keys — same semantics, pay the wedge exchange.)
     wedges = (
         e.select(F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("k_hi").alias("kb"))
         .join(
-            e.select(F.col("lo").alias("a"), F.col("hi").alias("c"), F.col("k_hi").alias("kc")),
+            F.broadcast(
+                e.select(
+                    F.col("lo").alias("a"),
+                    F.col("hi").alias("c"),
+                    F.col("k_hi").alias("kc"),
+                )
+            ),
             "a",
         )
         .filter(F.col("kb") < F.col("kc"))
         .select("a", "b", "c")
     )
     tri = wedges.join(
-        e.select(F.col("lo").alias("b"), F.col("hi").alias("c")), ["b", "c"]
+        F.broadcast(e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))),
+        ["b", "c"],
     )
     corners = (
         tri.select(F.col("a").alias("part"))
