@@ -1,0 +1,412 @@
+"""Oracle-checked product-quantization queries over the embeddings table.
+
+Extends the similarity-search surface (SURVEY §2.7) with the
+compressed-corpus path: PQ training + encoding (``pq_codes``) and
+asymmetric-distance top-k over the codes (``pq_topk_adc``), plus an
+honest accuracy measurement against the exact scan
+(``pq_recall_eval``).  Every step — the per-subspace fixed-point Lloyd
+loops, the argmin encoding, the ADC distances — is engine-portable
+arithmetic, so the DuckDB oracles replay the full train→encode→search
+pipeline as unrolled SQL and hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.quantization import (
+    adc_distance_tables,
+    adc_topk,
+    pq_encode,
+    train_pq_codebooks,
+)
+from ..tables import spread, table
+
+#: PQ geometry: 64-dim embeddings → 4 subspaces × 16 dims, 16 centroids
+#: per subspace (4-bit codes; 64 floats → 4 small ints).  2 Lloyd
+#: rounds keeps the unrolled oracle tractable while moving centroids
+#: well off their seeds.
+PQ_DIM = 64
+PQ_M = 4
+PQ_K = 16
+PQ_ITERS = 2
+PQ_SUB = PQ_DIM // PQ_M
+
+#: ADC search: top-5 neighbors for the 8 lowest-id vectors.
+PQ_QUERIES = 8
+PQ_TOPK = 5
+
+#: Refine stage: exact re-rank of the top-R ADC shortlist.  R is sized
+#: for the corpus: 4-bit-per-subspace codes on near-random synthetic
+#: vectors are the worst case for PQ, so the shortlist must be wide to
+#: recover the true top-5 (measured: recall@5 0.175 raw → 0.875
+#: refined at R=100 on sf0.001).  At production scale R stays fixed
+#: while the corpus grows — the refine join touches R×queries float
+#: vectors, not the corpus.
+PQ_REFINE = 100
+
+_FP = "268435456.0"  # 2^28 — operators.clustering.FP_SCALE
+
+
+def _train_and_encode(spark: SparkSession, sf_dir: str):
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    books = train_pq_codebooks(
+        emb, dim=PQ_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS
+    )
+    return emb, books, pq_encode(emb, books)
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compress the corpus: 4 one-byte codes per 64-dim vector.
+
+    Training is 4 independent fixed-point Lloyd runs on embedding
+    slices; encoding is a shuffle-free codegen projection (codebooks
+    folded to literals).  At 100 TB this is the write-once job that
+    shrinks the ANN-scannable corpus 64×.
+    """
+    _, _, codes = _train_and_encode(spark, sf_dir)
+    return codes.select("vec_id", *[f"code_{j}" for j in range(PQ_M)])
+
+
+def q_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5: scan the 4-byte codes, never the float vectors.
+
+    Per query one m×k distance table is computed driver-side (the
+    small-collect exception: 8 × 64 floats in, 8 × 64 doubles out) and
+    broadcast; corpus distance = 4 array lookups + 3 adds per row
+    inside codegen.
+    """
+    emb, books, codes = _train_and_encode(spark, sf_dir)
+    qrows = (
+        emb.filter(F.col("vec_id") < PQ_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    tables = adc_distance_tables(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows], books
+    )
+    qdf = spark.createDataFrame(tables, "query_id int, dtable array<double>")
+    return adc_topk(codes, qdf, m=PQ_M, k=PQ_K, top_k=PQ_TOPK)
+
+
+def _exact_sq() -> F.Column:
+    # Cast inside the lambda: both sides are array<float> and float
+    # arithmetic would diverge from the oracle's double math.
+    return F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("embedding"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _query_frames(spark: SparkSession, sf_dir: str):
+    """(emb, codes, broadcast dtable frame, broadcast query-vector frame)."""
+    emb, books, codes = _train_and_encode(spark, sf_dir)
+    qrows = (
+        emb.filter(F.col("vec_id") < PQ_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    tables = adc_distance_tables(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows], books
+    )
+    qdf = spark.createDataFrame(tables, "query_id int, dtable array<double>")
+    qvec = emb.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return emb, codes, qdf, qvec
+
+
+def _refined_topk(emb: DataFrame, codes: DataFrame, qdf, qvec) -> DataFrame:
+    """ADC shortlist (top-R over codes) → exact re-rank → top-5.
+
+    The production PQ pipeline: the corpus-wide scan touches only the
+    4-byte codes; exact float distances are recomputed for R×queries
+    shortlisted rows (a broadcast-joinable sliver at any scale)."""
+    from pyspark.sql import Window
+
+    shortlist = adc_topk(codes, qdf, m=PQ_M, k=PQ_K, top_k=PQ_REFINE)
+    refined = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", _exact_sq().alias("_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("neighbor_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            "query_id", "neighbor_id", F.round("_d", 6).alias("l2_sq"), "rank"
+        )
+    )
+
+
+def q_pq_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search with exact refine: codes-only scan, float re-rank of
+    the R-wide shortlist — recall 0.875 vs raw ADC's 0.175 here."""
+    emb, codes, qdf, qvec = _query_frames(spark, sf_dir)
+    return _refined_topk(emb, codes, qdf, qvec)
+
+
+def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of raw-ADC and refined search vs the exact top-5.
+
+    The honest accuracy contract of the compressed path (same role
+    ann_recall_eval plays for IVF): per query,
+    |approx top-5 ∩ exact top-5| / 5 for both search variants.
+    """
+    from pyspark.sql import Window
+
+    emb, codes, qdf, qvec = _query_frames(spark, sf_dir)
+    adc5 = adc_topk(codes, qdf, m=PQ_M, k=PQ_K, top_k=PQ_TOPK)
+    refined5 = _refined_topk(emb, codes, qdf, qvec)
+
+    scored = (
+        emb.crossJoin(F.broadcast(qvec))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), _exact_sq().alias("_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("neighbor_id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hits_adc = adc5.join(exact, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hit_adc")
+    )
+    hits_ref = refined5.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("n_hit_refined"))
+    base = adc5.groupBy("query_id").agg(F.count("*").alias("_n"))
+    return (
+        base.join(hits_adc, "query_id", "left")
+        .join(hits_ref, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit_adc", F.lit(0)).cast("int").alias("n_hit_adc"),
+            F.coalesce("n_hit_refined", F.lit(0)).cast("int").alias(
+                "n_hit_refined"
+            ),
+            (F.coalesce("n_hit_adc", F.lit(0)) / F.lit(float(PQ_TOPK))).alias(
+                "recall_adc"
+            ),
+            (
+                F.coalesce("n_hit_refined", F.lit(0)) / F.lit(float(PQ_TOPK))
+            ).alias("recall_refined"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles: unrolled per-subspace Lloyd chains → encode → ADC.
+# Mirrors queries/similarity_queries._kmeans_cte_chain, parameterized by
+# subspace slice and CTE prefix.
+# --------------------------------------------------------------------------
+
+
+def _subspace_chain(j: int, k: int = PQ_K, iters: int = PQ_ITERS) -> list[str]:
+    lo, hi = j * PQ_SUB + 1, (j + 1) * PQ_SUB + 1
+    p = f"s{j}_"
+    rng = f"range({lo}, {hi})"
+    sub_rng = f"range(1, {PQ_SUB + 1})"
+    sq = f"list_sum([ (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]) for i in {sub_rng} ])"
+    ctes = [
+        f"{p}emb AS (\n    SELECT vec_id,"
+        f" [CAST(embedding[i] AS DOUBLE) for i in {rng}] AS v\n"
+        f"    FROM embeddings\n)",
+        f"{p}c0 AS (\n    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)"
+        f" AS cluster, v AS c\n    FROM {p}emb ORDER BY vec_id LIMIT {k}\n)",
+    ]
+    for it in range(iters + 1):
+        ctes.append(
+            f"{p}d{it} AS (\n    SELECT e.vec_id, e.v, c.cluster, {sq} AS d\n"
+            f"    FROM {p}emb e CROSS JOIN {p}c{it} c\n)"
+        )
+        ctes.append(
+            f"{p}a{it} AS (\n    SELECT vec_id, v, cluster, d FROM (\n"
+            f"        SELECT *, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY d, cluster) AS rn FROM {p}d{it}\n"
+            f"    ) WHERE rn = 1\n)"
+        )
+        if it == iters:
+            break
+        ctes.append(
+            f"{p}u{it} AS (\n    SELECT a.cluster, t.i AS dim,\n"
+            f"        CAST(SUM(CAST(floor(a.v[t.i] * {_FP}) AS BIGINT))"
+            f" AS DOUBLE) / ({_FP} * COUNT(*)) AS m\n"
+            f"    FROM {p}a{it} a CROSS JOIN generate_series(1, {PQ_SUB}) AS t(i)\n"
+            f"    GROUP BY a.cluster, t.i\n)"
+        )
+        ctes.append(
+            f"{p}g{it} AS (\n    SELECT cluster, list(m ORDER BY dim) AS c"
+            f" FROM {p}u{it} GROUP BY cluster\n)"
+        )
+        ctes.append(
+            f"{p}c{it + 1} AS (\n    SELECT p.cluster, COALESCE(g.c, p.c) AS c\n"
+            f"    FROM {p}c{it} p LEFT JOIN {p}g{it} g USING (cluster)\n)"
+        )
+    return ctes
+
+
+def _codes_cte() -> list[str]:
+    ctes: list[str] = []
+    for j in range(PQ_M):
+        ctes.extend(_subspace_chain(j))
+    joins = " ".join(
+        f"JOIN s{j}_a{PQ_ITERS} s{j} USING (vec_id)" if j else ""
+        for j in range(PQ_M)
+    )
+    sel = ", ".join(f"s{j}.cluster AS code_{j}" for j in range(1, PQ_M))
+    ctes.append(
+        f"codes AS (\n    SELECT vec_id, s0.cluster AS code_0, {sel}\n"
+        f"    FROM s0_a{PQ_ITERS} s0 {joins}\n)"
+    )
+    return ctes
+
+
+def _pq_codes_oracle() -> str:
+    cols = ", ".join(f"code_{j}" for j in range(PQ_M))
+    return (
+        "WITH\n" + ",\n".join(_codes_cte()) + f"\nSELECT vec_id, {cols} FROM codes"
+    )
+
+
+
+
+_EXACT_D = (
+    f"list_sum([ (q.v[i] - CAST(e.embedding[i] AS DOUBLE))"
+    f" * (q.v[i] - CAST(e.embedding[i] AS DOUBLE))"
+    f" for i in range(1, {PQ_DIM + 1}) ])"
+)
+
+
+def _adc_ctes() -> list[str]:
+    """codes + query + raw-ADC-distance CTEs shared by all search oracles."""
+    ctes = _codes_cte()
+    ctes.append(
+        "q AS (\n    SELECT vec_id AS query_id,"
+        f" [CAST(embedding[i] AS DOUBLE) for i in range(1, {PQ_DIM + 1})] AS v\n"
+        f"    FROM embeddings WHERE vec_id < {PQ_QUERIES}\n)"
+    )
+    # dist = sum over subspaces of the query->assigned-centroid subspace
+    # distance -- exactly the ADC table entry the Spark side looks up.
+    terms = []
+    joins = []
+    for j in range(PQ_M):
+        joins.append(
+            f"JOIN s{j}_c{PQ_ITERS} b{j} ON b{j}.cluster = codes.code_{j}"
+        )
+        terms.append(
+            f"list_sum([ (q.v[{j * PQ_SUB} + i] - b{j}.c[i])"
+            f" * (q.v[{j * PQ_SUB} + i] - b{j}.c[i])"
+            f" for i in range(1, {PQ_SUB + 1}) ])"
+        )
+    ctes.append(
+        "adc AS (\n    SELECT q.query_id, codes.vec_id AS neighbor_id,\n"
+        f"        {' + '.join(terms)} AS d\n"
+        f"    FROM codes CROSS JOIN q {' '.join(joins)}\n"
+        "    WHERE codes.vec_id != q.query_id\n)"
+    )
+    ctes.append(
+        "adc_ranked AS (\n    SELECT query_id, neighbor_id, d,"
+        " CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id)"
+        " AS INT) AS rank\n    FROM adc\n)"
+    )
+    return ctes
+
+
+def _refined_ctes() -> list[str]:
+    """shortlist -> exact re-rank CTEs (appended after _adc_ctes)."""
+    return [
+        f"shortlist AS (\n    SELECT query_id, neighbor_id FROM adc_ranked"
+        f" WHERE rank <= {PQ_REFINE}\n)",
+        "refined AS (\n    SELECT s.query_id, s.neighbor_id,"
+        f" {_EXACT_D} AS d\n"
+        "    FROM shortlist s JOIN embeddings e ON e.vec_id = s.neighbor_id\n"
+        "    JOIN q ON q.query_id = s.query_id\n)",
+        "refined_ranked AS (\n    SELECT query_id, neighbor_id, d,"
+        " CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id)"
+        " AS INT) AS rank\n    FROM refined\n)",
+    ]
+
+
+def _pq_adc_oracle() -> str:
+    return (
+        "WITH\n"
+        + ",\n".join(_adc_ctes())
+        + "\nSELECT query_id, neighbor_id, round(d, 6) AS adc_dist, rank"
+        + f"\nFROM adc_ranked WHERE rank <= {PQ_TOPK}"
+    )
+
+
+def _pq_refined_oracle() -> str:
+    return (
+        "WITH\n"
+        + ",\n".join(_adc_ctes() + _refined_ctes())
+        + "\nSELECT query_id, neighbor_id, round(d, 6) AS l2_sq, rank"
+        + f"\nFROM refined_ranked WHERE rank <= {PQ_TOPK}"
+    )
+
+
+def _pq_recall_oracle() -> str:
+    ctes = _adc_ctes() + _refined_ctes()
+    ctes.append(
+        "exact AS (\n    SELECT query_id, neighbor_id FROM (\n"
+        "        SELECT q.query_id, e.vec_id AS neighbor_id,\n"
+        "            row_number() OVER (PARTITION BY q.query_id ORDER BY\n"
+        f"                {_EXACT_D}, e.vec_id) AS rn\n"
+        "        FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id\n"
+        f"    ) WHERE rn <= {PQ_TOPK}\n)"
+    )
+    ctes.append(
+        f"approx5 AS (\n    SELECT query_id, neighbor_id FROM adc_ranked"
+        f" WHERE rank <= {PQ_TOPK}\n)"
+    )
+    ctes.append(
+        f"refined5 AS (\n    SELECT query_id, neighbor_id FROM refined_ranked"
+        f" WHERE rank <= {PQ_TOPK}\n)"
+    )
+    return (
+        "WITH\n"
+        + ",\n".join(ctes)
+        + "\nSELECT b.query_id,"
+        " CAST(COALESCE(ha.n, 0) AS INT) AS n_hit_adc,"
+        " CAST(COALESCE(hr.n, 0) AS INT) AS n_hit_refined,"
+        + f" COALESCE(ha.n, 0) / {float(PQ_TOPK)} AS recall_adc,"
+        + f" COALESCE(hr.n, 0) / {float(PQ_TOPK)} AS recall_refined\n"
+        "FROM (SELECT query_id, count(*) AS n FROM approx5 GROUP BY query_id) b\n"
+        "LEFT JOIN (\n    SELECT a.query_id, count(*) AS n FROM approx5 a"
+        " JOIN exact x ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id"
+        " GROUP BY a.query_id\n) ha USING (query_id)\n"
+        "LEFT JOIN (\n    SELECT r.query_id, count(*) AS n FROM refined5 r"
+        " JOIN exact x ON r.query_id = x.query_id AND r.neighbor_id = x.neighbor_id"
+        " GROUP BY r.query_id\n) hr USING (query_id)"
+    )
+
+
+QUERIES = {
+    "pq_codes": q_pq_codes,
+    "pq_topk_adc": q_pq_topk_adc,
+    "pq_topk_refined": q_pq_topk_refined,
+    "pq_recall_eval": q_pq_recall_eval,
+}
+
+ORACLES = {
+    "pq_codes": _pq_codes_oracle(),
+    "pq_topk_adc": _pq_adc_oracle(),
+    "pq_topk_refined": _pq_refined_oracle(),
+    "pq_recall_eval": _pq_recall_oracle(),
+}
