@@ -1,0 +1,463 @@
+"""Corpus-quality / data-selection queries for the LLM-training surface.
+
+Adds the data-*selection* layer on top of the existing filters:
+
+- ``bloom_decontaminate`` — the exact benchmark-overlap join behind an
+  8 KB Bloom-bitset prefilter (operators/bloom.py): same output as
+  ``decontaminate_overlap`` (the oracle *is* the exact join — bloom
+  false negatives are impossible), but the corpus-side scan probes a
+  fixed-size literal bitset instead of broadcasting the gram strings.
+- ``dsir_importance_weights`` — Data Selection via Importance
+  Resampling (Xie et al., NeurIPS 2023): per-document log-likelihood
+  ratio between a target distribution (here ``lang = 'en'``) and the
+  raw corpus over hashed bigram buckets.  All probabilities are exact
+  integer ratios; log-ratios are quantized to integer micro-nats
+  (``round(ln(r)·1e6)``) so per-doc sums are order-free BIGINTs —
+  bit-stable in any engine.
+- ``unigram_logprob_scores`` — CCNet-style LM quality proxy: mean
+  negative log-probability per token under the corpus's own unigram
+  LM, same micro-nat quantization.
+- ``importance_resample`` — deterministic Bernoulli sampling with
+  P(keep) ∝ document length, decided by a *pure integer* comparison
+  (``hash·maxc < n_chars·2^20``) — reproducible shard-by-shard with
+  no float boundary anywhere.
+- ``length_bucket_packing`` — padding-waste accounting for fixed
+  power-of-two batch buckets (the sequence-bucketing efficiency
+  metric for training dataloaders).
+- ``corpus_shuffle_order`` — deterministic global training order:
+  hash-derived shard + in-shard position, the engine-reproducible
+  equivalent of a seeded shuffle.
+
+Everything is built-ins (zero UDFs); per-doc reductions are
+map-side-combinable groupBys; the only broadcast sides are
+fixed-size by construction (4096 LLR buckets, the token vocabulary,
+one scalar row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash64, hash64_sql
+from ..operators.bloom import bloom_might_contain, build_bloom
+from ..operators.dedup import tokens, word_shingles
+from ..tables import spread, table
+from .training_data import (
+    _GRAMS_SQL,
+    DECONTAM_N,
+    EVAL_MOD,
+    ORACLE_DECONTAMINATE_OVERLAP,
+)
+
+#: DSIR hashed-feature space (buckets for bigram counts).
+DSIR_BUCKETS = 4096
+
+#: importance_resample: probability granularity 2^20 (exact integers).
+RESAMPLE_SCALE = 1 << 20
+
+#: Training shards for the deterministic global shuffle.
+N_SHARDS = 8
+
+#: Sequence-length batch buckets (power-of-two tops; corpus docs are
+#: 10-99 tokens).
+LENGTH_BUCKETS = (16, 32, 64, 128)
+
+
+# --------------------------------------------------------------------------
+# bloom_decontaminate
+# --------------------------------------------------------------------------
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination with a Bloom-prefiltered confirm join.
+
+    Two-phase: (1) every train gram probes an 8 KB bitset of the eval
+    split's grams inside codegen — no join, no shuffle; (2) only
+    maybe-hits enter the exact confirm join (false positives die
+    there, false negatives cannot exist), then counts re-merge with
+    the clean rows.  Output ≡ ``decontaminate_overlap`` — same oracle.
+
+    At 100 TB: phase 1's cost is a constant-size literal probe per
+    gram; phase 2's join input shrinks from the whole corpus to the
+    contamination rate (~% of rows), so the broadcast-join cost stops
+    scaling with the corpus entirely.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), DECONTAM_N))
+        ).alias("gram"),
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    train = grams.filter(~is_eval)
+
+    words = build_bloom(eval_grams, "gram")
+    maybe = train.withColumn("_maybe", bloom_might_contain(words, F.col("gram")))
+
+    confirmed = (
+        maybe.filter(F.col("_maybe"))
+        .join(F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "gram", "left")
+        .select("doc_id", F.coalesce("_hit", F.lit(0)).alias("_hit"))
+    )
+    clean = maybe.filter(~F.col("_maybe")).select(
+        "doc_id", F.lit(0).alias("_hit")
+    )
+    return (
+        confirmed.unionByName(clean)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("_hit").cast("bigint").alias("n_contaminated"),
+        )
+        .withColumn("drop_doc", F.col("n_contaminated") > 0)
+    )
+
+
+# Lossless by construction: the oracle is the exact join.
+ORACLE_BLOOM_DECONTAMINATE = ORACLE_DECONTAMINATE_OVERLAP
+
+
+# --------------------------------------------------------------------------
+# dsir_importance_weights
+# --------------------------------------------------------------------------
+
+
+def _bigrams(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(word_shingles(tokens(F.col("text")), 2)).alias("gram"),
+    )
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR: per-doc importance = Σ log(p_target/p_raw) over hashed
+    bigram features (target = English docs), in integer micro-nats.
+
+    Plan: one corpus pass explodes bigrams; two map-side-combinable
+    groupBys build the 4096-bucket count tables; the per-bucket LLR
+    frame broadcasts back; one groupBy(doc_id) sums BIGINT micro-nats.
+    Laplace-smoothed probabilities are exact integer ratios, so the
+    ln() argument is a bit-identical double in every engine.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    grams = _bigrams(docs).withColumn(
+        "bucket", hash64(F.col("gram")) % DSIR_BUCKETS
+    )
+    raw = grams.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt = (
+        grams.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    totals = grams.agg(
+        F.count("*").alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nt"),
+    )
+    b = F.lit(DSIR_BUCKETS).cast("bigint")
+    llr_micro = F.round(
+        F.log(
+            ((F.coalesce("ct", F.lit(0)) + 1) * (F.col("nr") + b)).cast("double")
+            / ((F.col("cr") + 1) * (F.col("nt") + b)).cast("double")
+        )
+        * F.lit(1e6)
+    ).cast("bigint")
+    llr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("bucket", llr_micro.alias("llr_micro"))
+    )
+    return (
+        grams.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("llr_micro").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("_s").cast("double") / F.lit(1e6)).alias("total_llr"),
+            (
+                F.col("_s").cast("double")
+                / (F.lit(1e6) * F.col("n_grams").cast("double"))
+            ).alias("avg_llr"),
+        )
+    )
+
+
+_BIGRAMS_SQL = """
+    SELECT doc_id, lang, gram FROM (
+        SELECT doc_id, lang,
+               unnest(CASE WHEN len(w) >= 2
+                   THEN [array_to_string(w[i:i + 1], ' ')
+                         FOR i IN range(1, len(w))]
+                   ELSE [array_to_string(w, ' ')] END) AS gram
+        FROM (SELECT doc_id, lang,
+                     regexp_split_to_array(lower(text), '\\s+') AS w
+              FROM documents)
+    )
+"""
+
+ORACLE_DSIR_IMPORTANCE_WEIGHTS = f"""
+WITH grams AS (
+    SELECT doc_id, lang,
+           {hash64_sql("gram")} % {DSIR_BUCKETS} AS bucket
+    FROM ({_BIGRAMS_SQL})
+),
+raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM grams GROUP BY bucket),
+tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM grams
+        WHERE lang = 'en' GROUP BY bucket),
+totals AS (
+    SELECT CAST(count(*) AS BIGINT) AS nr,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt
+    FROM grams
+),
+llr AS (
+    SELECT r.bucket,
+           CAST(round(ln(
+               CAST((COALESCE(t.ct, 0) + 1) * (s.nr + {DSIR_BUCKETS}) AS DOUBLE)
+               / CAST((r.cr + 1) * (s.nt + {DSIR_BUCKETS}) AS DOUBLE)
+           ) * 1e6, 0) AS BIGINT) AS llr_micro
+    FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN totals s
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(l.llr_micro) AS DOUBLE) / 1e6 AS total_llr,
+       CAST(sum(l.llr_micro) AS DOUBLE)
+           / (1e6 * CAST(count(*) AS DOUBLE)) AS avg_llr
+FROM grams g JOIN llr l USING (bucket)
+GROUP BY g.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# unigram_logprob_scores
+# --------------------------------------------------------------------------
+
+
+def q_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-token surprisal under the corpus unigram LM.
+
+    The CCNet-style quality proxy without an external model: frequent
+    tokens are cheap, rare tokens expensive; each token's surprisal
+    ``ln(N/count)`` is quantized once to integer micro-nats and the
+    per-doc mean is an exact BIGINT sum divided once — order-free.
+    The vocabulary frame broadcasts (it is the corpus's distinct
+    tokens — bounded and tiny relative to the corpus).
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    sur = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.round(
+                F.log(F.col("n_total").cast("double") / F.col("c").cast("double"))
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("sur_micro"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(sur), "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("sur_micro").alias("_s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("_s").cast("double")
+                / (F.lit(1e6) * F.col("n_tokens").cast("double"))
+            ).alias("mean_nll"),
+        )
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB_SCORES = """
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+    FROM documents
+),
+counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+sur AS (
+    SELECT tok,
+           CAST(round(ln(CAST(t.n_total AS DOUBLE) / CAST(c.c AS DOUBLE))
+                * 1e6, 0) AS BIGINT) AS sur_micro
+    FROM counts c CROSS JOIN total t
+)
+SELECT k.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(s.sur_micro) AS DOUBLE)
+           / (1e6 * CAST(count(*) AS DOUBLE)) AS mean_nll
+FROM toks k JOIN sur s USING (tok)
+GROUP BY k.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# importance_resample
+# --------------------------------------------------------------------------
+
+
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli resampling with P(keep) ∝ doc length.
+
+    The keep decision is a pure integer comparison —
+    ``(hash % 2^20) · max_chars < n_chars · 2^20`` — so the sample is
+    bit-reproducible in any engine and restartable at any scale (no
+    RNG state, no float threshold).  Expected kept fraction per doc =
+    n_chars / max_chars.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    maxc = docs.agg(F.max("n_chars").alias("maxc"))
+    u = hash64(F.col("doc_id").cast("string"), seed="resample") % RESAMPLE_SCALE
+    return (
+        docs.crossJoin(F.broadcast(maxc))
+        .filter(
+            u * F.col("maxc").cast("bigint")
+            < F.col("n_chars").cast("bigint") * RESAMPLE_SCALE
+        )
+        .select("doc_id", "n_chars", "lang", "source")
+    )
+
+
+ORACLE_IMPORTANCE_RESAMPLE = f"""
+WITH m AS (SELECT max(n_chars) AS maxc FROM documents)
+SELECT doc_id, n_chars, lang, source
+FROM documents CROSS JOIN m
+WHERE ({hash64_sql("CAST(doc_id AS VARCHAR)", seed="resample")} % {RESAMPLE_SCALE})
+      * CAST(maxc AS BIGINT)
+      < CAST(n_chars AS BIGINT) * {RESAMPLE_SCALE}
+"""
+
+
+# --------------------------------------------------------------------------
+# length_bucket_packing
+# --------------------------------------------------------------------------
+
+
+def q_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting for power-of-two sequence buckets.
+
+    Each doc lands in the smallest bucket whose capacity covers its
+    token count; per bucket the fill ratio (= 1 − padding waste at
+    batch size 1) is an exact integer ratio divided once.  The
+    dataloader-efficiency metric sequence bucketing optimizes.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    n = F.size(tokens(F.col("text")))
+    bucket = F.when(n <= LENGTH_BUCKETS[0], LENGTH_BUCKETS[0])
+    for top in LENGTH_BUCKETS[1:]:
+        bucket = bucket.when(n <= top, top)
+    bucket = bucket.otherwise(LENGTH_BUCKETS[-1])
+    return (
+        docs.select(bucket.alias("bucket_top"), n.alias("_n"))
+        .groupBy("bucket_top")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "bucket_top",
+            "n_docs",
+            "total_tokens",
+            (
+                F.col("total_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket_top")).cast("double")
+            ).alias("fill_ratio"),
+        )
+    )
+
+
+_BUCKET_CASE = (
+    f"CASE WHEN n <= {LENGTH_BUCKETS[0]} THEN {LENGTH_BUCKETS[0]} "
+    + " ".join(
+        f"WHEN n <= {top} THEN {top}" for top in LENGTH_BUCKETS[1:]
+    )
+    + f" ELSE {LENGTH_BUCKETS[-1]} END"
+)
+
+ORACLE_LENGTH_BUCKET_PACKING = f"""
+WITH sized AS (
+    SELECT len(regexp_split_to_array(lower(text), '\\s+')) AS n FROM documents
+),
+bucketed AS (SELECT {_BUCKET_CASE} AS bucket_top, n FROM sized)
+SELECT CAST(bucket_top AS INT) AS bucket_top,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(n) AS DOUBLE) / CAST(count(*) * bucket_top AS DOUBLE)
+           AS fill_ratio
+FROM bucketed
+GROUP BY bucket_top
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus_shuffle_order
+# --------------------------------------------------------------------------
+
+
+def q_corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: shard + in-shard position.
+
+    The engine-reproducible seeded shuffle: shard = keyed hash mod
+    N_SHARDS (a single corpus-wide repartition-by-hash at scale);
+    position = rank by an independent keyed hash within the shard.
+    No RNG, no driver state — any engine reproduces the exact order,
+    which is what makes checkpoint-resume and multi-epoch replays
+    auditable.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    key = F.col("doc_id").cast("string")
+    shard = (hash64(key, seed="shard") % N_SHARDS).cast("int")
+    order = hash64(key, seed="order")
+    w = Window.partitionBy("shard").orderBy(F.asc("_order"), F.asc("doc_id"))
+    return (
+        docs.select(
+            "doc_id", shard.alias("shard"), order.alias("_order")
+        )
+        .withColumn("position", F.row_number().over(w))
+        .select("doc_id", "shard", "position")
+    )
+
+
+_SHARD_SQL = f"{hash64_sql('CAST(doc_id AS VARCHAR)', seed='shard')} % {N_SHARDS}"
+_ORDER_SQL = hash64_sql("CAST(doc_id AS VARCHAR)", seed="order")
+
+ORACLE_CORPUS_SHUFFLE_ORDER = f"""
+SELECT doc_id,
+       CAST({_SHARD_SQL} AS INT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY {_SHARD_SQL} ORDER BY {_ORDER_SQL}, doc_id
+       ) AS INT) AS position
+FROM documents
+"""
+
+
+QUERIES = {
+    "bloom_decontaminate": q_bloom_decontaminate,
+    "dsir_importance_weights": q_dsir_importance_weights,
+    "unigram_logprob_scores": q_unigram_logprob_scores,
+    "importance_resample": q_importance_resample,
+    "length_bucket_packing": q_length_bucket_packing,
+    "corpus_shuffle_order": q_corpus_shuffle_order,
+}
+
+ORACLES = {
+    "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
+    "dsir_importance_weights": ORACLE_DSIR_IMPORTANCE_WEIGHTS,
+    "unigram_logprob_scores": ORACLE_UNIGRAM_LOGPROB_SCORES,
+    "importance_resample": ORACLE_IMPORTANCE_RESAMPLE,
+    "length_bucket_packing": ORACLE_LENGTH_BUCKET_PACKING,
+    "corpus_shuffle_order": ORACLE_CORPUS_SHUFFLE_ORDER,
+}

@@ -46,6 +46,8 @@ _MODULES = [
     # into the driver window next round per the policy above.
     "sleep_edf_data_pipeline_spark.queries.training_data",
     "sleep_edf_data_pipeline_spark.queries.tpch_complete",
+    "sleep_edf_data_pipeline_spark.queries.quantization_queries",
+    "sleep_edf_data_pipeline_spark.queries.corpus_quality",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

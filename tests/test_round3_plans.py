@@ -242,3 +242,106 @@ def test_triangle_counts_match_naive(spark, sf_dir):
     }
     assert got == naive
     assert sum(got.values()) % 3 == 0
+
+
+# --- product quantization --------------------------------------------------
+
+
+def test_pq_encode_is_shuffle_free(spark, sf_dir):
+    """Encoding must be a pure codegen projection: codebooks are
+    literals, so compressing the corpus adds zero Exchanges beyond the
+    scan (the write-once job that shrinks the corpus 64x must not
+    shuffle it)."""
+    from sleep_edf_data_pipeline_spark.operators.quantization import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, dim=64, m=4, k=4, iters=1)
+    df = pq_encode(emb, books).select("vec_id", "code_0", "code_1", "code_2", "code_3")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+
+
+def test_pq_codes_in_range_and_total(spark, sf_dir):
+    rows = QUERIES["pq_codes"](spark, sf_dir).collect()
+    assert len(rows) == spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    for r in rows:
+        for j in range(4):
+            assert 0 <= r[f"code_{j}"] < 16
+
+
+def test_pq_refined_recall_reasonable(spark, sf_dir):
+    """The refined path (ADC shortlist + exact re-rank) must recover
+    most of the true top-5 even on near-random vectors — the
+    production accuracy contract (exact values are pinned by the
+    oracle; this bounds semantic drift)."""
+    rows = QUERIES["pq_recall_eval"](spark, sf_dir).collect()
+    assert rows, "no queries evaluated"
+    mean_ref = sum(r["recall_refined"] for r in rows) / len(rows)
+    mean_adc = sum(r["recall_adc"] for r in rows) / len(rows)
+    assert mean_ref >= 0.6, (mean_ref, mean_adc)
+    assert mean_ref >= mean_adc  # refine can only use a superset shortlist
+
+
+# --- corpus quality / selection --------------------------------------------
+
+
+def test_bloom_prefilter_selective(spark, sf_dir):
+    """The bitset must reject the overwhelming majority of clean grams
+    (false positives are the only cost — false negatives are
+    structurally impossible, which the oracle parity test proves by
+    matching the exact join's output)."""
+    from sleep_edf_data_pipeline_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+    )
+    from sleep_edf_data_pipeline_spark.operators.dedup import tokens, word_shingles
+    from sleep_edf_data_pipeline_spark.queries.training_data import (
+        DECONTAM_N,
+        EVAL_MOD,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), DECONTAM_N))
+        ).alias("gram"),
+    )
+    ev = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    words = build_bloom(ev, "gram")
+    probed = train.withColumn("_maybe", bloom_might_contain(words, F.col("gram")))
+    n_total = probed.count()
+    n_maybe = probed.filter("_maybe").count()
+    n_true = train.join(ev, "gram", "semi").count()
+    assert n_maybe >= n_true  # no false negatives
+    fp = (n_maybe - n_true) / max(1, n_total - n_true)
+    assert fp < 0.05, (fp, n_maybe, n_true, n_total)
+
+
+def test_corpus_shuffle_positions_contiguous(spark, sf_dir):
+    rows = QUERIES["corpus_shuffle_order"](spark, sf_dir).collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    assert len(by_shard) == 8
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1)), shard
+
+
+def test_importance_resample_tracks_length_weights(spark, sf_dir):
+    """Kept fraction must track E[n_chars/max_chars] (deterministic
+    Bernoulli with integer thresholds -> binomial tolerance)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = docs.agg(
+        F.count("*").alias("n"), F.max("n_chars").alias("mx"), F.sum("n_chars").alias("s")
+    ).collect()[0]
+    expected = stats["s"] / (stats["mx"] * stats["n"])
+    kept = QUERIES["importance_resample"](spark, sf_dir).count()
+    frac = kept / stats["n"]
+    assert abs(frac - expected) < 0.1, (frac, expected)
