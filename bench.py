@@ -64,6 +64,13 @@ HEADLINE = [
     "returned_item_customers",
     "quality_classifier",
     "triangle_counts",
+    # r03 session-2 additions: the PQ train+encode+refine pipeline, the
+    # bloom-prefiltered decontamination variant, and the two
+    # corpus-scoring passes (hashed-feature LLR + unigram surprisal).
+    "pq_topk_refined",
+    "bloom_decontaminate",
+    "dsir_importance_weights",
+    "unigram_logprob_scores",
 ]
 
 

@@ -67,6 +67,14 @@ SMOKE = [
     "decontaminate_overlap",
     "repetition_stats",
     "duplicate_spans",
+    # r03 session 2: the selection layer (bloom probe, hashed-feature
+    # LLR, unigram surprisal) and the compression layer (PQ train +
+    # encode over 10x the embedding corpus).
+    "bloom_decontaminate",
+    "dsir_importance_weights",
+    "unigram_logprob_scores",
+    "pq_codes",
+    "kcore_membership",
 ]
 
 

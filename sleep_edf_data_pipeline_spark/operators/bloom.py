@@ -5,11 +5,11 @@ The 100 TB decontamination problem: the exact benchmark-overlap join
 split's distinct n-gram *strings* — fine at thousands of grams, but a
 large benchmark suite (millions of grams × ~50 bytes) outgrows a
 comfortable broadcast long before the corpus does.  A Bloom filter
-compresses the membership test to a fixed bitset (here 2^16 bits =
-8 KB at ~1% false-positive rate for 10k grams): the corpus-side scan
-probes the bitset inside whole-stage codegen and only the (rare)
-maybe-hits proceed to the exact confirm join, whose input is now a
-sliver of the corpus.
+compresses the membership test to ~2 bytes per key (16 bits/key, 3
+hashes ≈ 0.5% false positives): the corpus-side scan probes the
+bitset inside whole-stage codegen and only the (rare) maybe-hits
+proceed to the exact confirm join, whose input is now a sliver of the
+corpus.
 
 False positives are removed by the confirm join; false negatives are
 impossible (every inserted element sets all its bits), so the
@@ -19,10 +19,12 @@ it (the oracle runs the plain exact join; no bloom math needs a
 cross-engine mirror).
 
 Spark details: positions come from the md5-based ``hash64`` family
-(deterministic across runs/engines); the bitset folds into a 1024-long
-array literal (same plan-size class as the LSH hyperplane literals);
-the probe is ``shiftright(element_at(words, pos/64), pos%64) & 1`` via
-``F.expr`` — pure JVM codegen, no UDF, no shuffle.
+(deterministic across runs/engines); the bitset auto-sizes to the key
+count (next power of two ≥ 16 bits/key) and rides to executors as a
+single-row broadcast frame (``crossJoin(broadcast(...))`` — a 2 MB
+array row at a million keys, vs a 50 MB string set); the probe is
+``shiftright(element_at(words, pos/64), pos%64) & 1`` — pure JVM
+codegen, no UDF, no shuffle of the corpus.
 """
 
 from __future__ import annotations
@@ -32,56 +34,92 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64
 
-#: Bitset geometry: 2^16 bits / 3 hash functions ≈ 1% FP at 10k keys.
-BLOOM_BITS = 1 << 16
+#: Hash count; with 16 bits/key the FP rate is ~(1-e^-3/5.3)^3 ≈ 0.5%.
 BLOOM_K = 3
-_WORDS = BLOOM_BITS // 64
+
+#: Floor bitset size (8 KB) — below this the array row is noise.
+MIN_BITS = 1 << 16
+
+#: Target bits per distinct key when auto-sizing.
+BITS_PER_KEY = 16
 
 
-def bloom_positions(col: Column) -> list[Column]:
-    """The K bit positions of a string value (deterministic, seeded)."""
-    return [hash64(col, seed=f"bloom{i}") % BLOOM_BITS for i in range(BLOOM_K)]
+def bloom_positions(col: Column, nbits: int) -> list[Column]:
+    """The K bit positions of a string value (deterministic, seeded).
 
-
-def build_bloom(keys: DataFrame, key_col: str) -> list[int]:
-    """Collect the distinct bit positions of ``keys`` into a bitset.
-
-    Driver traffic is ≤ K × distinct-keys ints (the build side is
-    small by contract — benchmark suites, stop lists, block lists);
-    the heavy corpus side never reaches the driver.
+    Kirsch-Mitzenmacher double hashing: position_i = (h1 + i·h2) mod
+    nbits — two md5 evaluations produce all K positions (probing cost
+    is per-gram × corpus-size, so each saved hash matters), with the
+    same asymptotic FP rate as K independent hashes.  h1 + (K-1)·h2 <
+    3·2^60 — no BIGINT overflow.
     """
-    pos_cols = bloom_positions(F.col(key_col))
+    h1 = hash64(col, seed="bloomA")
+    h2 = hash64(col, seed="bloomB")
+    return [(h1 + F.lit(i) * h2) % nbits for i in range(BLOOM_K)]
+
+
+def build_bloom(
+    keys: DataFrame, key_col: str, nbits: int | None = None
+) -> tuple[list[int], int]:
+    """(bitset words, nbits): distinct bit positions of ``keys``.
+
+    Auto-sizes to the next power of two ≥ 16 × distinct keys (so FP
+    stays ~0.5% however large the benchmark suite grows).  Driver
+    traffic is ≤ K × distinct-keys ints — the build side is small by
+    contract (benchmark suites, stop lists, block lists); the heavy
+    corpus side never reaches the driver.
+    """
+    if nbits is None:
+        n = keys.count()
+        nbits = MIN_BITS
+        while nbits < BITS_PER_KEY * n:
+            nbits <<= 1
+    pos_cols = bloom_positions(F.col(key_col), nbits)
     pos = (
         keys.select(F.explode(F.array(*pos_cols)).alias("p"))
         .distinct()
         .collect()
     )
-    words = [0] * _WORDS
+    words = [0] * (nbits // 64)
     for r in pos:
         p = int(r["p"])
         words[p >> 6] |= 1 << (p & 63)
-    return words
+    return words, nbits
 
 
-def bloom_might_contain(words: list[int], col: Column) -> Column:
-    """Boolean probe: all K bits set?  Pure codegen over a literal array.
+def with_bloom_probe(
+    df: DataFrame,
+    words: list[int],
+    nbits: int,
+    col: Column,
+    out_col: str = "_maybe",
+) -> DataFrame:
+    """Adds a boolean column: all K bits of ``col`` set in the bitset?
 
-    Python ints in ``words`` use bit 63; Spark longs are signed, so
-    values ≥ 2^63 are re-wrapped into negative two's-complement longs
+    The bitset arrives as a one-row broadcast frame (array<long>), so
+    its size is bounded by the broadcast limit, not the expression-tree
+    size — a million-key filter is a 2 MB row, not 32k literals.
+    Python ints ≥ 2^63 re-wrap into negative two's-complement longs
     (bit-identical payload).
     """
-    arr = F.array(
-        *[F.lit(w if w < (1 << 63) else w - (1 << 64)).cast("long") for w in words]
-    )
+    spark = df.sparkSession
+    signed = [w if w < (1 << 63) else w - (1 << 64) for w in words]
+    bits = spark.createDataFrame([(signed,)], "_bloom array<long>")
     probe = None
-    for pos in bloom_positions(col):
-        word = F.element_at(arr, (F.floor(pos / F.lit(64)) + 1).cast("int"))
+    for pos in bloom_positions(col, nbits):
+        word = F.element_at(
+            F.col("_bloom"), (F.floor(pos / F.lit(64)) + 1).cast("int")
+        )
         bit = (pos % F.lit(64)).cast("int")
         term = _shiftright_col(word, bit).bitwiseAND(
             F.lit(1).cast("long")
         ) == F.lit(1).cast("long")
         probe = term if probe is None else (probe & term)
-    return probe
+    return (
+        df.crossJoin(F.broadcast(bits))
+        .withColumn(out_col, probe)
+        .drop("_bloom")
+    )
 
 
 def _shiftright_col(value: Column, amount: Column) -> Column:

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .clustering import kmeans
+from .clustering import FP_SCALE
 
 
 def train_pq_codebooks(
@@ -56,21 +56,53 @@ def train_pq_codebooks(
 ) -> list[list[list[float]]]:
     """Train ``m`` per-subspace codebooks of ``k`` centroids each.
 
-    Subspace ``j`` covers dims ``[j*dim/m, (j+1)*dim/m)``; each is an
-    independent fixed-point Lloyd run (deterministic: seeded from the
-    k lowest ids' subvectors), so the whole training is replayable as
-    unrolled SQL by any engine.
+    Subspace ``j`` covers dims ``[j*dim/m, (j+1)*dim/m)``; seeding is
+    the k lowest ids' subvectors and updates are the same fixed-point
+    integer sums as ``clustering.kmeans`` — arithmetic-identical to m
+    independent Lloyd runs (which is what the unrolled SQL oracle
+    replays), but FUSED: per iteration, all m assignments evaluate in
+    one codegen projection and all m×k×(dim/m) centroid cells come
+    back from ONE map-side-combinable shuffle, so training costs
+    2 collects + ``iters`` aggregations total instead of m×(iters+1)
+    jobs.  Driver traffic per iteration is m·k·(dim/m) = k·dim floats.
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        sliced = vectors.select(
-            id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sub")
+    vectors = vectors.persist()
+    seed_rows = vectors.orderBy(id_col).limit(k).select(vec_col).collect()
+    books = [
+        [[float(x) for x in r[0][j * sub : (j + 1) * sub]] for r in seed_rows]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        enc = pq_encode(vectors, books, vec_col)
+        codes = F.array(*[F.col(f"code_{j}") for j in range(m)])
+        subspace = F.floor(F.col("dim") / F.lit(sub)).cast("int")
+        cells = (
+            enc.select(codes.alias("_codes"), F.posexplode(F.col(vec_col)).alias("dim", "v"))
+            .select(
+                subspace.alias("subspace"),
+                F.element_at("_codes", subspace + 1).alias("cluster"),
+                "dim",
+                "v",
+            )
+            .groupBy("subspace", "cluster", "dim")
+            .agg(
+                (
+                    F.sum(F.floor(F.col("v").cast("double") * FP_SCALE))
+                    .cast("double")
+                    / (F.lit(FP_SCALE) * F.count("*"))
+                ).alias("mean")
+            )
+            .collect()
         )
-        _, centroids = kmeans(sliced, k=k, iters=iters, id_col=id_col, vec_col="_sub")
-        books.append(centroids)
+        new_books = [[list(c) for c in book] for book in books]
+        for r in cells:
+            j = r["subspace"]
+            new_books[j][r["cluster"]][r["dim"] - j * sub] = r["mean"]
+        books = new_books
+    vectors.unpersist()
     return books
 
 

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64, hash64_sql
-from ..operators.bloom import bloom_might_contain, build_bloom
+from ..operators.bloom import build_bloom, with_bloom_probe
 from ..operators.dedup import tokens, word_shingles
 from ..tables import spread, table
 from .training_data import (
@@ -94,23 +94,25 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_grams = grams.filter(is_eval).select("gram").distinct()
     train = grams.filter(~is_eval)
 
-    words = build_bloom(eval_grams, "gram")
-    maybe = train.withColumn("_maybe", bloom_might_contain(words, F.col("gram")))
+    words, nbits = build_bloom(eval_grams, "gram")
+    maybe = with_bloom_probe(train, words, nbits, F.col("gram"))
 
-    confirmed = (
-        maybe.filter(F.col("_maybe"))
-        .join(F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "gram", "left")
-        .select("doc_id", F.coalesce("_hit", F.lit(0)).alias("_hit"))
+    # Single pass: _maybe rides the join condition, so bloom-negative
+    # grams fall straight through as non-matches (no second scan, no
+    # union) while the hash probe itself only ever runs for maybe-hits.
+    ev = F.broadcast(
+        eval_grams.select(F.col("gram").alias("_ev_gram"), F.lit(1).alias("_hit"))
     )
-    clean = maybe.filter(~F.col("_maybe")).select(
-        "doc_id", F.lit(0).alias("_hit")
+    hit = maybe.join(
+        ev, F.col("_maybe") & (F.col("gram") == F.col("_ev_gram")), "left"
     )
     return (
-        confirmed.unionByName(clean)
-        .groupBy("doc_id")
+        hit.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
-            F.sum("_hit").cast("bigint").alias("n_contaminated"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
         )
         .withColumn("drop_doc", F.col("n_contaminated") > 0)
     )

@@ -474,7 +474,85 @@ ORDER BY n_triangles DESC, part
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (bounded peeling)
+# --------------------------------------------------------------------------
+
+#: k-core threshold and peel-round cap.  Like dedup_clusters, the
+#: iterative operator runs a FIXED number of rounds so the driver's
+#: oracle can replay it as unrolled SQL; the output carries a
+#: ``converged`` flag (no sub-k node left), and when it is true the
+#: result IS the exact k-core.  On the synthetic co-purchase graph 3
+#: rounds converge at every tested SF (pinned in
+#: tests/test_round3_plans.py); at adversarial scale, raise the cap or
+#: loop until the removed-count collect hits zero.
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes surviving ``KCORE_ROUNDS`` peels of degree < ``KCORE_K``.
+
+    Classic distributed peeling: per round one map-side-combinable
+    degree count plus two anti-joins dropping edges that touch peeled
+    nodes (the peeled set is a degree-filtered aggregate — orders of
+    magnitude smaller than the edge list, so Spark broadcasts it).
+    Output: surviving node, its degree in the surviving subgraph, and
+    whether peeling converged (= the survivors are the exact k-core).
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    for _ in range(KCORE_ROUNDS):
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        low = deg.filter(F.col("deg") < KCORE_K).select("src")
+        e = e.join(low, "src", "anti").join(
+            low.withColumnRenamed("src", "dst"), "dst", "anti"
+        )
+    final_deg = e.groupBy("src").agg(F.count("*").alias("core_degree"))
+    conv = final_deg.agg(
+        (F.min("core_degree") >= KCORE_K).alias("converged")
+    )
+    return final_deg.crossJoin(F.broadcast(conv)).select(
+        F.col("src").alias("part"), "core_degree", "converged"
+    )
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    ctes = [
+        """e0 AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"low{r} AS (\n    SELECT src AS node FROM e{r}"
+            f" GROUP BY src HAVING count(*) < {k}\n)"
+        )
+        ctes.append(
+            f"e{r + 1} AS (\n    SELECT e.src, e.dst FROM e{r} e\n"
+            f"    WHERE NOT EXISTS (SELECT 1 FROM low{r} l WHERE l.node = e.src)\n"
+            f"      AND NOT EXISTS (SELECT 1 FROM low{r} l WHERE l.node = e.dst)\n)"
+        )
+    ctes.append(
+        f"fin AS (\n    SELECT src, CAST(count(*) AS BIGINT) AS core_degree"
+        f" FROM e{rounds} GROUP BY src\n)"
+    )
+    ctes.append(
+        f"conv AS (SELECT min(core_degree) >= {k} AS converged FROM fin)"
+    )
+    return (
+        "WITH\n"
+        + ",\n".join(ctes)
+        + "\nSELECT src AS part, core_degree, converged FROM fin CROSS JOIN conv"
+    )
+
+
 QUERIES = {
+    "kcore_membership": q_kcore_membership,
     "triangle_counts": q_triangle_counts,
     "pagerank_copurchase": q_pagerank_copurchase,
     "exact_moments_suite": q_exact_moments_suite,
@@ -483,6 +561,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kcore_membership": _kcore_oracle(),
     "triangle_counts": ORACLE_TRIANGLE_COUNTS,
     "pagerank_copurchase": _pagerank_oracle(),
     "exact_moments_suite": ORACLE_EXACT_MOMENTS_SUITE,

@@ -295,8 +295,8 @@ def test_bloom_prefilter_selective(spark, sf_dir):
     structurally impossible, which the oracle parity test proves by
     matching the exact join's output)."""
     from sleep_edf_data_pipeline_spark.operators.bloom import (
-        bloom_might_contain,
         build_bloom,
+        with_bloom_probe,
     )
     from sleep_edf_data_pipeline_spark.operators.dedup import tokens, word_shingles
     from sleep_edf_data_pipeline_spark.queries.training_data import (
@@ -314,8 +314,8 @@ def test_bloom_prefilter_selective(spark, sf_dir):
     )
     ev = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
     train = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
-    words = build_bloom(ev, "gram")
-    probed = train.withColumn("_maybe", bloom_might_contain(words, F.col("gram")))
+    words, nbits = build_bloom(ev, "gram")
+    probed = with_bloom_probe(train, words, nbits, F.col("gram"))
     n_total = probed.count()
     n_maybe = probed.filter("_maybe").count()
     n_true = train.join(ev, "gram", "semi").count()
@@ -345,3 +345,17 @@ def test_importance_resample_tracks_length_weights(spark, sf_dir):
     kept = QUERIES["importance_resample"](spark, sf_dir).count()
     frac = kept / stats["n"]
     assert abs(frac - expected) < 0.1, (frac, expected)
+
+
+def test_kcore_converged_and_valid(spark, sf_dir):
+    """3 peel rounds must converge on the synthetic graph (then the
+    survivors are the exact 3-core: every core_degree >= 3), and the
+    peeled sets must broadcast, never shuffle the edge list twice."""
+    from sleep_edf_data_pipeline_spark.queries.graph_stats import KCORE_K
+
+    df = QUERIES["kcore_membership"](spark, sf_dir)
+    rows = df.collect()
+    assert rows and all(r["converged"] for r in rows)
+    assert all(r["core_degree"] >= KCORE_K for r in rows)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
