@@ -410,3 +410,171 @@ ORACLES = {
     "pq_topk_refined": _pq_refined_oracle(),
     "pq_recall_eval": _pq_recall_oracle(),
 }
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: coarse probe + compressed scan + exact refine (the FAISS
+# architecture, composed from the engine's own pieces)
+# --------------------------------------------------------------------------
+
+#: Coarse quantizer geometry — same constants as kmeans_clusters so the
+#: oracle reuses similarity_queries.kmeans_assignment_ctes verbatim.
+IVF_K = 8
+IVF_ITERS = 3
+IVF_NPROBE = 2
+
+#: ADC shortlist width inside the probed cells.
+IVFPQ_SHORTLIST = 50
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search: probe the 2 nearest coarse cells, ADC-scan only
+    their PQ codes, exact-re-rank the shortlist.
+
+    The full production ANN stack in one plan: the coarse k-means
+    assignment prunes the corpus to nprobe/k of its rows *before* the
+    compressed scan (at a partitioned 100 TB corpus this is partition
+    pruning), the scan reads 4-byte codes, and the float vectors are
+    touched only for shortlist × queries rows.  Every stage is the
+    engine's own fixed-point arithmetic, so the DuckDB oracle replays
+    coarse training + PQ training + probe + ADC + refine end-to-end.
+    """
+    from ..operators.clustering import kmeans
+
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    assigned, coarse = kmeans(emb, k=IVF_K, iters=IVF_ITERS)
+    books = train_pq_codebooks(emb, dim=PQ_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    coded = pq_encode(
+        assigned.select("vec_id", "cluster", "embedding"), books
+    ).select("vec_id", "cluster", *[f"code_{j}" for j in range(PQ_M)])
+
+    qrows = (
+        emb.filter(F.col("vec_id") < PQ_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qvecs = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows]
+    tables = dict(adc_distance_tables(qvecs, books))
+
+    # Probe selection driver-side, with the oracle's arithmetic: a
+    # sequential (q[i]-c[i])^2 fold per coarse centroid, 2 smallest by
+    # (distance, cluster).
+    probes: list[tuple[int, list[float], list[int]]] = []
+    for qid, vec in qvecs:
+        dists = []
+        for ci, cent in enumerate(coarse):
+            acc = 0.0
+            for a, b in zip(vec, cent):
+                acc += (a - b) * (a - b)
+            dists.append((acc, ci))
+        probed = [ci for _, ci in sorted(dists)[:IVF_NPROBE]]
+        probes.append((qid, tables[qid], probed))
+    qdf = spark.createDataFrame(
+        probes, "query_id int, dtable array<double>, probed array<int>"
+    )
+
+    cand = coded.join(
+        F.broadcast(qdf),
+        F.array_contains(F.col("probed"), F.col("cluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    dist = None
+    for j in range(PQ_M):
+        term = F.element_at(
+            F.col("dtable"), (F.lit(j * PQ_K) + F.col(f"code_{j}") + 1).cast("int")
+        )
+        dist = term if dist is None else dist + term
+    from pyspark.sql import Window
+
+    shortlist = (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), dist.alias("_adc"))
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
+        ))
+        .filter(F.col("_rn") <= IVFPQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qvec = emb.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    refined = (
+        shortlist.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", _exact_sq().alias("_d"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("neighbor_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "neighbor_id", F.round("_d", 6).alias("l2_sq"), "rank")
+    )
+
+
+def _ivfpq_oracle() -> str:
+    from .similarity_queries import kmeans_assignment_ctes
+
+    coarse_ctes, coarse_final = kmeans_assignment_ctes()
+    ctes = list(coarse_ctes) + _codes_cte()
+    ctes.append(
+        "q AS (\n    SELECT vec_id AS query_id,"
+        f" [CAST(embedding[i] AS DOUBLE) for i in range(1, {PQ_DIM + 1})] AS v\n"
+        f"    FROM embeddings WHERE vec_id < {PQ_QUERIES}\n)"
+    )
+    # Probe ranking: distance from each query to every FINAL coarse
+    # centroid (c{iters}), 2 smallest by (d, cluster).
+    ctes.append(
+        "probe AS (\n    SELECT query_id, cluster FROM (\n"
+        "        SELECT q.query_id, c.cluster,\n"
+        "            row_number() OVER (PARTITION BY q.query_id ORDER BY\n"
+        f"                list_sum([ (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])"
+        f" for i in range(1, {PQ_DIM + 1}) ]), c.cluster) AS rn\n"
+        f"        FROM q CROSS JOIN c{IVF_ITERS} c\n"
+        f"    ) WHERE rn <= {IVF_NPROBE}\n)"
+    )
+    terms = []
+    joins = []
+    for j in range(PQ_M):
+        joins.append(
+            f"JOIN s{j}_c{PQ_ITERS} b{j} ON b{j}.cluster = codes.code_{j}"
+        )
+        terms.append(
+            f"list_sum([ (q.v[{j * PQ_SUB} + i] - b{j}.c[i])"
+            f" * (q.v[{j * PQ_SUB} + i] - b{j}.c[i])"
+            f" for i in range(1, {PQ_SUB + 1}) ])"
+        )
+    ctes.append(
+        "cand AS (\n    SELECT q.query_id, codes.vec_id AS neighbor_id,\n"
+        f"        {' + '.join(terms)} AS d\n"
+        f"    FROM codes JOIN {coarse_final} asg ON asg.vec_id = codes.vec_id\n"
+        f"    JOIN probe p ON p.cluster = asg.cluster\n"
+        f"    JOIN q ON q.query_id = p.query_id {' '.join(joins)}\n"
+        "    WHERE codes.vec_id != q.query_id\n)"
+    )
+    ctes.append(
+        "short AS (\n    SELECT query_id, neighbor_id FROM (\n"
+        "        SELECT query_id, neighbor_id,"
+        " row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn\n"
+        f"        FROM cand\n    ) WHERE rn <= {IVFPQ_SHORTLIST}\n)"
+    )
+    ctes.append(
+        "ref AS (\n    SELECT s.query_id, s.neighbor_id,"
+        f" {_EXACT_D} AS d\n"
+        "    FROM short s JOIN embeddings e ON e.vec_id = s.neighbor_id\n"
+        "    JOIN q ON q.query_id = s.query_id\n)"
+    )
+    return (
+        "WITH\n"
+        + ",\n".join(ctes)
+        + "\nSELECT query_id, neighbor_id, round(d, 6) AS l2_sq,"
+        " CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id)"
+        " AS INT) AS rank\nFROM ref\n"
+        f"QUALIFY rank <= {PQ_TOPK}"
+    )
+
+
+QUERIES["ivfpq_topk"] = q_ivfpq_topk
+ORACLES["ivfpq_topk"] = _ivfpq_oracle()
