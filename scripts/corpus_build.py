@@ -21,13 +21,17 @@ from sleep_edf_data_pipeline_spark.session import get_spark
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "CORPUS_BUILD.json"
+    args = [a for a in sys.argv[1:] if a != "--select"]
+    select = "--select" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    out_path = args[1] if len(args) > 1 else (
+        "CORPUS_BUILD_SELECTED.json" if select else "CORPUS_BUILD.json"
+    )
     work = "/tmp/corpus_build_out"
     shutil.rmtree(work, ignore_errors=True)
     spark = get_spark(app_name="corpus-build")
     t0 = time.perf_counter()
-    audit, _ = build_corpus(spark, sf_dir, work)
+    audit, _ = build_corpus(spark, sf_dir, work, select=select)
     wall = round(time.perf_counter() - t0, 3)
     rows = {r["stage"]: r["rows"] for r in audit.collect()}
     n_shards = len(

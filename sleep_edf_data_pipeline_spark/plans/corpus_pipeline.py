@@ -88,7 +88,17 @@ def _neardup_prune(docs: DataFrame) -> DataFrame:
 
 
 def _decontaminate(docs: DataFrame) -> DataFrame:
-    """Drop eval docs and any train doc sharing a 5-gram with them."""
+    """Drop eval docs and any train doc sharing a 5-gram with them.
+
+    The gram membership test runs behind the Bloom bitset prefilter
+    (operators/bloom.py): the corpus-side grams probe an auto-sized
+    broadcast bitset in codegen and only maybe-hits reach the exact
+    semi-join — lossless (no false negatives), so the stage output is
+    identical to the plain semi-join it replaces, but the join input
+    stops scaling with the corpus.
+    """
+    from ..operators.bloom import build_bloom, with_bloom_probe
+
     grams = docs.select(
         "doc_id",
         F.explode(
@@ -97,8 +107,10 @@ def _decontaminate(docs: DataFrame) -> DataFrame:
     )
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     eval_grams = grams.filter(is_eval).select("gram").distinct()
+    words, nbits = build_bloom(eval_grams, "gram")
+    probed = with_bloom_probe(grams.filter(~is_eval), words, nbits, F.col("gram"))
     contaminated = (
-        grams.filter(~is_eval)
+        probed.filter(F.col("_maybe"))
         .join(F.broadcast(eval_grams), "gram", "left_semi")
         .select("doc_id")
         .distinct()
@@ -137,8 +149,30 @@ def _split(chunks: DataFrame) -> DataFrame:
     )
 
 
+def _select(docs: DataFrame) -> DataFrame:
+    """Data-selection stage: keep target-distribution-like documents.
+
+    Scores the surviving corpus with the DSIR bigram LLR (target =
+    English) and the unigram-LM surprisal, then keeps the
+    above-median half by importance (the percentile-threshold pattern
+    — one tiny aggregate broadcast back, no global sort).  Both scores
+    ride along as columns for downstream audit.
+    """
+    from ..queries.corpus_quality import dsir_weights, unigram_scores
+
+    scored = docs.join(
+        dsir_weights(docs).select("doc_id", "avg_llr"), "doc_id"
+    ).join(unigram_scores(docs).select("doc_id", "mean_nll"), "doc_id")
+    thresh = scored.agg(
+        F.expr("percentile(avg_llr, 0.5)").alias("_med")
+    )
+    return scored.crossJoin(F.broadcast(thresh)).filter(
+        F.col("avg_llr") >= F.col("_med")
+    ).drop("_med")
+
+
 def build_corpus(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession, sf_dir: str, out_dir: str, select: bool = False
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """Run the full corpus build; returns (audit frame, built stages).
 
@@ -146,6 +180,10 @@ def build_corpus(
     table under ``out_dir/audit``.  The audit has one row per stage
     with its surviving row count — the accounting a corpus build ships
     so every dropped document is attributable to a stage.
+
+    ``select=True`` inserts the data-selection stage (DSIR importance
+    + unigram-LM scoring, target-likeness filter) between
+    decontamination and chunking.
     """
     runner = ModelRunner(spark, warehouse_dir=f"{out_dir}/warehouse")
     b = runner.built
@@ -179,10 +217,23 @@ def build_corpus(
             lambda s: _decontaminate(b["corpus_neardup"]),
             depends_on=("corpus_neardup",),
         ),
+    ]
+    chunk_input = "corpus_clean"
+    if select:
+        models.append(
+            Model(
+                "corpus_selected",
+                lambda s: _select(b["corpus_clean"]),
+                depends_on=("corpus_clean",),
+                materialization="cached",
+            )
+        )
+        chunk_input = "corpus_selected"
+    models += [
         Model(
             "corpus_chunks",
-            lambda s: _chunk(b["corpus_clean"]),
-            depends_on=("corpus_clean",),
+            lambda s: _chunk(b[chunk_input]),
+            depends_on=(chunk_input,),
             checks=(
                 Check(
                     "chunk_len_bounded",
@@ -208,17 +259,22 @@ def build_corpus(
         max_records_per_file=10_000,
     )
 
-    audit_rows = [(name, built[name].count()) for name, _ in (
-        ("corpus_raw", None),
-        ("corpus_quality", None),
-        ("corpus_exact_dedup", None),
-        ("corpus_neardup", None),
-        ("corpus_clean", None),
-        ("corpus_chunks", None),
-        ("corpus_split", None),
-    )]
+    stage_names = [
+        "corpus_raw",
+        "corpus_quality",
+        "corpus_exact_dedup",
+        "corpus_neardup",
+        "corpus_clean",
+        *(["corpus_selected"] if select else []),
+        "corpus_chunks",
+        "corpus_split",
+    ]
+    audit_rows = [(name, built[name].count()) for name in stage_names]
     audit = spark.createDataFrame(audit_rows, "stage string, rows bigint")
     audit.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/audit")
-    for name in ("corpus_exact_dedup", "corpus_neardup", "corpus_split"):
+    cached = ["corpus_exact_dedup", "corpus_neardup", "corpus_split"]
+    if select:
+        cached.append("corpus_selected")
+    for name in cached:
         built[name].unpersist()
     return audit, built

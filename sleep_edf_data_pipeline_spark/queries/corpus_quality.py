@@ -135,17 +135,12 @@ def _bigrams(docs: DataFrame) -> DataFrame:
     )
 
 
-def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR: per-doc importance = Σ log(p_target/p_raw) over hashed
-    bigram features (target = English docs), in integer micro-nats.
+def dsir_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, total_llr, avg_llr) — see q_dsir_importance_weights.
 
-    Plan: one corpus pass explodes bigrams; two map-side-combinable
-    groupBys build the 4096-bucket count tables; the per-bucket LLR
-    frame broadcasts back; one groupBy(doc_id) sums BIGINT micro-nats.
-    Laplace-smoothed probabilities are exact integer ratios, so the
-    ln() argument is a bit-identical double in every engine.
+    Takes any frame with (doc_id, lang, text); reused by the corpus
+    build DAG on its post-dedup frame.
     """
-    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
     grams = _bigrams(docs).withColumn(
         "bucket", hash64(F.col("gram")) % DSIR_BUCKETS
     )
@@ -191,6 +186,19 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_llr"),
         )
     )
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR: per-doc importance = Σ log(p_target/p_raw) over hashed
+    bigram features (target = English docs), in integer micro-nats.
+
+    Plan: one corpus pass explodes bigrams; two map-side-combinable
+    groupBys build the 4096-bucket count tables; the per-bucket LLR
+    frame broadcasts back; one groupBy(doc_id) sums BIGINT micro-nats.
+    Laplace-smoothed probabilities are exact integer ratios, so the
+    ln() argument is a bit-identical double in every engine.
+    """
+    return dsir_weights(spread(table(spark, sf_dir, "documents"), "doc_id"))
 
 
 _BIGRAMS_SQL = """
@@ -243,17 +251,8 @@ GROUP BY g.doc_id
 # --------------------------------------------------------------------------
 
 
-def q_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean per-token surprisal under the corpus unigram LM.
-
-    The CCNet-style quality proxy without an external model: frequent
-    tokens are cheap, rare tokens expensive; each token's surprisal
-    ``ln(N/count)`` is quantized once to integer micro-nats and the
-    per-doc mean is an exact BIGINT sum divided once — order-free.
-    The vocabulary frame broadcasts (it is the corpus's distinct
-    tokens — bounded and tiny relative to the corpus).
-    """
-    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+def unigram_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, mean_nll) — see q_unigram_logprob_scores."""
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
     total = toks.agg(F.count("*").alias("n_total"))
@@ -282,6 +281,19 @@ def q_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_nll"),
         )
     )
+
+
+def q_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-token surprisal under the corpus unigram LM.
+
+    The CCNet-style quality proxy without an external model: frequent
+    tokens are cheap, rare tokens expensive; each token's surprisal
+    ``ln(N/count)`` is quantized once to integer micro-nats and the
+    per-doc mean is an exact BIGINT sum divided once — order-free.
+    The vocabulary frame broadcasts (it is the corpus's distinct
+    tokens — bounded and tiny relative to the corpus).
+    """
+    return unigram_scores(spread(table(spark, sf_dir, "documents"), "doc_id"))
 
 
 ORACLE_UNIGRAM_LOGPROB_SCORES = """

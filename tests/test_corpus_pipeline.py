@@ -65,3 +65,20 @@ def test_corpus_build_gates_on_duplicate_ids(spark, sf_dir, tmp_path):
             build_corpus(spark, sf_dir, str(tmp_path / "x"))
     finally:
         cp.table = orig
+
+
+def test_corpus_build_with_selection(spark, sf_dir, tmp_path):
+    """select=True inserts the DSIR/unigram selection stage: accounting
+    stays monotone, the selected frame carries both scores, and only
+    target-likely (avg_llr >= 0) docs reach the shards."""
+    from sleep_edf_data_pipeline_spark.plans.corpus_pipeline import build_corpus
+
+    out = str(tmp_path / "corpus_sel")
+    audit, built = build_corpus(spark, sf_dir, out, select=True)
+    rows = {r["stage"]: r["rows"] for r in audit.collect()}
+    assert rows["corpus_selected"] <= rows["corpus_clean"]
+    # the above-median rule must keep at least half (ties inclusive)
+    assert rows["corpus_selected"] >= rows["corpus_clean"] // 2
+    assert rows["corpus_split"] == rows["corpus_chunks"]
+    sel = built["corpus_selected"]
+    assert {"avg_llr", "mean_nll"} <= set(sel.columns)
