@@ -97,6 +97,51 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "asset_id string, media_type string, out_w int, "
+    "mean_resized double, resized_hash bigint"
+)
+
+
+def resize_assets(assets: DataFrame, out_w: int = 16) -> DataFrame:
+    """Nearest-neighbor resize through the codec stub (mapInPandas).
+
+    The standard image-preprocessing stage restated for the binary
+    column: decode → integer-strided sample to ``out_w`` pixels →
+    features of the resized payload.  Deterministic (index ``i`` maps
+    to source pixel ``floor(i·W/out_w)``), so the DuckDB oracle can
+    replay it byte-for-byte on ASCII payloads.  Same Arrow-batch
+    contract as extract_features: bytes never become Python row
+    objects.
+    """
+    import hashlib
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means, hashes = [], []
+            for fmt, payload in zip(pdf["format"], pdf["payload"]):
+                arr = StubCodec.decode(fmt, bytes(payload))
+                idx = (np.arange(out_w) * arr.size // out_w).astype(np.int64)
+                resized = arr[idx]
+                means.append(float(resized.mean()))
+                hashes.append(
+                    int.from_bytes(
+                        hashlib.md5(resized.tobytes()).digest()[:7], "big"
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "out_w": np.int32(out_w),
+                    "mean_resized": means,
+                    "resized_hash": hashes,
+                }
+            )
+
+    return assets.mapInPandas(do_resize, schema=RESIZE_SCHEMA)
+
+
 def sample_frames(
     assets: DataFrame, every_n: int = 10, frame_bytes: int = 1024
 ) -> DataFrame:

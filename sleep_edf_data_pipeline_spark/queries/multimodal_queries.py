@@ -89,3 +89,43 @@ ORACLES = {
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "frame_sampling": ORACLE_FRAME_SAMPLING,
 }
+
+
+_OUT_W = 16
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize to 16 'pixels' per asset (mapInPandas).
+
+    Index i samples source pixel floor(i·W/16); ASCII payloads let the
+    oracle replay the exact resized bytes (ascii(char) == pixel), so
+    the Pandas-UDF resize path is value-checked end-to-end including
+    the md5 of the resized payload.
+    """
+    from ..operators.multimodal import resize_assets
+
+    out = resize_assets(assets_from_documents(spark, sf_dir), out_w=_OUT_W)
+    return out.withColumn("mean_resized", F.round("mean_resized", 6))
+
+
+# floor(i*W/16) is 0-based; DuckDB string index is 1-based.
+ORACLE_MULTIMODAL_RESIZE = f"""
+WITH sampled AS (
+    SELECT doc_id,
+           [text[CAST(i * length(text) // {_OUT_W} AS INT) + 1]
+            for i in range(0, {_OUT_W})] AS px
+    FROM documents
+)
+SELECT
+    CAST(doc_id AS VARCHAR) AS asset_id,
+    'image' AS media_type,
+    {_OUT_W} AS out_w,
+    round(list_avg([ascii(c) for c in px]), 6) AS mean_resized,
+    CAST('0x' || substr(md5(array_to_string(px, '')), 1, 14) AS BIGINT)
+        AS resized_hash
+FROM sampled
+"""
+
+
+QUERIES["multimodal_resize"] = q_multimodal_resize
+ORACLES["multimodal_resize"] = ORACLE_MULTIMODAL_RESIZE
