@@ -165,6 +165,15 @@ DEDUP100 = [
     "ngram_jaccard_neardups",
 ]
 
+#: Selection-layer queries for the 100x decade (documents-only corpus):
+#: the ops whose broadcast/bitset sides grow with the benchmark suite.
+SELECT100 = [
+    "bloom_decontaminate",
+    "decontaminate_overlap",
+    "dsir_importance_weights",
+    "unigram_logprob_scores",
+]
+
 
 def generate_docs100(spark) -> None:
     """100 copies of sf0.1 documents, same suffix scheme as generate().
@@ -235,9 +244,52 @@ def dedup100(spark, out_path: str) -> None:
     print(json.dumps(results))
 
 
+def select100(spark, out_path: str) -> None:
+    """100x decade for the selection layer (reuses the dedup100 corpus)."""
+    if not os.path.isdir(f"{SCALED}/documents.parquet"):
+        generate(spark)
+    if not os.path.isdir(f"{SCALED100}/documents.parquet"):
+        generate_docs100(spark)
+    queries, _ = registry.collect()
+    results = {}
+    for name in SELECT100:
+        fn = queries[name]
+        t = {}
+        for label, d, reps in (
+            ("sf0.1", BASE, 2),
+            ("scale10", SCALED, 2),
+            ("scale100", SCALED100, 1),
+        ):
+            best, rows = float("inf"), 0
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                rows = fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            t[label] = round(best, 3)
+            t[f"{label}_rows"] = rows
+            spark.catalog.clearCache()
+        t["x10"] = round(t["scale10"] / t["sf0.1"], 2)
+        t["x100"] = round(t["scale100"] / t["sf0.1"], 2)
+        results[name] = t
+        print(f"# {name}: {t}", file=sys.stderr)
+    with open(out_path, "w") as f:
+        json.dump(
+            {"base": BASE, "queries": results}, f, indent=1
+        )
+        f.write("\n")
+
+
 def main() -> None:
     out_path = sys.argv[-1] if sys.argv[-1].endswith(".json") else "SCALE_SMOKE.json"
     spark = get_spark(app_name="scale-smoke")
+    if "--select100" in sys.argv:
+        select100(
+            spark,
+            out_path
+            if sys.argv[-1].endswith(".json")
+            else "SCALE_SMOKE_SELECT100.json",
+        )
+        return
     if "--dedup100" in sys.argv:
         dedup100(
             spark,

@@ -69,22 +69,31 @@ def build_bloom(
     contract (benchmark suites, stop lists, block lists); the heavy
     corpus side never reaches the driver.
     """
+    import numpy as np
+
     if nbits is None:
         n = keys.count()
         nbits = MIN_BITS
         while nbits < BITS_PER_KEY * n:
             nbits <<= 1
     pos_cols = bloom_positions(F.col(key_col), nbits)
+    # Arrow-columnar driver hand-off (toPandas), not row collect: at a
+    # million-key benchmark suite this is ~3M int64s — a numpy array,
+    # built into the bitset with vectorized bit ops.
     pos = (
         keys.select(F.explode(F.array(*pos_cols)).alias("p"))
         .distinct()
-        .collect()
+        .toPandas()["p"]
+        .to_numpy()
+        .astype(np.uint64)
     )
-    words = [0] * (nbits // 64)
-    for r in pos:
-        p = int(r["p"])
-        words[p >> 6] |= 1 << (p & 63)
-    return words, nbits
+    words = np.zeros(nbits // 64, dtype=np.uint64)
+    np.bitwise_or.at(
+        words,
+        (pos >> np.uint64(6)).astype(np.int64),
+        np.left_shift(np.uint64(1), pos & np.uint64(63)),
+    )
+    return [int(w) for w in words], nbits
 
 
 def with_bloom_probe(
