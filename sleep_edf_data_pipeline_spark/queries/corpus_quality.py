@@ -430,8 +430,12 @@ def q_corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     No RNG, no driver state — any engine reproduces the exact order,
     which is what makes checkpoint-resume and multi-epoch replays
     auditable.
+
+    No spread(): the very next operator is the shard hash exchange,
+    which redistributes regardless — a pre-repartition would be a
+    second full shuffle of the corpus for nothing.
     """
-    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    docs = table(spark, sf_dir, "documents")
     key = F.col("doc_id").cast("string")
     shard = (hash64(key, seed="shard") % N_SHARDS).cast("int")
     order = hash64(key, seed="order")

@@ -359,3 +359,26 @@ def test_kcore_converged_and_valid(spark, sf_dir):
     assert all(r["core_degree"] >= KCORE_K for r in rows)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_bucket_table_broadcasts(spark, sf_dir):
+    """The 4096-bucket LLR frame must come back as a broadcast join —
+    the corpus-side gram stream is never shuffled for the scoring."""
+    plan = plan_of(QUERIES["dsir_importance_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_unigram_vocab_broadcasts(spark, sf_dir):
+    plan = plan_of(QUERIES["unigram_logprob_scores"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_corpus_shuffle_single_exchange(spark, sf_dir):
+    """Deterministic training order = exactly one hash exchange (the
+    shard partitioning) + in-shard sort; no global single-partition
+    window."""
+    plan = plan_of(QUERIES["corpus_shuffle_order"](spark, sf_dir))
+    assert n_shuffles(plan) == 1, plan
+    assert "SinglePartition" not in plan, plan
