@@ -18,8 +18,8 @@ exact join's — which is exactly how the driver's DuckDB oracle checks
 it (the oracle runs the plain exact join; no bloom math needs a
 cross-engine mirror).
 
-Spark details: positions come from the md5-based ``hash64`` family
-(deterministic across runs/engines); the bitset auto-sizes to the key
+Spark details: positions come from seeded ``xxhash64`` (deterministic
+across runs; engine-internal only — see bloom_positions); the bitset auto-sizes to the key
 count (next power of two ≥ 16 bits/key) and rides to executors as a
 single-row broadcast frame (``crossJoin(broadcast(...))`` — a 2 MB
 array row at a million keys, vs a 50 MB string set); the probe is
@@ -32,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash64
 
 #: Hash count; with 16 bits/key the FP rate is ~(1-e^-3/5.3)^3 ≈ 0.5%.
 BLOOM_K = 3
@@ -48,14 +47,21 @@ def bloom_positions(col: Column, nbits: int) -> list[Column]:
     """The K bit positions of a string value (deterministic, seeded).
 
     Kirsch-Mitzenmacher double hashing: position_i = (h1 + i·h2) mod
-    nbits — two md5 evaluations produce all K positions (probing cost
+    nbits — two hash evaluations produce all K positions (probing cost
     is per-gram × corpus-size, so each saved hash matters), with the
-    same asymptotic FP rate as K independent hashes.  h1 + (K-1)·h2 <
-    3·2^60 — no BIGINT overflow.
+    same asymptotic FP rate as K independent hashes.
+
+    xxhash64, not the md5-based hash64: bloom positions only need
+    build/probe consistency WITHIN the engine (the final output is
+    oracle-checked via the exact confirm join, never the positions),
+    and xxhash64 is ~10× cheaper per gram — measured 123 s → see
+    SCALING.md at the 100× decade.  Both hashes reduce mod nbits
+    BEFORE combining so the BIGINT arithmetic cannot overflow under
+    ANSI mode.
     """
-    h1 = hash64(col, seed="bloomA")
-    h2 = hash64(col, seed="bloomB")
-    return [(h1 + F.lit(i) * h2) % nbits for i in range(BLOOM_K)]
+    h1 = F.pmod(F.xxhash64(col, F.lit(0xB10)), F.lit(nbits))
+    h2 = F.pmod(F.xxhash64(col, F.lit(0xB11)), F.lit(nbits))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(nbits)) for i in range(BLOOM_K)]
 
 
 def build_bloom(
