@@ -16,13 +16,18 @@ from pyspark.sql import DataFrame, SparkSession
 #: AFTER its r01 rows (fixed-point moving averages / z-scores), then
 #: the longest-unverified TPC-H spine (r01 rows only) — extras(2) +
 #: sleep_relational(10) + tpch_relational(16) + joins_advanced(6) +
-#: relational_breadth(4) + event_windows(5) + advanced_windows(7) = 50
-#: (slot 50 = the new linear_interpolation, driver-checked in its
-#: debut round; serving.diagnostics, r02-green, rotates just outside).
-#: The LLM-training-data surface
+#: relational_breadth(4) + event_windows(5) + advanced_windows(8,
+#: window cuts at slot 50 inside it; ranking_suite grew the module
+#: after this comment was first written).  serving.diagnostics,
+#: r02-green, rotates just outside.  The LLM-training-data surface
 #: (driver-green r02, CORRECTNESS_r02.json 50/50) rotates to the back;
 #: everything stays covered every round by the local mirror in
 #: tests/test_oracle_parity.py regardless of window position.
+#: ROUND-4 ROTATION PLAN: put the round-3 debut modules first
+#: (quantization_queries, corpus_quality, graph_stats' kcore,
+#: multimodal_queries' resize, training_data, tpch_complete) so every
+#: never-driver-checked query gets its row, then backfill with the
+#: longest-unverified modules.
 _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.extras",
     "sleep_edf_data_pipeline_spark.queries.sleep_relational",

@@ -382,3 +382,14 @@ def test_corpus_shuffle_single_exchange(spark, sf_dir):
     plan = plan_of(QUERIES["corpus_shuffle_order"](spark, sf_dir))
     assert n_shuffles(plan) == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_ivfpq_no_cartesian_refine_broadcasts(spark, sf_dir):
+    """The probe join is a tiny-side BroadcastNestedLoop (8 query rows
+    against the coded corpus — by design); there must be no
+    CartesianProduct anywhere and the refine re-rank must broadcast the
+    query vectors, never shuffle the corpus for them."""
+    plan = plan_of(QUERIES["ivfpq_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
