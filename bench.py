@@ -71,6 +71,13 @@ HEADLINE = [
     "bloom_decontaminate",
     "dsir_importance_weights",
     "unigram_logprob_scores",
+    # the composed ANN stack, the graph peel, the mapInPandas resize,
+    # and the deterministic training order — one representative per
+    # remaining round-3 family.
+    "ivfpq_topk",
+    "kcore_membership",
+    "multimodal_resize",
+    "corpus_shuffle_order",
 ]
 
 

@@ -5,7 +5,10 @@ txn (`/root/reference/warehouse/duckdb_client.py:100-111`): a reader
 never observes a half-replaced subject, and two writers serialize.  On
 a filesystem/object-store warehouse the equivalent contract is the
 commit-log (snapshot) table — the protocol under Delta/Iceberg,
-reproduced here without either dependency:
+reproduced here without either dependency (``delta-spark`` is not
+installable in this environment — no package installs — so the
+protocol is implemented directly; on a cluster with Delta available,
+``writers/atomic.py``'s ``replaceWhere`` note applies unchanged):
 
 * Data lives in immutable, uniquely-named directories (``d_<uuid>``) —
   a writer never mutates a published directory, and two concurrent
