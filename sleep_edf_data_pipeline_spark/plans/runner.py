@@ -20,7 +20,12 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..quality.validate import Check, assert_checks
+from ..quality.validate import (
+    Check,
+    assert_checks,
+    assert_observed,
+    observed_checks,
+)
 
 
 @dataclass
@@ -53,9 +58,21 @@ class ModelRunner:
                 build(dep)
             df = m.build(self.spark)
             if m.materialization == "table" and self.warehouse_dir:
+                # Row-wise checks ride the materializing write itself
+                # (Dataset.observe) — the validation pass costs zero
+                # extra scans; only uniqueness still needs its own
+                # (grouped) aggregation.
+                obs_df, obs = observed_checks(df, m.checks, name=m.name)
                 path = f"{self.warehouse_dir}/{m.name}"
-                df.write.mode("overwrite").parquet(path)
+                obs_df.write.mode("overwrite").parquet(path)
+                assert_observed(obs, context=f" in {m.name}")
                 df = self.spark.read.parquet(path)
+                df.createOrReplaceTempView(m.name)
+                if m.unique_keys:
+                    assert_checks(df, (), m.unique_keys)
+                self.built[m.name] = df
+                done.add(name)
+                return
             elif m.materialization == "cached":
                 df = df.persist()
             df.createOrReplaceTempView(m.name)
