@@ -85,3 +85,39 @@ def test_stream_write_per_batch_manifests(spark, tmp_path):
         m = json.load(open(os.path.join(out, b, "_MANIFEST.json")))
         total += m["total_rows"]
     assert total == 40
+
+
+def test_pq_encode_is_streamable(spark, tmp_path, sf_dir):
+    """pq_encode is a pure codegen projection, so the compression layer
+    runs unchanged on a stream: encode a micro-batched replay of the
+    embeddings table and get exactly the batch encoder's codes."""
+    from sleep_edf_data_pipeline_spark.operators.quantization import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, dim=64, m=4, k=4, iters=1)
+    batch = {
+        r["vec_id"]: tuple(r[f"code_{j}"] for j in range(4))
+        for r in pq_encode(emb, books).collect()
+    }
+
+    src = str(tmp_path / "emb_src")
+    emb.write.parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = (
+        pq_encode(stream, books)
+        .select("vec_id", "code_0", "code_1", "code_2", "code_3")
+        .writeStream.format("memory")
+        .queryName("pq_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["vec_id"]: tuple(r[f"code_{j}"] for j in range(4))
+        for r in spark.table("pq_stream").collect()
+    }
+    assert streamed == batch
