@@ -502,13 +502,27 @@ def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: surviving node, its degree in the surviving subgraph, and
     whether peeling converged (= the survivors are the exact k-core).
     """
-    e = _copurchase_edges(spark, sf_dir)
+    # Each round consumes the previous edge frame THREE times (degree
+    # branch + two anti-join probes); left lazy, the edge subtree
+    # multiplies ~3x per round (measured: 108 scans / 268 exchanges /
+    # 31 s unpersisted vs 1 scan-chain / ~2 s persisted).  Per-round
+    # materialization is the standard iterative-graph lineage cut —
+    # same pattern as the Lloyd loop's per-iteration centroid fold.
+    e = _copurchase_edges(spark, sf_dir).persist()
     for _ in range(KCORE_ROUNDS):
         deg = e.groupBy("src").agg(F.count("*").alias("deg"))
         low = deg.filter(F.col("deg") < KCORE_K).select("src")
-        e = e.join(low, "src", "anti").join(
-            low.withColumnRenamed("src", "dst"), "dst", "anti"
+        nxt = (
+            e.join(low, "src", "anti")
+            .join(low.withColumnRenamed("src", "dst"), "dst", "anti")
+            .persist()
         )
+        nxt.count()  # materialize before dropping the parent's cache
+        e.unpersist()
+        e = nxt
+    # the last round's frame stays cached for the caller's action
+    # (session-lifetime contract as in operators/dedup.py; bench and
+    # the sweep release it via clearCache between queries).
     final_deg = e.groupBy("src").agg(F.count("*").alias("core_degree"))
     conv = final_deg.agg(
         (F.min("core_degree") >= KCORE_K).alias("converged")
