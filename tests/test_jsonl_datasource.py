@@ -121,3 +121,89 @@ def test_pq_encode_is_streamable(spark, tmp_path, sf_dir):
         for r in spark.table("pq_stream").collect()
     }
     assert streamed == batch
+
+
+def test_bloom_filter_is_streamable(spark, tmp_path, sf_dir):
+    """The bloom probe is a pure projection against a static bitset, so
+    streaming decontamination-admission needs zero state: probe a
+    micro-batched replay of the train grams and get exactly the batch
+    probe's maybe-set."""
+    from sleep_edf_data_pipeline_spark.operators.bloom import (
+        build_bloom,
+        with_bloom_probe,
+    )
+    from sleep_edf_data_pipeline_spark.operators.dedup import tokens, word_shingles
+    from sleep_edf_data_pipeline_spark.queries.training_data import (
+        DECONTAM_N,
+        EVAL_MOD,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), DECONTAM_N))
+        ).alias("gram"),
+    )
+    ev = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    words, nbits = build_bloom(ev, "gram")
+
+    batch_maybe = {
+        (r["doc_id"], r["gram"])
+        for r in with_bloom_probe(train, words, nbits, F.col("gram"))
+        .filter("_maybe")
+        .collect()
+    }
+
+    src = str(tmp_path / "grams_src")
+    train.write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, gram string").parquet(src)
+    q = (
+        with_bloom_probe(stream, words, nbits, F.col("gram"))
+        .filter("_maybe")
+        .select("doc_id", "gram")
+        .writeStream.format("memory")
+        .queryName("bloom_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["doc_id"], r["gram"]) for r in spark.table("bloom_stream").collect()
+    }
+    assert streamed == batch_maybe and batch_maybe
+
+
+def test_bloom_never_false_negative_random_keys(spark):
+    """Property: every inserted key probes positive (the losslessness
+    the confirm-join architecture depends on), across randomized key
+    sets including unicode and near-collisions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sleep_edf_data_pipeline_spark.operators.bloom import (
+        build_bloom,
+        with_bloom_probe,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.sets(
+            st.text(min_size=1, max_size=12).filter(str.strip),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(keys):
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        words, nbits = build_bloom(df, "k")
+        n_pos = (
+            with_bloom_probe(df, words, nbits, F.col("k"))
+            .filter("_maybe")
+            .count()
+        )
+        assert n_pos == len(keys)
+
+    check()
