@@ -60,9 +60,12 @@ def stage(spark) -> dict[str, int]:
     docs.filter(F.col("doc_id") % 2 == 1).repartition(N_FILES).write.parquet(
         f"{STAGE}/docs_batch"
     )
+    emb = table(spark, SF_DIR, "embeddings")
+    emb.repartition(N_FILES).write.parquet(f"{STAGE}/embeddings")
     return {
         "events": events.count(),
         "docs_batch": docs.filter(F.col("doc_id") % 2 == 1).count(),
+        "embeddings": emb.count(),
     }
 
 
@@ -117,6 +120,24 @@ def main() -> None:
         shingle_n=1,
     )
 
+    def emb_stream():
+        return (
+            spark.readStream.schema("vec_id bigint, embedding array<float>, label string")
+            .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+            .parquet(f"{STAGE}/embeddings")
+        )
+
+    # Compression layer on a stream: PQ-encode against pre-trained
+    # (write-once) codebooks — a pure projection, zero state.
+    from sleep_edf_data_pipeline_spark.operators.quantization import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(
+        table(spark, SF_DIR, "embeddings"), dim=64, m=4, k=16, iters=2
+    )
+
     runs = {
         "streaming_sessions": lambda: streaming_sessions(ev_stream()),
         "streaming_hourly_counts": lambda: streaming_hourly_counts(ev_stream()),
@@ -127,15 +148,56 @@ def main() -> None:
         "streaming_lsh_admission": lambda: streaming_lsh_admission(
             doc_stream(), index_signed
         ),
+        "streaming_pq_encode": lambda: pq_encode(emb_stream(), books).select(
+            "vec_id", "code_0", "code_1", "code_2", "code_3"
+        ),
     }
     results = {}
     for name, build in runs.items():
-        rows_in = counts["events"] if name.startswith("streaming_s") or "hourly" in name or "episodes" in name else counts["docs_batch"]
+        if "pq_encode" in name:
+            rows_in = counts["embeddings"]
+        elif name.startswith("streaming_s") or "hourly" in name or "episodes" in name:
+            rows_in = counts["events"]
+        else:
+            rows_in = counts["docs_batch"]
         r = drain(spark, name, build())
         r["rows_in"] = rows_in
         r["rows_per_sec"] = round(rows_in / r["wall_s"]) if r["wall_s"] else None
         results[name] = r
         print(f"# {name}: {r}", file=sys.stderr)
+    # The custom two-phase-commit sink: drain the doc stream into
+    # format("jsonlshards") and account rows from the batch manifests.
+    from sleep_edf_data_pipeline_spark.writers.jsonl_datasource import (
+        JsonlShardsDataSource,
+    )
+
+    spark.dataSource.register(JsonlShardsDataSource)
+    sink_out = f"{STAGE}/jsonl_sink_out"
+    t0 = time.perf_counter()
+    q = (
+        doc_stream()
+        .writeStream.format("jsonlshards")
+        .option("path", sink_out)
+        .option("checkpointLocation", f"{STAGE}/_ckpt_jsonl_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    wall = time.perf_counter() - t0
+    rows_out = 0
+    for b in os.listdir(sink_out):
+        if b.startswith("batch="):
+            with open(os.path.join(sink_out, b, "_MANIFEST.json")) as f:
+                rows_out += json.load(f)["total_rows"]
+    results["jsonlshards_sink"] = {
+        "wall_s": round(wall, 3),
+        "rows_out": rows_out,
+        "rows_in": counts["docs_batch"],
+        "rows_per_sec": round(counts["docs_batch"] / wall) if wall else None,
+        "micro_batches": len([p for p in q.recentProgress if p["numInputRows"] > 0]),
+    }
+    print(f"# jsonlshards_sink: {results['jsonlshards_sink']}", file=sys.stderr)
+
     with open(out_path, "w") as f:
         json.dump(
             {
