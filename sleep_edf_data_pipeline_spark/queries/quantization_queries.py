@@ -602,3 +602,258 @@ def _ivfpq_oracle() -> str:
 
 QUERIES["ivfpq_topk"] = q_ivfpq_topk
 ORACLES["ivfpq_topk"] = _ivfpq_oracle()
+
+
+# --------------------------------------------------------------------------
+# Residual IVF-PQ (IVFADC, Jegou et al. 2011 §IV): PQ on the residual
+# x − coarse_centroid(x), per-(query, cell) ADC tables.
+# --------------------------------------------------------------------------
+
+_PQ_RES_BOOKS: dict[str, list[list[list[float]]]] = {}
+
+
+def _coarse_centroid_array(coarse: list[list[float]]) -> F.Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+
+
+def _residual_frame(assigned: DataFrame, coarse: list[list[float]]) -> DataFrame:
+    cent = _coarse_centroid_array(coarse)
+    return assigned.select(
+        "vec_id",
+        "cluster",
+        "embedding",
+        F.zip_with(
+            F.col("embedding"),
+            F.element_at(cent, F.col("cluster") + 1),
+            lambda a, b: a.cast("double") - b,
+        ).alias("resid"),
+    )
+
+
+def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ search: PQ codebooks trained on x − c(x), ADC
+    tables computed per (query, probed cell).
+
+    The faithful IVFADC layout: residuals concentrate around the
+    origin, so the same 4-bit codebooks spend their resolution on the
+    within-cell geometry instead of the cell means.  Everything stays
+    the engine's fixed-point arithmetic; the oracle replays coarse
+    training → residuals → residual-PQ training → encode → probe →
+    per-cell ADC → exact refine.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.clustering import assign_clusters, kmeans
+
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    if sf_dir not in _COARSE:
+        _, centroids = kmeans(emb, k=IVF_K, iters=IVF_ITERS)
+        _COARSE[sf_dir] = centroids
+    coarse = _COARSE[sf_dir]
+    resid = _residual_frame(assign_clusters(emb, coarse), coarse)
+    if sf_dir not in _PQ_RES_BOOKS:
+        _PQ_RES_BOOKS[sf_dir] = train_pq_codebooks(
+            resid, dim=PQ_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS, vec_col="resid"
+        )
+    books = _PQ_RES_BOOKS[sf_dir]
+    coded = pq_encode(resid, books, vec_col="resid").select(
+        "vec_id", "cluster", *[f"code_{j}" for j in range(PQ_M)]
+    )
+
+    qrows = (
+        emb.filter(F.col("vec_id") < PQ_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qvecs = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows]
+
+    # Per query: rank cells by exact distance to the coarse centroid
+    # (sequential fold = the oracle's list_sum), take nprobe; per
+    # probed cell build the residual-space ADC table for the residual
+    # query q − c(cell).
+    rows = []
+    for qid, vec in qvecs:
+        dists = []
+        for ci, cent in enumerate(coarse):
+            acc = 0.0
+            for a, b in zip(vec, cent):
+                acc += (a - b) * (a - b)
+            dists.append((acc, ci))
+        for _, ci in sorted(dists)[:IVF_NPROBE]:
+            qr = [a - b for a, b in zip(vec, coarse[ci])]
+            (_, tab), = adc_distance_tables([(qid, qr)], books)
+            rows.append((qid, ci, tab))
+    qdf = spark.createDataFrame(
+        rows, "query_id int, cell int, dtable array<double>"
+    )
+
+    cand = coded.join(
+        F.broadcast(qdf),
+        (F.col("cluster") == F.col("cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    dist = None
+    for j in range(PQ_M):
+        term = F.element_at(
+            F.col("dtable"), (F.lit(j * PQ_K) + F.col(f"code_{j}") + 1).cast("int")
+        )
+        dist = term if dist is None else dist + term
+    shortlist = (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), dist.alias("_adc"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("_adc"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= IVFPQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qvec = emb.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    refined = (
+        shortlist.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", _exact_sq().alias("_d"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("neighbor_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "neighbor_id", F.round("_d", 6).alias("l2_sq"), "rank")
+    )
+
+
+def _residual_subspace_chain(j: int, k: int = PQ_K, iters: int = PQ_ITERS) -> list[str]:
+    """Per-subspace Lloyd chain over the RESIDUAL frame (CTE ``resid``)."""
+    lo = j * PQ_SUB + 1
+    p = f"r{j}_"
+    sub_rng = f"range(1, {PQ_SUB + 1})"
+    slice_expr = f"[v[{lo - 1} + i] for i in {sub_rng}]"
+    sq = f"list_sum([ (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]) for i in {sub_rng} ])"
+    ctes = [
+        f"{p}emb AS (\n    SELECT vec_id, {slice_expr} AS v FROM resid\n)",
+        f"{p}c0 AS (\n    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)"
+        f" AS cluster, v AS c\n    FROM {p}emb ORDER BY vec_id LIMIT {k}\n)",
+    ]
+    for it in range(iters + 1):
+        ctes.append(
+            f"{p}d{it} AS (\n    SELECT e.vec_id, e.v, c.cluster, {sq} AS d\n"
+            f"    FROM {p}emb e CROSS JOIN {p}c{it} c\n)"
+        )
+        ctes.append(
+            f"{p}a{it} AS (\n    SELECT vec_id, v, cluster, d FROM (\n"
+            f"        SELECT *, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY d, cluster) AS rn FROM {p}d{it}\n"
+            f"    ) WHERE rn = 1\n)"
+        )
+        if it == iters:
+            break
+        ctes.append(
+            f"{p}u{it} AS (\n    SELECT a.cluster, t.i AS dim,\n"
+            f"        CAST(SUM(CAST(floor(a.v[t.i] * {_FP}) AS BIGINT))"
+            f" AS DOUBLE) / ({_FP} * COUNT(*)) AS m\n"
+            f"    FROM {p}a{it} a CROSS JOIN generate_series(1, {PQ_SUB}) AS t(i)\n"
+            f"    GROUP BY a.cluster, t.i\n)"
+        )
+        ctes.append(
+            f"{p}g{it} AS (\n    SELECT cluster, list(m ORDER BY dim) AS c"
+            f" FROM {p}u{it} GROUP BY cluster\n)"
+        )
+        ctes.append(
+            f"{p}c{it + 1} AS (\n    SELECT p.cluster, COALESCE(g.c, p.c) AS c\n"
+            f"    FROM {p}c{it} p LEFT JOIN {p}g{it} g USING (cluster)\n)"
+        )
+    return ctes
+
+
+def _ivfpq_residual_oracle() -> str:
+    from .similarity_queries import kmeans_assignment_ctes
+
+    coarse_ctes, coarse_final = kmeans_assignment_ctes()
+    ctes = list(coarse_ctes)
+    ctes.append(
+        f"resid AS (\n    SELECT a.vec_id, a.cluster,"
+        f" [a.v[i] - c.c[i] for i in range(1, {PQ_DIM + 1})] AS v\n"
+        f"    FROM {coarse_final} a JOIN c{IVF_ITERS} c USING (cluster)\n)"
+    )
+    for j in range(PQ_M):
+        ctes.extend(_residual_subspace_chain(j))
+    joins = " ".join(
+        f"JOIN r{j}_a{PQ_ITERS} r{j} USING (vec_id)" if j else ""
+        for j in range(PQ_M)
+    )
+    sel = ", ".join(f"r{j}.cluster AS code_{j}" for j in range(1, PQ_M))
+    ctes.append(
+        f"codes AS (\n    SELECT vec_id, s.cluster AS cell,"
+        f" r0.cluster AS code_0, {sel}\n"
+        f"    FROM r0_a{PQ_ITERS} r0 {joins}\n"
+        f"    JOIN (SELECT vec_id, cluster FROM {coarse_final}) s USING (vec_id)\n)"
+    )
+    ctes.append(
+        "q AS (\n    SELECT vec_id AS query_id,"
+        f" [CAST(embedding[i] AS DOUBLE) for i in range(1, {PQ_DIM + 1})] AS v\n"
+        f"    FROM embeddings WHERE vec_id < {PQ_QUERIES}\n)"
+    )
+    ctes.append(
+        "probe AS (\n    SELECT query_id, cluster AS cell FROM (\n"
+        "        SELECT q.query_id, c.cluster,\n"
+        "            row_number() OVER (PARTITION BY q.query_id ORDER BY\n"
+        f"                list_sum([ (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])"
+        f" for i in range(1, {PQ_DIM + 1}) ]), c.cluster) AS rn\n"
+        f"        FROM q CROSS JOIN c{IVF_ITERS} c\n"
+        f"    ) WHERE rn <= {IVF_NPROBE}\n)"
+    )
+    # ADC in residual space: ((q - cell_centroid) - book_centroid)^2,
+    # left-associated exactly as the driver-side table build.
+    terms = []
+    joins2 = []
+    for j in range(PQ_M):
+        off = j * PQ_SUB
+        joins2.append(
+            f"JOIN r{j}_c{PQ_ITERS} b{j} ON b{j}.cluster = codes.code_{j}"
+        )
+        terms.append(
+            f"list_sum([ (q.v[{off} + i] - cc.c[{off} + i] - b{j}.c[i])"
+            f" * (q.v[{off} + i] - cc.c[{off} + i] - b{j}.c[i])"
+            f" for i in range(1, {PQ_SUB + 1}) ])"
+        )
+    ctes.append(
+        "adc AS (\n    SELECT q.query_id, codes.vec_id AS neighbor_id,\n"
+        f"        {' + '.join(terms)} AS d\n"
+        "    FROM codes JOIN probe p ON p.cell = codes.cell\n"
+        f"    JOIN q ON q.query_id = p.query_id\n"
+        f"    JOIN c{IVF_ITERS} cc ON cc.cluster = codes.cell {' '.join(joins2)}\n"
+        "    WHERE codes.vec_id != q.query_id\n)"
+    )
+    ctes.append(
+        "short AS (\n    SELECT query_id, neighbor_id FROM (\n"
+        "        SELECT query_id, neighbor_id,"
+        " row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn\n"
+        f"        FROM adc\n    ) WHERE rn <= {IVFPQ_SHORTLIST}\n)"
+    )
+    ctes.append(
+        "ref AS (\n    SELECT s.query_id, s.neighbor_id,"
+        f" {_EXACT_D} AS d\n"
+        "    FROM short s JOIN embeddings e ON e.vec_id = s.neighbor_id\n"
+        "    JOIN q ON q.query_id = s.query_id\n)"
+    )
+    return (
+        "WITH\n"
+        + ",\n".join(ctes)
+        + "\nSELECT query_id, neighbor_id, round(d, 6) AS l2_sq,"
+        " CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id)"
+        " AS INT) AS rank\nFROM ref\n"
+        f"QUALIFY rank <= {PQ_TOPK}"
+    )
+
+
+QUERIES["ivfpq_residual_topk"] = q_ivfpq_residual_topk
+ORACLES["ivfpq_residual_topk"] = _ivfpq_residual_oracle()
