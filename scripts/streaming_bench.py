@@ -81,7 +81,14 @@ def drain(spark, name: str, out_df) -> dict:
         )
         .start()
     )
-    q.awaitTermination(600)
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(
+            f"streaming query did not finish cleanly "
+            f"(finished={finished}, exception={exc})"
+        )
     wall = time.perf_counter() - t0
     batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     rows_out = spark.sql(f"SELECT count(*) FROM bench_{name}").collect()[0][0]
@@ -182,7 +189,14 @@ def main() -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(
+            f"streaming query did not finish cleanly "
+            f"(finished={finished}, exception={exc})"
+        )
     wall = time.perf_counter() - t0
     rows_out = 0
     for b in os.listdir(sink_out):

@@ -58,9 +58,11 @@ def assign_clusters(
     ``array_position(d, array_min(d))`` returns the FIRST index of the
     minimum, preserving the lowest-id tie-break.
     """
-    cent = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    # One nested-array Literal node (PySpark 4 F.lit takes nested
+    # lists), not k×dim CreateArray/Literal nodes: Catalyst analysis
+    # of the centroid tree is per-call driver overhead, and a single
+    # literal keeps it flat.  Bit-identical values either way.
+    cent = F.lit([[float(x) for x in c] for c in centroids])
     dists = F.transform(
         cent,
         lambda c: F.aggregate(
@@ -79,6 +81,63 @@ def assign_clusters(
     )
 
 
+#: Local-training budget: if the training set has at most this many
+#: rows (and therefore a few MB of floats), the Lloyd loop runs
+#: driver-side in exact fixed-point numpy — one collect instead of
+#: ``iters`` Spark jobs whose cost at small scale is pure scheduling
+#: + per-round codegen recompilation (each round folds new centroid
+#: literals → a fresh janino compile).  This is also the production
+#: shape: IVF/PQ codebooks are trained on a bounded sample (FAISS
+#: trains on ~O(100k) vectors regardless of corpus size), so the
+#: driver path IS the scale path for training; the distributed loop
+#: below remains for full-corpus training past the budget.
+MAX_LOCAL_TRAIN_ROWS = 65536
+
+
+def _kmeans_local(rows, k: int, iters: int, id_col: str, vec_col: str):
+    """Driver-side Lloyd, bit-identical to the distributed loop.
+
+    Same arithmetic, same order: squared distance is the sequential
+    per-dim fold (``acc + (a-b)^2`` accumulated dim by dim — numpy's
+    pairwise ``sum`` is deliberately avoided), argmin takes the first
+    (lowest) cluster on ties, and the update sums ``floor(v * 2^28)``
+    exactly in int64 before a single double division.
+
+    Returns ``(centroids, assignment, sq_dist)`` — the final
+    assignment/distance pass included, so the caller needs no further
+    Spark job to produce the assignment frame.
+    """
+    import numpy as np
+
+    ids = np.array([r[id_col] for r in rows])
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    n, dim = x.shape
+    order = np.argsort(ids, kind="stable")
+    cent = x[order[:k]].copy()
+    xq = np.floor(x * FP_SCALE).astype(np.int64)
+
+    def dists():
+        d = np.zeros((n, k))
+        for i in range(dim):
+            diff = x[:, i, None] - cent[None, :, i]
+            d += diff * diff
+        return d
+
+    for _ in range(iters):
+        assign = dists().argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            cnt = int(mask.sum())
+            if cnt:
+                s = np.add.reduce(xq[mask], axis=0)
+                cent[c] = s.astype(np.float64) / (FP_SCALE * cnt)
+    d = dists()
+    assign = d.argmin(axis=1)
+    sqd = d[np.arange(n), assign]
+    centroids = [[float(v) for v in c] for c in cent]
+    return centroids, assign, sqd
+
+
 def kmeans(
     vectors: DataFrame,
     k: int = 8,
@@ -91,7 +150,54 @@ def kmeans(
     Seeding is deterministic: the vectors of the k lowest ids.  Every
     arithmetic step is engine-portable (see module docstring), so the
     whole loop can be replayed as unrolled SQL by any engine.
+
+    Small training sets (≤ ``MAX_LOCAL_TRAIN_ROWS``) train driver-side
+    in one collect and return the assignments as a LocalRelation (the
+    probe already holds every row, so the final assignment pass is
+    numpy too — zero further Spark jobs; the tiny frame broadcasts
+    into any downstream join).  Arithmetic is identical bit-for-bit
+    in both paths.
     """
+    # Probe with limit(budget+1): if the result fits, it IS the whole
+    # training set (one job, no count) and the local path trains on it;
+    # a truncated probe is discarded and the distributed loop runs.
+    probe = vectors.limit(MAX_LOCAL_TRAIN_ROWS + 1).collect()
+    if len(probe) <= MAX_LOCAL_TRAIN_ROWS and probe:
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        centroids, assign, sqd = _kmeans_local(
+            probe, k, iters, id_col, vec_col
+        )
+        # fresh StructType — .add() would mutate the frame's cached schema
+        schema = StructType(
+            list(vectors.schema.fields)
+            + [
+                StructField("cluster", IntegerType(), False),
+                StructField("sq_dist", DoubleType(), False),
+            ]
+        )
+        data = [
+            tuple(r) + (int(c), float(d))
+            for r, c, d in zip(probe, assign, sqd)
+        ]
+        # verifySchema=False: rows are rebuilt from a collect + exact
+        # python scalars, and per-row verification of 64-float arrays
+        # costs more than the training itself.  Few slices: the
+        # default (one per core) schedules 32 Python tasks for a
+        # frame this size, tripling every downstream action's cost.
+        spark = vectors.sparkSession
+        local = spark.createDataFrame(
+            spark.sparkContext.parallelize(data, 4),
+            schema,
+            verifySchema=False,
+        )
+        return local, centroids
+
     # One materialization serves seed + every Lloyd round: without it
     # each iteration re-scans the source (iters+1 full reads).  The
     # cache is released before returning — the returned assignment
@@ -102,28 +208,34 @@ def kmeans(
     centroids = [[float(x) for x in r[0]] for r in seed_rows]
     dim = len(centroids[0])  # from the seed collect — no extra job
 
+    # Per-round update: ONE wide hash aggregate — dim fixed-point sums
+    # + a count per cluster, k groups total.  No posexplode: exploding
+    # to (cluster, dim, v) shuffles rows×dim records per round, where
+    # this shuffles k×(dim+1) partially-aggregated cells (map-side
+    # combine does the rest).  Arithmetic is unchanged bit-for-bit:
+    # floor(v·2^28) summed as BIGINT, one double division at the end
+    # (Python and Spark IEEE-754 division are the same operation).
+    sums = [
+        F.sum(
+            F.floor(
+                F.element_at(F.col(vec_col), i + 1).cast("double") * FP_SCALE
+            )
+        ).alias(f"s{i}")
+        for i in range(dim)
+    ]
     for _ in range(iters):
         assigned = assign_clusters(vectors, centroids, vec_col)
         cells = (
-            assigned.select(
-                "cluster", F.posexplode(F.col(vec_col)).alias("dim", "v")
-            )
-            .groupBy("cluster", "dim")
-            .agg(
-                (
-                    F.sum(F.floor(F.col("v").cast("double") * FP_SCALE))
-                    .cast("double")
-                    / (F.lit(FP_SCALE) * F.count("*"))
-                ).alias("mean")
-            )
+            assigned.groupBy("cluster")
+            .agg(F.count("*").alias("n"), *sums)
             .collect()
         )
         new_centroids = [list(c) for c in centroids]  # empty cluster: keep
-        by_cluster: dict[int, list[float]] = {}
         for r in cells:
-            by_cluster.setdefault(r["cluster"], [0.0] * dim)[r["dim"]] = r["mean"]
-        for c, vals in by_cluster.items():
-            new_centroids[c] = vals
+            n = r["n"]
+            new_centroids[r["cluster"]] = [
+                float(r[f"s{i}"]) / (FP_SCALE * n) for i in range(dim)
+            ]
         centroids = new_centroids
 
     vectors.unpersist()

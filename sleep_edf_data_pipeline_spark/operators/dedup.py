@@ -294,6 +294,22 @@ def ngram_jaccard_join(
     rarity rather than bucket width, which is what lets exact
     similarity self-joins run at 100 TB where brute force is O(n²).
 
+    On top of prefix+length filtering, the PPJoin POSITIONAL filter
+    (Xiao et al., WWW'08) prunes candidates before the verify join:
+    a shared prefix element at (1-based) positions ``pa``/``pb`` of
+    the two ordered sets bounds the overlap at
+    ``min(pa, pb) - 1 + 1 + min(n_a - pa, n_b - pb)`` (shared
+    elements strictly before the match on both sides, the match, and
+    shared elements after it).  Every shared element bounds the SAME
+    true overlap, so the pair survives only if the MINIMUM bound
+    reaches the Jaccard-equivalent overlap floor
+    ``t/(1+t)·(n_a+n_b)`` — computed with a 1e-6 slack so pairs that
+    only reach the threshold after the verify stage's round-to-6
+    cannot be pruned.  This is what keeps candidate volume near-linear
+    as corpus (and therefore per-shingle document frequency) grows:
+    frequent-shingle matches deep in both prefixes are exactly the
+    ones the bound kills.
+
     Returns (id_a, id_b, jaccard ≥ threshold).
     """
     sh = (
@@ -322,12 +338,32 @@ def ngram_jaccard_join(
     pref = sets.select(
         F.col(id_col),
         F.col("_n"),
-        F.explode(F.slice("hset", F.lit(1), prefix_len)).alias("_h"),
+        F.posexplode(F.slice("hset", F.lit(1), prefix_len)).alias("_p", "_h"),
+    ).select(F.col(id_col), "_n", (F.col("_p") + 1).alias("_p"), "_h")
+    # overlap bound from a match at positions (pa, pb); see docstring
+    pa, pb = F.col("p_a"), F.col("p_b")
+    bound = F.least(pa, pb) + F.least(
+        F.col("n_a") - pa, F.col("n_b") - pb
+    )
+    t_slack = threshold - 1e-6
+    min_overlap = F.ceil(
+        F.lit(t_slack / (1.0 + t_slack))
+        * (F.col("n_a") + F.col("n_b")).cast("double")
     )
     cands = (
-        pref.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"), "_h")
+        pref.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_n").alias("n_a"),
+            F.col("_p").alias("p_a"),
+            "_h",
+        )
         .join(
-            pref.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"), "_h"),
+            pref.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_n").alias("n_b"),
+                F.col("_p").alias("p_b"),
+                "_h",
+            ),
             "_h",
         )
         .filter(
@@ -335,8 +371,16 @@ def ngram_jaccard_join(
             & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
             & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
         )
+        # per-pair MIN bound (each shared element bounds the same
+        # overlap); the groupBy replaces the old distinct — same
+        # shuffle, strictly fewer survivors
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min(bound).alias("_ub"),
+            F.min(min_overlap).alias("_need"),
+        )
+        .filter(F.col("_ub") >= F.col("_need"))
         .select("id_a", "id_b")
-        .distinct()
     )
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).cast("double")
     union = (F.col("n_a") + F.col("n_b")).cast("double") - inter

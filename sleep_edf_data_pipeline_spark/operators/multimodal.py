@@ -121,9 +121,18 @@ def resize_assets(assets: DataFrame, out_w: int = 16) -> DataFrame:
             means, hashes = [], []
             for fmt, payload in zip(pdf["format"], pdf["payload"]):
                 arr = StubCodec.decode(fmt, bytes(payload))
-                idx = (np.arange(out_w) * arr.size // out_w).astype(np.int64)
-                resized = arr[idx]
-                means.append(float(resized.mean()))
+                if arr.size:
+                    idx = (np.arange(out_w) * arr.size // out_w).astype(
+                        np.int64
+                    )
+                    resized = arr[idx]
+                else:
+                    # empty payload: mirror extract_features' guard —
+                    # mean 0.0 and the hash of zero bytes
+                    resized = arr
+                means.append(
+                    float(resized.mean()) if resized.size else 0.0
+                )
                 hashes.append(
                     int.from_bytes(
                         hashlib.md5(resized.tobytes()).digest()[:7], "big"

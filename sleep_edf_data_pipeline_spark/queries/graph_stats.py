@@ -327,6 +327,15 @@ HAVING count(*) >= 3
 """
 
 
+#: Broadcast budget for the triangle-closure adjacency frame, in
+#: oriented edges (= total adjacency-list entries, 8 bytes each plus
+#: array overhead → ~0.5 GB at the cap; two copies are broadcast).
+#: Past it, the closure join runs shuffled on the same plan — a
+#: power-law graph at 100× must degrade to a shuffle, not OOM the
+#: driver.  tests/test_round3_plans.py pins both branches.
+TRIANGLE_BROADCAST_MAX_EDGES = 32_000_000
+
+
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle counts on the co-purchase graph.
 
@@ -380,20 +389,29 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializes — measured 2.4× faster than the broadcast-wedge
     # plan at sf0.1 (4.2 s vs 10 s; the shuffled-wedge plan was 15 s).
     # On a graph whose adjacency lists outgrow the broadcast budget,
-    # repartition both sides on the join key instead — same semantics.
+    # the SAME join runs shuffled — chosen automatically: the total
+    # adjacency payload is exactly one entry per oriented edge, so
+    # |e| (a count over the already-persisted frame, which the later
+    # stages re-read anyway) is a precise size estimate, not a guess.
+    n_edges = e.count()
+    adj_fits = n_edges <= TRIANGLE_BROADCAST_MAX_EDGES
+
+    def _adj_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if adj_fits else df
+
     inadj = e.groupBy(F.col("hi").alias("node")).agg(
         F.sort_array(F.collect_list("lo")).alias("ins")
     )
     tri_e = (
         e.join(
-            F.broadcast(
+            _adj_side(
                 inadj.select(F.col("node").alias("lo"), F.col("ins").alias("in_b"))
             ),
             "lo",
             "left",
         )
         .join(
-            F.broadcast(
+            _adj_side(
                 inadj.select(F.col("node").alias("hi"), F.col("ins").alias("in_c"))
             ),
             "hi",
@@ -520,10 +538,17 @@ def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.count()  # materialize before dropping the parent's cache
         e.unpersist()
         e = nxt
-    # the last round's frame stays cached for the caller's action
-    # (session-lifetime contract as in operators/dedup.py; bench and
-    # the sweep release it via clearCache between queries).
-    final_deg = e.groupBy("src").agg(F.count("*").alias("core_degree"))
+    # Collapse the cached edge frame into the (tiny) node-degree
+    # aggregate before returning: persist+materialize final_deg — one
+    # row per surviving node, ~0.1% of the edge frame — then release
+    # the edge cache.  Nothing O(edges) outlives the call, and the
+    # two consumers below (result + converged flag) read the small
+    # cache instead of re-peeling.
+    final_deg = (
+        e.groupBy("src").agg(F.count("*").alias("core_degree")).persist()
+    )
+    final_deg.count()
+    e.unpersist()
     conv = final_deg.agg(
         (F.min("core_degree") >= KCORE_K).alias("converged")
     )

@@ -49,25 +49,66 @@ PQ_REFINE = 100
 _FP = "268435456.0"  # 2^28 — operators.clustering.FP_SCALE
 
 
-#: Session-scoped training-artifact cache, keyed by corpus dir.
-#: Codebooks/centroids are write-once artifacts in production (trained
-#: one time, persisted, reused by every search); the registry queries
-#: are self-contained so each would otherwise retrain per call.  The
-#: memo reproduces the production lifecycle within a session: first
-#: call trains, later calls (any PQ/IVF-PQ query on the same corpus)
-#: reuse.  Deterministic training ⇒ identical results either way —
-#: the driver's fresh-process oracle runs prove it.
-_PQ_BOOKS: dict[str, list[list[list[float]]]] = {}
-_COARSE: dict[str, tuple] = {}
+#: Session-scoped training-artifact cache, keyed by a CONTENT
+#: FINGERPRINT of the corpus (path + per-file size/mtime of
+#: embeddings.parquet), not by path alone.  Codebooks/centroids are
+#: write-once artifacts in production (trained one time, persisted,
+#: reused by every search); the registry queries are self-contained so
+#: each would otherwise retrain per call.  The memo reproduces the
+#: production lifecycle within a session: first call trains, later
+#: calls (any PQ/IVF-PQ query on the same corpus) reuse.  The
+#: fingerprint key means a rewritten staging dir (same path, new
+#: parquet) invalidates automatically instead of silently serving
+#: stale codebooks.  Deterministic training ⇒ identical results
+#: either way — the driver's fresh-process oracle runs prove it.
+_PQ_BOOKS: dict[tuple, list[list[list[float]]]] = {}
+_COARSE: dict[tuple, tuple] = {}
+
+
+def _corpus_key(sf_dir: str) -> tuple:
+    """Fingerprint the embeddings table under ``sf_dir``.
+
+    (realpath, sorted (relative-name, size, mtime_ns) of every data
+    file).  Any rewrite — new files, appended shards, touched bytes —
+    changes the key, so trained artifacts can never outlive the data
+    they were trained on.  Pure os.stat metadata: no file reads, so
+    the check is microseconds even for thousands of shards.
+    """
+    import os
+
+    root = os.path.realpath(os.path.join(sf_dir, "embeddings.parquet"))
+    entries: list[tuple[str, int, int]] = []
+    if os.path.isdir(root):
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                if fn.startswith(("_", ".")):
+                    continue
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, root), st.st_size, st.st_mtime_ns)
+                )
+    elif os.path.exists(root):
+        st = os.stat(root)
+        entries.append((os.path.basename(root), st.st_size, st.st_mtime_ns))
+    return (root, tuple(sorted(entries)))
+
+
+def clear_training_cache() -> None:
+    """Drop every memoized training artifact (tests / explicit reset)."""
+    _PQ_BOOKS.clear()
+    _COARSE.clear()
+    _PQ_RES_BOOKS.clear()
 
 
 def _train_and_encode(spark: SparkSession, sf_dir: str):
     emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
-    if sf_dir not in _PQ_BOOKS:
-        _PQ_BOOKS[sf_dir] = train_pq_codebooks(
+    key = _corpus_key(sf_dir)
+    if key not in _PQ_BOOKS:
+        _PQ_BOOKS[key] = train_pq_codebooks(
             emb, dim=PQ_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS
         )
-    books = _PQ_BOOKS[sf_dir]
+    books = _PQ_BOOKS[key]
     return emb, books, pq_encode(emb, books)
 
 
@@ -458,16 +499,17 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
     from ..operators.clustering import assign_clusters
 
-    if sf_dir not in _COARSE:
+    key = _corpus_key(sf_dir)
+    if key not in _COARSE:
         _, centroids = kmeans(emb, k=IVF_K, iters=IVF_ITERS)
-        _COARSE[sf_dir] = centroids
-    coarse = _COARSE[sf_dir]
+        _COARSE[key] = centroids
+    coarse = _COARSE[key]
     assigned = assign_clusters(emb, coarse)
-    if sf_dir not in _PQ_BOOKS:
-        _PQ_BOOKS[sf_dir] = train_pq_codebooks(
+    if key not in _PQ_BOOKS:
+        _PQ_BOOKS[key] = train_pq_codebooks(
             emb, dim=PQ_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS
         )
-    books = _PQ_BOOKS[sf_dir]
+    books = _PQ_BOOKS[key]
     coded = pq_encode(
         assigned.select("vec_id", "cluster", "embedding"), books
     ).select("vec_id", "cluster", *[f"code_{j}" for j in range(PQ_M)])
@@ -609,7 +651,7 @@ ORACLES["ivfpq_topk"] = _ivfpq_oracle()
 # x − coarse_centroid(x), per-(query, cell) ADC tables.
 # --------------------------------------------------------------------------
 
-_PQ_RES_BOOKS: dict[str, list[list[list[float]]]] = {}
+_PQ_RES_BOOKS: dict[tuple, list[list[list[float]]]] = {}
 
 
 def _coarse_centroid_array(coarse: list[list[float]]) -> F.Column:
@@ -649,16 +691,17 @@ def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import assign_clusters, kmeans
 
     emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
-    if sf_dir not in _COARSE:
+    key = _corpus_key(sf_dir)
+    if key not in _COARSE:
         _, centroids = kmeans(emb, k=IVF_K, iters=IVF_ITERS)
-        _COARSE[sf_dir] = centroids
-    coarse = _COARSE[sf_dir]
+        _COARSE[key] = centroids
+    coarse = _COARSE[key]
     resid = _residual_frame(assign_clusters(emb, coarse), coarse)
-    if sf_dir not in _PQ_RES_BOOKS:
-        _PQ_RES_BOOKS[sf_dir] = train_pq_codebooks(
+    if key not in _PQ_RES_BOOKS:
+        _PQ_RES_BOOKS[key] = train_pq_codebooks(
             resid, dim=PQ_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS, vec_col="resid"
         )
-    books = _PQ_RES_BOOKS[sf_dir]
+    books = _PQ_RES_BOOKS[key]
     coded = pq_encode(resid, books, vec_col="resid").select(
         "vec_id", "cluster", *[f"code_{j}" for j in range(PQ_M)]
     )

@@ -183,7 +183,11 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.clustering import kmeans
 
-    vecs = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    # No spread(): the local-training path collects one probe (the
+    # repartition shuffle would only tax that collect), and past the
+    # budget the distributed loop parallelizes on the scan's natural
+    # file/row-group splits.
+    vecs = table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans(vecs, k=_KM_K, iters=_KM_ITERS)
     return assigned.select(
         "vec_id", "cluster", F.round("sq_dist", 6).alias("sq_dist")

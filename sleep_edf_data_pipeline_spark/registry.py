@@ -11,23 +11,24 @@ from pyspark.sql import DataFrame, SparkSession
 #:
 #: ORDER MATTERS for the driver's correctness gate: it verifies the
 #: first 50 entries of collect() per round, so the window rotates each
-#: round.  Round-3 window (this ordering): the two never-driver-checked
-#: extras, then the sleep/window spine whose arithmetic was rewritten
-#: AFTER its r01 rows (fixed-point moving averages / z-scores), then
-#: the longest-unverified TPC-H spine (r01 rows only) — extras(2) +
-#: sleep_relational(10) + tpch_relational(16) + joins_advanced(6) +
-#: relational_breadth(4) + event_windows(5) + advanced_windows(8,
-#: window cuts at slot 50 inside it; ranking_suite grew the module
-#: after this comment was first written).  serving.diagnostics,
-#: r02-green, rotates just outside.  The LLM-training-data surface
-#: (driver-green r02, CORRECTNESS_r02.json 50/50) rotates to the back;
-#: everything stays covered every round by the local mirror in
-#: tests/test_oracle_parity.py regardless of window position.
-#: ROUND-4 ROTATION PLAN: put the round-3 debut modules first
-#: (quantization_queries, corpus_quality, graph_stats' kcore,
-#: multimodal_queries' resize, training_data, tpch_complete) so every
-#: never-driver-checked query gets its row, then backfill with the
-#: longest-unverified modules.
+#: round.  Module order alone can't pack a round's debut queries into
+#: the window (they are scattered across modules), so collect() hoists
+#: the explicit ``_WINDOW`` name list to the front; everything else
+#: follows in module order.  tests/test_registry_window.py pins the
+#: resulting first 50 so any window change is an explicit edit.
+#:
+#: ROUND-4 WINDOW (executing the round-3 rotation plan): the 37
+#: queries that debuted in round 3 and have only local verification
+#: (all of training_data, tpch_complete, quantization_queries,
+#: corpus_quality, plus ranking_suite / incremental_dedup /
+#: quality_classifier / multimodal_resize / customer_distribution /
+#: waiting_suppliers / kcore_membership / triangle_counts), then the
+#: three serving queries whose last driver row is r01, then ten
+#: backfill slots for queries whose implementation is touched this
+#: round (k-means rewrite, ngram-Jaccard prefix filter, multimodal
+#: codec) or that anchor the dedup/ANN spine.  The two approximate
+#: sketches (approx_distinct_parts, approx_quantiles_price) already
+#: have their by-design rows-only r03 rows and stay outside.
 _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.extras",
     "sleep_edf_data_pipeline_spark.queries.sleep_relational",
@@ -46,13 +47,72 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.tpch_deep",
     "sleep_edf_data_pipeline_spark.queries.behavior_analytics",
     "sleep_edf_data_pipeline_spark.queries.graph_stats",
-    # Round-3 additions stay BEHIND the 50-entry window (slots 103+):
-    # they get local parity + the sf0.1 sweep this round, and rotate
-    # into the driver window next round per the policy above.
     "sleep_edf_data_pipeline_spark.queries.training_data",
     "sleep_edf_data_pipeline_spark.queries.tpch_complete",
     "sleep_edf_data_pipeline_spark.queries.quantization_queries",
     "sleep_edf_data_pipeline_spark.queries.corpus_quality",
+]
+
+#: The driver-verification window: collect() hoists these 50 names to
+#: the front, in this order.  Every name must exist in some module.
+_WINDOW = [
+    # -- round-3 debuts: training_data (9) --------------------------
+    "decontaminate_overlap",
+    "repetition_stats",
+    "stratified_sample",
+    "domain_mixture_weights",
+    "json_props_stats",
+    "pii_scrub",
+    "cluster_size_histogram",
+    "semdedup_prune",
+    "duplicate_spans",
+    # -- round-3 debuts: tpch_complete (8) --------------------------
+    "priority_order_counts",
+    "forecast_revenue",
+    "returned_item_customers",
+    "important_stock",
+    "shipping_priority_buckets",
+    "promo_revenue_share",
+    "part_supplier_diversity",
+    "dominant_small_part_suppliers",
+    # -- round-3 debuts: quantization_queries (6) --------------------
+    "pq_codes",
+    "pq_topk_adc",
+    "pq_topk_refined",
+    "pq_recall_eval",
+    "ivfpq_topk",
+    "ivfpq_residual_topk",
+    # -- round-3 debuts: corpus_quality (6) --------------------------
+    "bloom_decontaminate",
+    "dsir_importance_weights",
+    "unigram_logprob_scores",
+    "importance_resample",
+    "length_bucket_packing",
+    "corpus_shuffle_order",
+    # -- round-3 debut stragglers inside older modules (8) -----------
+    "ranking_suite",
+    "incremental_dedup",
+    "quality_classifier",
+    "multimodal_resize",
+    "customer_distribution",
+    "waiting_suppliers",
+    "kcore_membership",
+    "triangle_counts",
+    # -- last driver row is r01 (3) ----------------------------------
+    "subject_list",
+    "subject_lookup",
+    "subject_timeseries",
+    # -- backfill: implementations touched this round + spine (10) ---
+    "kmeans_clusters",
+    "ngram_jaccard_neardups",
+    "multimodal_features",
+    "frame_sampling",
+    "cosine_topk_ivf",
+    "minhash_lsh_neardups",
+    "dedup_exact",
+    "dedup_clusters",
+    "diagnostics",
+    "data_quality_checks",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -71,4 +131,11 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
             if name not in mod.QUERIES:
                 raise ValueError(f"oracle without query: {name} in {modname}")
             oracles[name] = sql
-    return queries, oracles
+    missing = [n for n in _WINDOW if n not in queries]
+    if missing:
+        raise ValueError(f"_WINDOW names not registered: {missing}")
+    if len(set(_WINDOW)) != len(_WINDOW):
+        raise ValueError("_WINDOW has duplicates")
+    ordered = {n: queries[n] for n in _WINDOW}
+    ordered.update((n, f) for n, f in queries.items() if n not in ordered)
+    return ordered, oracles

@@ -56,6 +56,11 @@ def _write_partition(
 
     ctx = TaskContext.get()
     task = ctx.partitionId() if ctx else 0
+    # Attempt id in the staging name: with speculative execution (or a
+    # zombie first attempt) two attempts of the same partition write
+    # concurrently — per-attempt files mean only the attempt whose
+    # commit message wins is ever published, never an interleaving.
+    attempt = ctx.taskAttemptId() if ctx else 0
     os.makedirs(staging, exist_ok=True)
     files: list[tuple[str, int]] = []
     fh, count, seq, path = None, 0, 0, ""
@@ -65,7 +70,9 @@ def _write_partition(
             if fh is not None:
                 fh.close()
                 files.append((path, count))
-            path = os.path.join(staging, f"t{task:05d}-{seq:03d}.jsonl")
+            path = os.path.join(
+                staging, f"t{task:05d}-a{attempt:06d}-{seq:03d}.jsonl"
+            )
             fh = open(path, "w")
             count, seq = 0, seq + 1
         d = dict(zip(names, row))
@@ -78,19 +85,45 @@ def _write_partition(
 
 
 def _publish(out_dir: str, messages, overwrite: bool) -> None:
-    """Driver-side commit: staging → deterministic names + manifest."""
+    """Driver-side commit: staging → deterministic names + manifest.
+
+    Overwrite mode clears prior shards; append mode CONTINUES shard
+    numbering after the existing manifest's highest index and merges
+    the manifest, so a second append never clobbers earlier shards.
+    Appending into a directory that has shards but no manifest (an
+    uncommitted or foreign state) is refused rather than guessed at.
+    """
     staged: list[tuple[str, int]] = []
     for m in messages:
         if m is not None:
             staged.extend(m.files)
-    staged.sort()  # deterministic shard numbering by (task, seq)
+    staged.sort()  # deterministic shard numbering by (task, attempt, seq)
     if overwrite and os.path.isdir(out_dir):
         for n in os.listdir(out_dir):
             if n.endswith(".jsonl") or n == "_MANIFEST.json":
                 os.remove(os.path.join(out_dir, n))
     os.makedirs(out_dir, exist_ok=True)
-    manifest = []
-    for i, (src, rows) in enumerate(staged):
+    prior: list[dict] = []
+    start = 0
+    if not overwrite:
+        mpath = os.path.join(out_dir, "_MANIFEST.json")
+        existing_shards = [
+            n for n in os.listdir(out_dir)
+            if n.startswith("shard-") and n.endswith(".jsonl")
+        ]
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                prior = json.load(f)["shards"]
+            indices = [int(s["shard"][6:11]) for s in prior]
+            start = max(indices, default=-1) + 1
+        elif existing_shards:
+            raise ValueError(
+                f"jsonlshards: refusing to append into {out_dir}: it has "
+                "shard files but no _MANIFEST.json (uncommitted or foreign "
+                "output); use mode('overwrite') or clean the directory"
+            )
+    manifest = list(prior)
+    for i, (src, rows) in enumerate(staged, start=start):
         name = f"shard-{i:05d}.jsonl"
         os.replace(src, os.path.join(out_dir, name))
         manifest.append({"shard": name, "rows": rows})

@@ -45,6 +45,57 @@ def test_batch_write_publishes_shards_and_manifest(spark, tmp_path):
     assert not [n for n in os.listdir(out) if n.startswith("_staging")]
 
 
+def test_second_append_extends_instead_of_clobbering(spark, tmp_path):
+    """Append into a populated dir continues numbering + merges manifest."""
+    out = str(tmp_path / "append")
+    df1 = spark.range(0, 150, numPartitions=2).select(F.col("id"))
+    df1.write.format("jsonlshards").option(
+        "max_records_per_file", "100"
+    ).mode("append").save(out)
+    df2 = spark.range(150, 250, numPartitions=1).select(F.col("id"))
+    df2.write.format("jsonlshards").option(
+        "max_records_per_file", "100"
+    ).mode("append").save(out)
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 250
+    names = sorted(n for n in os.listdir(out) if n.endswith(".jsonl"))
+    assert names == [m["shard"] for m in manifest["shards"]]
+    # shard indices are contiguous across both writes
+    assert [int(n[6:11]) for n in names] == list(range(len(names)))
+    rows = []
+    for n in names:
+        with open(os.path.join(out, n)) as f:
+            rows += [json.loads(line) for line in f]
+    assert sorted(r["id"] for r in rows) == list(range(250))
+
+
+def test_overwrite_replaces_prior_shards(spark, tmp_path):
+    out = str(tmp_path / "ow")
+    spark.range(120, numPartitions=2).write.format("jsonlshards").mode(
+        "append"
+    ).save(out)
+    spark.range(30, numPartitions=1).write.format("jsonlshards").mode(
+        "overwrite"
+    ).save(out)
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 30
+    names = [n for n in os.listdir(out) if n.endswith(".jsonl")]
+    assert len(names) == len(manifest["shards"])
+
+
+def test_append_into_manifestless_shards_is_refused(spark, tmp_path):
+    out = tmp_path / "foreign"
+    out.mkdir()
+    (out / "shard-00000.jsonl").write_text('{"id": 1}\n')
+    with pytest.raises(Exception, match="no _MANIFEST"):
+        spark.range(5).write.format("jsonlshards").mode("append").save(
+            str(out)
+        )
+    # the foreign shard is untouched
+    assert (out / "shard-00000.jsonl").read_text() == '{"id": 1}\n'
+
+
 def test_failed_job_leaves_no_visible_output(spark, tmp_path):
     out = str(tmp_path / "fail")
 

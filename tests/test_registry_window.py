@@ -3,20 +3,51 @@
 The external driver hash-verifies only the first 50 entries of
 ``registry.collect()`` per round; module edits that insert or reorder
 queries would silently change WHICH queries get driver rows.  This pin
-makes any window change an explicit, reviewed edit.  (Round-4 will
-rotate the window deliberately — update the list then, per the
-rotation plan in registry.py.)
+makes any window change an explicit, reviewed edit.
+
+Round-4 window = the 37 round-3 debuts that have only local
+verification, the 3 serving queries whose last driver row is r01, and
+10 backfill slots for implementations touched this round (k-means
+rewrite, ngram-Jaccard prefix filter, multimodal codec) plus the
+dedup/ANN spine.  See the rotation rationale in registry.py.
 """
 
 from sleep_edf_data_pipeline_spark import registry
 
-ROUND3_WINDOW = ['value_outliers', 'ship_latency_percentiles', 'staging_cast', 'moving_average', 'transition_flag', 'gaps_islands', 'episode_detection', 'episode_ranking', 'episode_bounds', 'sleep_metrics', 'sleep_summary', 'sleep_features', 'pricing_summary', 'top_revenue_orders', 'regional_revenue', 'orders_per_customer', 'customers_with_urgent_orders', 'customers_without_orders', 'lineitem_rollup', 'orders_cube', 'nation_set_ops', 'priority_set_ops_all', 'distinct_counts', 'approx_distinct_parts', 'top_orders_per_customer', 'scalar_functions', 'product_profit', 'shipping_grouping_sets', 'asof_last_order', 'quantity_band_agg', 'events_near_orders', 'quantity_quantiles', 'approx_quantiles_price', 'full_outer_reconciliation', 'window_function_suite', 'fuzzy_name_dedup', 'part_attributes_unpivot', 'above_average_orders', 'hourly_event_agg', 'hourly_densified', 'session_window_agg', 'json_props_agg', 'event_type_pivot', 'range_frame_spend', 'locf_gap_fill', 'correlated_above_cust_avg', 'sliding_window_agg', 'modern_agg_suite', 'weighted_discount_udaf', 'linear_interpolation']
+ROUND4_WINDOW = [
+    "decontaminate_overlap", "repetition_stats", "stratified_sample",
+    "domain_mixture_weights", "json_props_stats", "pii_scrub",
+    "cluster_size_histogram", "semdedup_prune", "duplicate_spans",
+    "priority_order_counts", "forecast_revenue", "returned_item_customers",
+    "important_stock", "shipping_priority_buckets", "promo_revenue_share",
+    "part_supplier_diversity", "dominant_small_part_suppliers",
+    "pq_codes", "pq_topk_adc", "pq_topk_refined", "pq_recall_eval",
+    "ivfpq_topk", "ivfpq_residual_topk",
+    "bloom_decontaminate", "dsir_importance_weights",
+    "unigram_logprob_scores", "importance_resample",
+    "length_bucket_packing", "corpus_shuffle_order",
+    "ranking_suite", "incremental_dedup", "quality_classifier",
+    "multimodal_resize", "customer_distribution", "waiting_suppliers",
+    "kcore_membership", "triangle_counts",
+    "subject_list", "subject_lookup", "subject_timeseries",
+    "kmeans_clusters", "ngram_jaccard_neardups", "multimodal_features",
+    "frame_sampling", "cosine_topk_ivf", "minhash_lsh_neardups",
+    "dedup_exact", "dedup_clusters", "diagnostics", "data_quality_checks",
+]
 
 
 def test_driver_window_is_exactly_the_planned_50():
     queries, oracles = registry.collect()
-    assert list(queries)[:50] == ROUND3_WINDOW
-    # every window entry must be oracle-backed except the two
-    # by-design sketches
-    no_oracle = [n for n in ROUND3_WINDOW if n not in oracles]
-    assert set(no_oracle) <= {"approx_distinct_parts", "approx_quantiles_price"}
+    assert list(queries)[:50] == ROUND4_WINDOW
+    # every round-4 window entry is oracle-backed (the two by-design
+    # sketches already have their rows-only r03 rows and sit outside)
+    no_oracle = [n for n in ROUND4_WINDOW if n not in oracles]
+    assert no_oracle == []
+
+
+def test_window_hoist_preserves_full_registry():
+    queries, oracles = registry.collect()
+    assert len(queries) == 140
+    assert len(set(queries)) == 140
+    # hoisting must not drop or duplicate oracle entries
+    assert all(name in queries for name in oracles)

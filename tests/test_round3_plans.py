@@ -244,6 +244,38 @@ def test_triangle_counts_match_naive(spark, sf_dir):
     assert sum(got.values()) % 3 == 0
 
 
+def test_triangle_adjacency_broadcast_has_size_guard(spark, sf_dir, monkeypatch):
+    """The closure join must degrade to a shuffle past the broadcast
+    budget — same results, no driver-side OOM path.  Force the guard
+    both ways and compare branch outputs row-for-row; pin that the
+    small branch hints broadcast and the large branch does not."""
+    from sleep_edf_data_pipeline_spark.queries import graph_stats as gs
+
+    def run():
+        df = QUERIES["triangle_counts"](spark, sf_dir)
+        rows = sorted((r["part"], r["n_triangles"]) for r in df.collect())
+        return rows, plan_of(df)
+
+    spark.catalog.clearCache()
+    monkeypatch.setattr(gs, "TRIANGLE_BROADCAST_MAX_EDGES", 10**12)
+    small, plan_b = run()
+    assert "BroadcastHashJoin" in plan_b, plan_b
+
+    spark.catalog.clearCache()
+    monkeypatch.setattr(gs, "TRIANGLE_BROADCAST_MAX_EDGES", 0)
+    # also keep Catalyst from auto-broadcasting the tiny test frame,
+    # so the pinned plan is the genuine large-graph branch
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        large, plan_s = run()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.catalog.clearCache()
+    assert "BroadcastHashJoin" not in plan_s, plan_s
+    assert small == large
+
+
 # --- product quantization --------------------------------------------------
 
 
