@@ -78,6 +78,17 @@ HEADLINE = [
     "kcore_membership",
     "multimodal_resize",
     "corpus_shuffle_order",
+    # r04 additions: one representative per rotated-in debut family
+    # that the r03 set didn't already cover — the 8-function window
+    # suite, the batch-vs-index incremental dedup, the residual IVFADC
+    # (deepest ANN pipeline), the zero-shuffle regex scrub, the
+    # deterministic stratified cap, and a TPC-H distribution scan.
+    "ranking_suite",
+    "incremental_dedup",
+    "ivfpq_residual_topk",
+    "pii_scrub",
+    "stratified_sample",
+    "customer_distribution",
 ]
 
 

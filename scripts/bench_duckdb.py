@@ -30,8 +30,17 @@ TABLES = [
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_DUCKDB_SF0.1.json"
+    # --only a,b,c: time just those queries and MERGE into an existing
+    # output file (re-timing the 600 s ngram oracle to add one new
+    # query would be waste); totals are recomputed over the merge.
+    only: set[str] | None = None
+    argv = list(sys.argv[1:])
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    out_path = argv[1] if len(argv) > 1 else "BENCH_DUCKDB_SF0.1.json"
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     _, oracles = registry.collect()
     con = duckdb.connect()
@@ -45,6 +54,8 @@ def main() -> None:
     timeouts: list[str] = []
     total = 0.0
     for name in HEADLINE:
+        if only is not None and name not in only:
+            continue
         if name not in oracles:
             print(f"# {name}: no oracle, skipped", file=sys.stderr)
             continue
@@ -66,6 +77,14 @@ def main() -> None:
             watchdog.cancel()
         timings[name] = round(dt, 3)
         total += dt
+    if only is not None and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        merged = dict(prior.get("queries", {}))
+        merged.update(timings)
+        timings = merged
+        timeouts = sorted(set(prior.get("timed_out", [])) | set(timeouts))
+        total = sum(timings.values())
     payload = {
         "metric": "duckdb_oracle_headline_total_wall",
         "value": round(total, 3),

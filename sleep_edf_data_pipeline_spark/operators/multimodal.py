@@ -5,12 +5,13 @@ a typed metadata struct; decode / feature-extract / resize / frame-
 sample run as Arrow-batched ``mapInPandas`` stages so bytes never
 round-trip through Python row objects.
 
-The image/audio codec libraries are NOT in this container, so the codec
-step is stubbed: :class:`StubCodec` raises ``NotImplementedError`` for
-real formats and handles the deterministic ``fake/raw`` format used by
-tests — the Spark-side plumbing (schema, batching, partitioning, UDF
-signatures) is real and tested; swapping in Pillow/ffmpeg is a
-one-function change.
+The codec layer is a registry: ``fake/raw`` (deterministic test
+format) plus REAL pure-stdlib PNG/BMP decoders from
+operators/codecs.py are built in; other formats raise
+``NotImplementedError`` until registered — swapping in Pillow/ffmpeg
+is one ``StubCodec.register_codec`` call.  The Spark-side plumbing
+(schema, Arrow batching, partitioning, UDF signatures) is identical
+for every format.
 """
 
 from __future__ import annotations
@@ -48,20 +49,43 @@ FEATURE_SCHEMA = (
 
 
 class StubCodec:
-    """Deterministic stand-in for image/audio decoders.
+    """Codec registry for binary media payloads.
 
-    ``fake/raw`` payloads are uint8 pixel bytes (row-major); anything
-    else raises NotImplementedError until a real codec is wired in.
+    ``fake/raw`` payloads are uint8 pixel bytes (row-major); ``png``
+    and ``bmp`` decode for real through the pure-stdlib decoders in
+    operators/codecs.py; any other format raises NotImplementedError
+    until a codec is registered (``register_codec`` is the
+    one-function Pillow/ffmpeg integration point).
     """
 
-    @staticmethod
-    def decode(fmt: str, payload: bytes) -> np.ndarray:
+    _codecs: dict = {}
+
+    @classmethod
+    def register_codec(cls, fmt: str, fn) -> None:
+        """Register ``fn(payload: bytes) -> np.ndarray`` for ``fmt``."""
+        cls._codecs[fmt] = fn
+
+    @classmethod
+    def decode(cls, fmt: str, payload: bytes) -> np.ndarray:
         if fmt == "fake/raw":
             return np.frombuffer(payload, dtype=np.uint8)
+        fn = cls._codecs.get(fmt)
+        if fn is not None:
+            return np.asarray(fn(payload), dtype=np.uint8).reshape(-1)
         raise NotImplementedError(
             f"codec for format {fmt!r} not available in this environment; "
-            "install a codec library and register it here"
+            "register one via StubCodec.register_codec"
         )
+
+
+def _register_builtin_codecs() -> None:
+    from .codecs import decode_bmp, decode_png
+
+    StubCodec.register_codec("png", decode_png)
+    StubCodec.register_codec("bmp", decode_bmp)
+
+
+_register_builtin_codecs()
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
