@@ -41,7 +41,11 @@ def main() -> None:
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     out_path = argv[1] if len(argv) > 1 else "BENCH_DUCKDB_SF0.1.json"
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    tag = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1"
+    try:
+        sf = float(tag)
+    except ValueError:  # synthetic decade corpora: /tmp/scale10 etc.
+        sf = tag
     _, oracles = registry.collect()
     con = duckdb.connect()
     con.execute(f"SET threads = {os.cpu_count()}")

@@ -75,6 +75,12 @@ SMOKE = [
     "unigram_logprob_scores",
     "pq_codes",
     "kcore_membership",
+    # r04: the two multi-stage pipelines flagged "weak by the 2x rule"
+    # at sf0.1 — the fixed-cost hypothesis says their DuckDB ratio
+    # falls at 10x; this run is the evidence.  Plus the triangle
+    # closure, whose broadcast guard needs a bigger-graph datapoint.
+    "ivfpq_topk",
+    "triangle_counts",
 ]
 
 

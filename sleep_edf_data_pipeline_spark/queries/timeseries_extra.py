@@ -1,0 +1,248 @@
+"""Time-series finishing ops: EWMA, last-touch attribution, OHLC bars.
+
+Three event-stream patterns the existing window family doesn't cover:
+exponentially weighted smoothing, marketing-style revenue attribution,
+and financial-style bar aggregation.  All are single-shuffle plans
+partitioned on the stream's natural key (user_id / event_type) — at
+100 TB one user's or one type-hour's history fits an executor window
+buffer, and nothing here ever joins the fact to itself.
+
+Cross-engine determinism notes (the float rules from SCALING.md):
+
+* The EWMA uses α = 1/2, whose lag-k weight 2^-k is a POWER OF TWO —
+  quantized values times power-of-two weights summed as BIGINT are
+  exact, so Spark and DuckDB produce bit-identical doubles after the
+  single final division.
+* OHLC open/close are raw row values selected by a total order
+  (ts, event_id) — no float arithmetic at all.
+* Attribution sums route through DECIMAL(18,2), order-free.
+
+Reference parity: the reference's analytics layer smooths epoch
+streams with ordered rolling window averages
+(models/intermediate/sleep_metrics.sql:9-22) and reduces runs to
+first/last bounds per episode (models/marts — episode bounds);
+these re-express the same shapes (ordered decay smoothing,
+per-bucket first/last selection, windowed as-of credit) on the
+generic events stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+#: EWMA memory: lag-k weight is 2^(HALF_LIFE_TAPS-1-k); 16 taps keep
+#: the BIGINT accumulator ≤ ~2^53 even for value*2^20 quantization.
+EWMA_TAPS = 16
+
+#: Fixed-point quantization for the smoothed value (2^20 ≈ 1e6).
+EWMA_SCALE = 1 << 20
+
+
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α=1/2, 16 taps) of event value, exact fixed-point.
+
+    EWMA is a linear recurrence, which no engine's window agg exposes
+    directly; with a half-life decay the 16-tap truncation is exact to
+    ~2^-16 and each tap's weight 2^(15-k) is a power of two.  So:
+    quantize value to BIGINT (floor(v·2^20)), take 16 ``lag`` taps over
+    (ts, event_id) order, and fold them into one integer numerator /
+    denominator pair — order-free, overflow-safe (≲ 2^50), and
+    bit-identical across engines after the single double division.
+
+    The 16 lags are ONE window walk in Spark (same frame, same order),
+    not 16 shuffles; the plan is a single hash-partition on user_id.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    q = F.floor(F.col("value") * F.lit(EWMA_SCALE)).cast("bigint")
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for k in range(EWMA_TAPS):
+        weight = 1 << (EWMA_TAPS - 1 - k)
+        tap = F.lag(q, k).over(w)
+        num = num + F.coalesce(tap * F.lit(weight), F.lit(0))
+        den = den + F.when(tap.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            (
+                num.cast("double") / den.cast("double") / F.lit(float(EWMA_SCALE))
+            ).alias("ewma_value"),
+        )
+        .filter(F.col("event_id") % 7 == 0)
+    )
+
+
+ORACLE_EWMA_USER_VALUE = f"""
+WITH taps AS (
+    SELECT user_id, event_id,
+           {", ".join(
+               f"lag(CAST(floor(value * {EWMA_SCALE}) AS BIGINT), {k}) "
+               f"OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t{k}"
+               for k in range(EWMA_TAPS)
+           )}
+    FROM events
+)
+SELECT user_id, event_id,
+       CAST(({" + ".join(
+           f"COALESCE(t{k} * {1 << (EWMA_TAPS - 1 - k)}, 0)"
+           for k in range(EWMA_TAPS)
+       )}) AS DOUBLE)
+       / CAST(({" + ".join(
+           f"CASE WHEN t{k} IS NOT NULL THEN {1 << (EWMA_TAPS - 1 - k)} ELSE 0 END"
+           for k in range(EWMA_TAPS)
+       )}) AS DOUBLE)
+       / {float(EWMA_SCALE)} AS ewma_value
+FROM taps
+WHERE event_id % 7 = 0
+"""
+
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue attribution: each purchase credits the user's most
+    recent prior non-purchase event within 7 days.
+
+    The classic marketing-attribution query, done without a self-join:
+    one window walk per user carries the last non-purchase (ts, type)
+    forward (``last(..., ignorenulls=True)`` over an up-to-previous-row
+    frame), purchases outside the 7-day lookback fall into the
+    ``organic`` channel, and revenue sums per channel as DECIMAL.
+    A naive as-of self-join would shuffle the fact twice and explode on
+    active users; this scans it once.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    touch_ts = F.last(
+        F.when(not_purchase, F.col("ts")), ignorenulls=True
+    ).over(w)
+    touch_type = F.last(
+        F.when(not_purchase, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    purchases = (
+        ev.select("user_id", "ts", "event_id", "event_type", "value",
+                  touch_ts.alias("touch_ts"), touch_type.alias("touch_type"))
+        .filter(F.col("event_type") == "purchase")
+    )
+    channel = F.when(
+        F.col("touch_ts").isNotNull()
+        & (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+        F.col("touch_type"),
+    ).otherwise(F.lit("organic"))
+    return (
+        purchases.select(
+            channel.alias("channel"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("v").cast("double").alias("attributed_revenue"),
+        )
+    )
+
+
+ORACLE_LAST_TOUCH_ATTRIBUTION = """
+WITH touched AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           last_value(CASE WHEN event_type != 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts,
+           last_value(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+    FROM events
+)
+SELECT CASE WHEN touch_ts IS NOT NULL
+                 AND touch_ts >= ts - INTERVAL 7 DAY
+            THEN touch_type ELSE 'organic' END AS channel,
+       count(*) AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           AS attributed_revenue
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type: open/high/low/close/volume.
+
+    The financial downsampling shape.  Open and close are single-row
+    values selected by the total order (ts, event_id) — two
+    row_numbers over one window spec (forward and reverse share the
+    same hash partitioning, so Spark plans ONE exchange + two sorts) —
+    then a hash aggregate per (event_type, hour) folds everything.
+    No float arithmetic: O/H/L/C are raw row doubles, volume a count.
+    """
+    ev = table(spark, sf_dir, "events").withColumn(
+        "bar_hour", F.date_trunc("hour", F.col("ts"))
+    )
+    fwd = Window.partitionBy("event_type", "bar_hour").orderBy(
+        "ts", "event_id"
+    )
+    rev = Window.partitionBy("event_type", "bar_hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "event_type",
+            "bar_hour",
+            "value",
+            F.row_number().over(fwd).alias("rn_f"),
+            F.row_number().over(rev).alias("rn_r"),
+        )
+        .groupBy("event_type", "bar_hour")
+        .agg(
+            F.max(F.when(F.col("rn_f") == 1, F.col("value"))).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max(F.when(F.col("rn_r") == 1, F.col("value"))).alias("close_v"),
+            F.count("*").alias("volume"),
+        )
+        .filter(F.col("volume") >= 3)
+    )
+
+
+ORACLE_OHLC_BARS = """
+WITH ranked AS (
+    SELECT event_type,
+           date_trunc('hour', ts) AS bar_hour,
+           value,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS rn_f,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn_r
+    FROM events
+)
+SELECT event_type, bar_hour,
+       max(CASE WHEN rn_f = 1 THEN value END) AS open_v,
+       max(value) AS high_v,
+       min(value) AS low_v,
+       max(CASE WHEN rn_r = 1 THEN value END) AS close_v,
+       count(*) AS volume
+FROM ranked
+GROUP BY event_type, bar_hour
+HAVING count(*) >= 3
+"""
+
+
+QUERIES = {
+    "ewma_user_value": q_ewma_user_value,
+    "last_touch_attribution": q_last_touch_attribution,
+    "ohlc_bars": q_ohlc_bars,
+}
+
+ORACLES = {
+    "ewma_user_value": ORACLE_EWMA_USER_VALUE,
+    "last_touch_attribution": ORACLE_LAST_TOUCH_ATTRIBUTION,
+    "ohlc_bars": ORACLE_OHLC_BARS,
+}

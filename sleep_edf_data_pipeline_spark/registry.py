@@ -51,6 +51,9 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.tpch_complete",
     "sleep_edf_data_pipeline_spark.queries.quantization_queries",
     "sleep_edf_data_pipeline_spark.queries.corpus_quality",
+    # r04 debuts — appended at the END so the pinned round-4 window is
+    # untouched; rotate into the window in round 5.
+    "sleep_edf_data_pipeline_spark.queries.timeseries_extra",
 ]
 
 #: The driver-verification window: collect() hoists these 50 names to

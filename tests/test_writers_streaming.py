@@ -158,8 +158,10 @@ def test_multimodal_feature_extraction(spark):
     frames = sample_frames(assets.filter("asset_id = 'a2'"), every_n=1).collect()
     assert len(frames) == 2  # 2048 bytes → 2 pseudo-frames
 
+    # png/bmp now decode for real (operators/codecs.py); only formats
+    # with no registered codec still raise
     with pytest.raises(NotImplementedError):
-        StubCodec.decode("png", b"\x89PNG")
+        StubCodec.decode("jpeg", b"\xff\xd8\xff")
 
 
 def test_streaming_episodes_stateful_across_batches(spark, tmp_path):
