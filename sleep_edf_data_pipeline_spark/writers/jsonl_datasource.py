@@ -23,6 +23,12 @@ Batch and streaming: ``df.write.format("jsonlshards")`` and
 ``df.writeStream.format("jsonlshards")`` (per-micro-batch manifests
 under ``batch=<id>/`` — the idempotent-by-batch-id contract of
 exactly-once file sinks).
+
+And back: ``spark.read.format("jsonlshards").load(dir)`` reads a
+committed directory with the schema the manifest recorded (no user
+schema needed), one scan partition per shard, ignoring anything the
+manifest doesn't list — so a torn write is unreadable rather than
+half-read.
 """
 
 from __future__ import annotations
@@ -36,8 +42,10 @@ from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    InputPartition,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -84,7 +92,9 @@ def _write_partition(
     return ShardsCommit(files=files)
 
 
-def _publish(out_dir: str, messages, overwrite: bool) -> None:
+def _publish(
+    out_dir: str, messages, overwrite: bool, schema_json: str | None = None
+) -> None:
     """Driver-side commit: staging → deterministic names + manifest.
 
     Overwrite mode clears prior shards; append mode CONTINUES shard
@@ -113,7 +123,18 @@ def _publish(out_dir: str, messages, overwrite: bool) -> None:
         ]
         if os.path.exists(mpath):
             with open(mpath) as f:
-                prior = json.load(f)["shards"]
+                prior_manifest = json.load(f)
+            prior = prior_manifest["shards"]
+            prior_schema = prior_manifest.get("schema")
+            if (
+                schema_json is not None
+                and prior_schema is not None
+                and prior_schema != schema_json
+            ):
+                raise ValueError(
+                    f"jsonlshards: append schema does not match {out_dir}'s "
+                    "manifest schema; use mode('overwrite') to replace"
+                )
             indices = [int(s["shard"][6:11]) for s in prior]
             start = max(indices, default=-1) + 1
         elif existing_shards:
@@ -127,9 +148,16 @@ def _publish(out_dir: str, messages, overwrite: bool) -> None:
         name = f"shard-{i:05d}.jsonl"
         os.replace(src, os.path.join(out_dir, name))
         manifest.append({"shard": name, "rows": rows})
-    # The manifest lands LAST: its presence is the commit marker.
+    # The manifest lands LAST: its presence is the commit marker.  The
+    # schema rides in it so reads are self-describing.
+    payload = {
+        "shards": manifest,
+        "total_rows": sum(m["rows"] for m in manifest),
+    }
+    if schema_json is not None:
+        payload["schema"] = schema_json
     with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
-        json.dump({"shards": manifest, "total_rows": sum(m["rows"] for m in manifest)}, f)
+        json.dump(payload, f)
 
 
 def _cleanup(staging: str) -> None:
@@ -150,7 +178,7 @@ class JsonlShardsWriter(DataSourceWriter):
         return _write_partition(iterator, self.staging, self.schema, self.max_records)
 
     def commit(self, messages) -> None:
-        _publish(self.path, messages, self.overwrite)
+        _publish(self.path, messages, self.overwrite, self.schema.json())
         _cleanup(self.staging)
 
     def abort(self, messages) -> None:
@@ -177,19 +205,137 @@ class JsonlShardsStreamWriter(DataSourceStreamWriter):
         return _write_partition(iterator, self.staging, self.schema, self.max_records)
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
-        _publish(os.path.join(self.path, f"batch={batchId}"), messages, True)
+        _publish(
+            os.path.join(self.path, f"batch={batchId}"),
+            messages,
+            True,
+            self.schema.json(),
+        )
         _cleanup(self.staging)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         _cleanup(self.staging)
 
 
+def _load_manifest(path: str) -> dict:
+    mpath = os.path.join(path, "_MANIFEST.json")
+    if not os.path.exists(mpath):
+        raise ValueError(
+            f"jsonlshards: {path} has no _MANIFEST.json — not a committed "
+            "shard directory (the manifest is the commit marker)"
+        )
+    with open(mpath) as f:
+        return json.load(f)
+
+
+def _converter(dt):
+    """JSON value → Spark external type for one field (writer inverse).
+
+    The writer serializes with ``json.dumps(default=str)``, so
+    temporals arrive as ISO-ish strings; everything else is a native
+    JSON scalar/array.  Nested structs come back as dicts → Rows.
+    """
+    import datetime
+
+    name = dt.typeName()
+    if name in ("integer", "long", "short", "byte"):
+        return lambda v: int(v)
+    if name in ("double", "float"):
+        return lambda v: float(v)
+    if name == "boolean":
+        return lambda v: bool(v)
+    if name == "string":
+        return lambda v: str(v)
+    if name == "date":
+        return lambda v: datetime.date.fromisoformat(v)
+    if name in ("timestamp", "timestamp_ntz"):
+        return lambda v: datetime.datetime.fromisoformat(v)
+    if name == "array":
+        elem = _converter(dt.elementType)
+        return lambda v: [None if x is None else elem(x) for x in v]
+    if name == "struct":
+        convs = [(f.name, _converter(f.dataType)) for f in dt.fields]
+        return lambda v: tuple(
+            None if v.get(n) is None else c(v.get(n)) for n, c in convs
+        )
+    return lambda v: v
+
+
+class ShardPartition(InputPartition):
+    def __init__(self, shard_path: str) -> None:
+        self.shard_path = shard_path
+
+
+class JsonlShardsReader(DataSourceReader):
+    """Manifest-driven parallel read with row-level filter pushdown.
+
+    One input partition per shard — the parallelism the writer chose
+    (size-bounded shards) is the parallelism the scan gets, and only
+    manifest-listed shards are read (a torn write's stray staging
+    files are invisible).
+
+    Deliberately NO ``pushFilters``: Spark caches the last planned
+    (read function, partitions) for a loaded frame's relation and
+    reuses it for later queries on the same frame WITHOUT re-invoking
+    pushdown planning — a filterless query after a filtered one would
+    silently replay the previous query's pushed predicates (verified
+    against pyspark 4.1: bare ``df.count()`` after ``df.filter(...)
+    .count()`` returns the filtered count when the reader implements
+    pushFilters).  Filters therefore stay JVM-side, where they belong
+    until the scan-reuse is keyed by filter set.
+    """
+
+    def __init__(self, options: dict, schema: StructType) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlshards requires a path: .load('/dir')")
+        manifest = _load_manifest(self.path)
+        self.shards = [s["shard"] for s in manifest["shards"]]
+        self.schema = schema
+
+    def partitions(self) -> list[ShardPartition]:
+        return [
+            ShardPartition(os.path.join(self.path, s)) for s in self.shards
+        ]
+
+    def read(self, partition: ShardPartition) -> Iterator[tuple]:
+        fields = [(f.name, _converter(f.dataType)) for f in self.schema.fields]
+        with open(partition.shard_path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                d = json.loads(line)
+                yield tuple(
+                    None if d.get(n) is None else conv(d.get(n))
+                    for n, conv in fields
+                )
+
+
 class JsonlShardsDataSource(DataSource):
-    """``format("jsonlshards")``: the two-phase-commit shard sink."""
+    """``format("jsonlshards")``: two-phase-commit shard sink + source.
+
+    Write: ``df.write.format("jsonlshards").save(dir)`` (batch or
+    stream).  Read: ``spark.read.format("jsonlshards").load(dir)`` —
+    schema comes from the manifest the committed write recorded, so
+    the round-trip needs no user schema.
+    """
 
     @classmethod
     def name(cls) -> str:
         return "jsonlshards"
+
+    def schema(self) -> StructType:
+        manifest = _load_manifest(self.options.get("path", ""))
+        schema_json = manifest.get("schema")
+        if schema_json is None:
+            raise ValueError(
+                "jsonlshards: manifest predates schema recording; pass "
+                ".schema(...) explicitly"
+            )
+        return StructType.fromJson(json.loads(schema_json))
+
+    def reader(self, schema: StructType) -> JsonlShardsReader:
+        return JsonlShardsReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> JsonlShardsWriter:
         return JsonlShardsWriter(self.options, schema, overwrite)

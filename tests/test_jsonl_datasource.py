@@ -258,3 +258,95 @@ def test_bloom_never_false_negative_random_keys(spark):
         assert n_pos == len(keys)
 
     check()
+
+
+# --- reader ----------------------------------------------------------------
+
+def test_read_roundtrip_uses_manifest_schema(spark, tmp_path):
+    """write → read with NO user schema: types come from the manifest."""
+    out = str(tmp_path / "rt")
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", 1.5, True, [1, 2], "2024-01-01 10:00:00"),
+            (2, "beta", -0.25, False, [], "2024-06-30 23:59:59"),
+            (3, None, None, None, None, None),
+        ],
+        "id bigint, name string, score double, ok boolean, "
+        "xs array<int>, ts_s string",
+    ).select(
+        "id", "name", "score", "ok", "xs",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+    df.write.format("jsonlshards").option(
+        "max_records_per_file", "2"
+    ).mode("overwrite").save(out)
+
+    back = spark.read.format("jsonlshards").load(out)
+    assert back.schema == df.schema
+    a = sorted(df.collect(), key=lambda r: r["id"])
+    b = sorted(back.collect(), key=lambda r: r["id"])
+    assert a == b
+    # one scan partition per manifest shard
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert back.rdd.getNumPartitions() == len(manifest["shards"])
+
+
+def test_read_filters_and_repeated_queries_stay_consistent(spark, tmp_path):
+    """Filters evaluate JVM-side (the reader deliberately has no
+    pushFilters — see its docstring), and re-querying one loaded frame
+    with different/no filters never replays a previous query's
+    predicates."""
+    out = str(tmp_path / "filt")
+    spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("bucket"),
+        F.concat(F.lit("doc-"), F.col("id")).alias("name"),
+    ).write.format("jsonlshards").mode("overwrite").save(out)
+
+    back = spark.read.format("jsonlshards").load(out)
+    got = back.filter(
+        (F.col("bucket") == 3) & (F.col("id") < 100)
+        & F.col("name").startswith("doc-")
+    ).collect()
+    assert sorted(r["id"] for r in got) == list(range(3, 100, 10))
+    # expression filters too
+    got2 = back.filter((F.col("id") + 1) % 500 == 0).collect()
+    assert sorted(r["id"] for r in got2) == [499, 999]
+    # the stale-pushdown regression: a filterless query on the SAME
+    # frame after filtered ones must see every row
+    assert back.count() == 1000
+
+
+def test_read_null_comparison_semantics(spark, tmp_path):
+    """NULLs written by the sink come back as NULLs with SQL filter
+    semantics intact."""
+    out = str(tmp_path / "nulls")
+    spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id bigint, tag string"
+    ).write.format("jsonlshards").mode("overwrite").save(out)
+    back = spark.read.format("jsonlshards").load(out)
+    assert [r["id"] for r in back.filter(F.col("tag") == "a").collect()] == [1]
+    assert sorted(
+        r["id"] for r in back.filter(F.col("tag") != "a").collect()
+    ) == [3]
+    assert [r["id"] for r in back.filter(F.col("tag").isNull()).collect()] == [2]
+    assert sorted(
+        r["id"] for r in back.filter(F.col("tag").isin("a", "b")).collect()
+    ) == [1, 3]
+
+
+def test_read_refuses_uncommitted_directory(spark, tmp_path):
+    bare = tmp_path / "bare"
+    bare.mkdir()
+    (bare / "shard-00000.jsonl").write_text('{"id": 1}\n')
+    with pytest.raises(Exception, match="_MANIFEST"):
+        spark.read.format("jsonlshards").load(str(bare)).collect()
+
+
+def test_append_with_mismatched_schema_is_refused(spark, tmp_path):
+    out = str(tmp_path / "mismatch")
+    spark.range(5).write.format("jsonlshards").mode("append").save(out)
+    with pytest.raises(Exception, match="schema"):
+        spark.range(5).select(
+            F.col("id").alias("other")
+        ).write.format("jsonlshards").mode("append").save(out)
