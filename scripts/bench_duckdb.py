@@ -50,9 +50,10 @@ def main() -> None:
     con = duckdb.connect()
     con.execute(f"SET threads = {os.cpu_count()}")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written table = directory of parts
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     cap = float(os.environ.get("DUCKDB_BENCH_CAP_S", "600"))
     timings: dict[str, float] = {}
     timeouts: list[str] = []
