@@ -300,8 +300,12 @@ class JsonlShardsReader(DataSourceReader):
         ]
 
     def read(self, partition: ShardPartition) -> Iterator[tuple]:
-        fields = [(f.name, _converter(f.dataType)) for f in self.schema.fields]
-        with open(partition.shard_path) as fh:
+        return self.parse_shard(partition.shard_path, self.schema)
+
+    @staticmethod
+    def parse_shard(shard_path: str, schema: StructType) -> Iterator[tuple]:
+        fields = [(f.name, _converter(f.dataType)) for f in schema.fields]
+        with open(shard_path) as fh:
             for line in fh:
                 if not line.strip():
                     continue
@@ -310,6 +314,69 @@ class JsonlShardsReader(DataSourceReader):
                     None if d.get(n) is None else conv(d.get(n))
                     for n, conv in fields
                 )
+
+
+def _committed_batches(path: str) -> list[int]:
+    """Batch ids under ``path`` whose manifest (commit marker) landed."""
+    if not os.path.isdir(path):
+        return []
+    ids = []
+    for n in os.listdir(path):
+        if n.startswith("batch=") and os.path.exists(
+            os.path.join(path, n, "_MANIFEST.json")
+        ):
+            ids.append(int(n[6:]))
+    return sorted(ids)
+
+
+class JsonlShardsStreamReader(DataSourceStreamReader):
+    """Stream a shard directory's ``batch=<id>/`` tree back out.
+
+    The inverse of :class:`JsonlShardsStreamWriter`: each committed
+    upstream micro-batch becomes (part of) a downstream micro-batch —
+    the manifest-lands-last protocol means a batch directory is either
+    invisible or complete, never half-read.  Offsets are ``{"next":
+    id}`` over the sorted committed ids; ``partitions(start, end)`` is
+    deterministic for a fixed range because manifests are immutable,
+    which is what replay-after-restart needs.  Reads run on executors
+    (full ``DataSourceStreamReader``, not the driver-side Simple
+    variant) with one task per shard.
+    """
+
+    def __init__(self, options: dict, schema: StructType) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlshards requires a path")
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def latestOffset(self) -> dict:
+        ids = _committed_batches(self.path)
+        return {"next": (ids[-1] + 1) if ids else 0}
+
+    def partitions(self, start: dict, end: dict) -> list[ShardPartition]:
+        parts = []
+        for b in _committed_batches(self.path):
+            if start["next"] <= b < end["next"]:
+                bdir = os.path.join(self.path, f"batch={b}")
+                manifest = _load_manifest(bdir)
+                parts.extend(
+                    ShardPartition(os.path.join(bdir, s["shard"]))
+                    for s in manifest["shards"]
+                )
+        # Spark requires a non-empty partition list; an empty range
+        # reads an empty shard-less partition.
+        return parts or [ShardPartition("")]
+
+    def read(self, partition: ShardPartition) -> Iterator[tuple]:
+        if not partition.shard_path:
+            return iter(())
+        return JsonlShardsReader.parse_shard(partition.shard_path, self.schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is checkpoint-tracked by the engine
 
 
 class JsonlShardsDataSource(DataSource):
@@ -326,7 +393,14 @@ class JsonlShardsDataSource(DataSource):
         return "jsonlshards"
 
     def schema(self) -> StructType:
-        manifest = _load_manifest(self.options.get("path", ""))
+        path = self.options.get("path", "")
+        if not os.path.exists(os.path.join(path, "_MANIFEST.json")):
+            # streaming layout: take the earliest committed batch's
+            # manifest (all batches share the writer's schema)
+            ids = _committed_batches(path)
+            if ids:
+                path = os.path.join(path, f"batch={ids[0]}")
+        manifest = _load_manifest(path)
         schema_json = manifest.get("schema")
         if schema_json is None:
             raise ValueError(
@@ -337,6 +411,9 @@ class JsonlShardsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> JsonlShardsReader:
         return JsonlShardsReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> JsonlShardsStreamReader:
+        return JsonlShardsStreamReader(self.options, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> JsonlShardsWriter:
         return JsonlShardsWriter(self.options, schema, overwrite)

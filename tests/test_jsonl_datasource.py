@@ -350,3 +350,83 @@ def test_append_with_mismatched_schema_is_refused(spark, tmp_path):
         spark.range(5).select(
             F.col("id").alias("other")
         ).write.format("jsonlshards").mode("append").save(out)
+
+
+def test_stream_read_back_of_streamed_batches(spark, tmp_path):
+    """writeStream(jsonlshards) → readStream(jsonlshards): each
+    committed batch=<id>/ directory streams back out, schema from the
+    batch manifest, exactly-once by offset range."""
+    out = str(tmp_path / "stream_shards")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    spark.range(40).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.format("jsonlshards")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    assert q.awaitTermination(120), q.exception()
+
+    back = spark.read  # noqa: F841  (reader registration shared fixture)
+    stream = spark.readStream.format("jsonlshards").load(out)
+    q2 = (
+        stream.writeStream.format("memory")
+        .queryName("shards_back")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120), q2.exception()
+    rows = spark.sql("SELECT * FROM shards_back").collect()
+    assert sorted((r["id"], r["v"]) for r in rows) == [
+        (i, 3 * i) for i in range(40)
+    ]
+
+    # a SECOND availableNow pass over the same checkpoint reads nothing
+    # new (offsets are durable), then a new upstream batch streams in
+    ck2 = str(tmp_path / "ck2")
+    sink2 = str(tmp_path / "sink2")
+    q3 = (
+        spark.readStream.format("jsonlshards")
+        .load(out)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ck2)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(sink2)
+    )
+    assert q3.awaitTermination(120), q3.exception()
+    assert spark.read.parquet(sink2).count() == 40
+    spark.range(40, 50).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    ).write.mode("append").parquet(src)
+    q4 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.format("jsonlshards")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    assert q4.awaitTermination(120), q4.exception()
+    q5 = (
+        spark.readStream.format("jsonlshards")
+        .load(out)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ck2)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(sink2)
+    )
+    assert q5.awaitTermination(120), q5.exception()
+    assert sorted(
+        r["id"] for r in spark.read.parquet(sink2).collect()
+    ) == list(range(50))
