@@ -212,6 +212,41 @@ def main() -> None:
     }
     print(f"# jsonlshards_sink: {results['jsonlshards_sink']}", file=sys.stderr)
 
+    # And back out: stream the committed batch=<id>/ tree through the
+    # custom DataSourceStreamReader into a parquet sink.
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.format("jsonlshards")
+        .load(sink_out)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", f"{STAGE}/_ckpt_jsonl_read")
+        .trigger(availableNow=True)
+        .start(f"{STAGE}/jsonl_readback")
+    )
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(
+            f"streaming read-back did not finish cleanly "
+            f"(finished={finished}, exception={exc})"
+        )
+    wall = time.perf_counter() - t0
+    readback = spark.read.parquet(f"{STAGE}/jsonl_readback").count()
+    if readback != rows_out:
+        raise RuntimeError(
+            f"read-back row count {readback} != sink manifest total {rows_out}"
+        )
+    results["jsonlshards_readback"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": rows_out,
+        "rows_per_sec": round(rows_out / wall) if wall else None,
+    }
+    print(
+        f"# jsonlshards_readback: {results['jsonlshards_readback']}",
+        file=sys.stderr,
+    )
+
     with open(out_path, "w") as f:
         json.dump(
             {

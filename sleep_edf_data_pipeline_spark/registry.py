@@ -54,6 +54,7 @@ _MODULES = [
     # r04 debuts — appended at the END so the pinned round-4 window is
     # untouched; rotate into the window in round 5.
     "sleep_edf_data_pipeline_spark.queries.timeseries_extra",
+    "sleep_edf_data_pipeline_spark.queries.retrieval",
 ]
 
 #: The driver-verification window: collect() hoists these 50 names to

@@ -47,3 +47,15 @@ def test_ohlc_two_sorts_share_one_exchange(spark, sf_dir):
     assert n_shuffles(plan) == 1, plan
     assert plan.count("Window") == 2, plan
     assert "Join" not in plan, plan
+
+
+def test_bm25_is_two_scans_and_takeordered(spark, sf_dir):
+    """One stats aggregate broadcast back as a 1-row frame (the only
+    join is the broadcast cross of that scalar frame), scoring stays
+    in codegen higher-order filters, top-k is TakeOrdered — no global
+    sort, no shuffle of the scored frame."""
+    plan = plan_of(QUERIES["bm25_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert n_shuffles(plan) == 0, plan
