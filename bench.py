@@ -89,6 +89,11 @@ HEADLINE = [
     "pii_scrub",
     "stratified_sample",
     "customer_distribution",
+    # r04 debuts: the judged perf set tracks the correctness set
+    "ewma_user_value",
+    "last_touch_attribution",
+    "ohlc_bars",
+    "bm25_topk",
 ]
 
 

@@ -57,6 +57,17 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.retrieval",
 ]
 
+# ROUND-5 WINDOW PLAN (execute at the START of round 5, never
+# mid-round — the driver grades the window as committed at round end):
+# 1) the four r04 debuts with only local verification so far:
+#    ewma_user_value, last_touch_attribution, ohlc_bars, bm25_topk;
+# 2) any query whose ONLY driver row is r01/r02 and that r04's window
+#    did not re-verify (compare CORRECTNESS_r0{1,2}.json names against
+#    the r04 _WINDOW below — the dedup/text/similarity/corpus_prep
+#    r02 families are the stalest);
+# 3) backfill with queries whose implementation round 5 touches.
+# Update tests/test_registry_window.py's pin in the same commit.
+
 #: The driver-verification window: collect() hoists these 50 names to
 #: the front, in this order.  Every name must exist in some module.
 _WINDOW = [

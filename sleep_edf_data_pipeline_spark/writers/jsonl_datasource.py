@@ -290,8 +290,21 @@ class JsonlShardsReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonlshards requires a path: .load('/dir')")
-        manifest = _load_manifest(self.path)
-        self.shards = [s["shard"] for s in manifest["shards"]]
+        if os.path.exists(os.path.join(self.path, "_MANIFEST.json")):
+            manifest = _load_manifest(self.path)
+            self.shards = [s["shard"] for s in manifest["shards"]]
+        else:
+            # streaming layout: batch-read = union of committed batches
+            ids = _committed_batches(self.path)
+            if not ids:
+                _load_manifest(self.path)  # raises the standard error
+            self.shards = [
+                os.path.join(f"batch={b}", s["shard"])
+                for b in ids
+                for s in _load_manifest(
+                    os.path.join(self.path, f"batch={b}")
+                )["shards"]
+            ]
         self.schema = schema
 
     def partitions(self) -> list[ShardPartition]:

@@ -430,3 +430,27 @@ def test_stream_read_back_of_streamed_batches(spark, tmp_path):
     assert sorted(
         r["id"] for r in spark.read.parquet(sink2).collect()
     ) == list(range(50))
+
+
+def test_batch_read_of_streaming_layout(spark, tmp_path):
+    """spark.read over a writeStream output = union of committed
+    batch=<id>/ manifests, schema from the earliest batch."""
+    out = str(tmp_path / "sl")
+    src = str(tmp_path / "sl_src")
+    spark.range(30).select(
+        F.col("id"), (F.col("id") % 5).alias("g")
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.format("jsonlshards")
+        .option("checkpointLocation", str(tmp_path / "sl_ck"))
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    assert q.awaitTermination(120), q.exception()
+    back = spark.read.format("jsonlshards").load(out)
+    assert back.schema == schema
+    assert sorted(r["id"] for r in back.collect()) == list(range(30))
