@@ -33,6 +33,7 @@ half-read.
 
 from __future__ import annotations
 
+import gzip
 import json
 import os
 import shutil
@@ -57,8 +58,16 @@ class ShardsCommit(WriterCommitMessage):
     files: list = field(default_factory=list)  # [(staging_path, rows)]
 
 
+def _open_shard(path: str, mode: str):
+    return gzip.open(path, mode + "t") if path.endswith(".gz") else open(path, mode)
+
+
 def _write_partition(
-    iterator: Iterator, staging: str, schema: StructType, max_records: int
+    iterator: Iterator,
+    staging: str,
+    schema: StructType,
+    max_records: int,
+    ext: str = ".jsonl",
 ) -> ShardsCommit:
     """Write one task's rows into size-bounded staging files."""
     from pyspark import TaskContext
@@ -80,9 +89,9 @@ def _write_partition(
                 fh.close()
                 files.append((path, count))
             path = os.path.join(
-                staging, f"t{task:05d}-a{attempt:06d}-{seq:03d}.jsonl"
+                staging, f"t{task:05d}-a{attempt:06d}-{seq:03d}{ext}"
             )
-            fh = open(path, "w")
+            fh = _open_shard(path, "w")
             count, seq = 0, seq + 1
         d = dict(zip(names, row))
         fh.write(json.dumps(d, default=str) + "\n")
@@ -111,7 +120,7 @@ def _publish(
     staged.sort()  # deterministic shard numbering by (task, attempt, seq)
     if overwrite and os.path.isdir(out_dir):
         for n in os.listdir(out_dir):
-            if n.endswith(".jsonl") or n == "_MANIFEST.json":
+            if n.endswith((".jsonl", ".jsonl.gz")) or n == "_MANIFEST.json":
                 os.remove(os.path.join(out_dir, n))
     os.makedirs(out_dir, exist_ok=True)
     prior: list[dict] = []
@@ -120,7 +129,7 @@ def _publish(
         mpath = os.path.join(out_dir, "_MANIFEST.json")
         existing_shards = [
             n for n in os.listdir(out_dir)
-            if n.startswith("shard-") and n.endswith(".jsonl")
+            if n.startswith("shard-") and n.endswith((".jsonl", ".jsonl.gz"))
         ]
         if os.path.exists(mpath):
             with open(mpath) as f:
@@ -146,7 +155,8 @@ def _publish(
             )
     manifest = list(prior)
     for i, (src, rows) in enumerate(staged, start=start):
-        name = f"shard-{i:05d}.jsonl"
+        ext = ".jsonl.gz" if src.endswith(".gz") else ".jsonl"
+        name = f"shard-{i:05d}{ext}"
         os.replace(src, os.path.join(out_dir, name))
         manifest.append({"shard": name, "rows": rows})
     # The manifest lands LAST: its presence is the commit marker.  The
@@ -165,6 +175,16 @@ def _cleanup(staging: str) -> None:
     shutil.rmtree(staging, ignore_errors=True)
 
 
+def _shard_ext(options: dict) -> str:
+    """``compression`` option → shard filename extension."""
+    comp = (options.get("compression") or "none").lower()
+    if comp in ("none", "uncompressed"):
+        return ".jsonl"
+    if comp == "gzip":
+        return ".jsonl.gz"
+    raise ValueError(f"jsonlshards: unsupported compression {comp!r}")
+
+
 class JsonlShardsWriter(DataSourceWriter):
     def __init__(self, options: dict, schema: StructType, overwrite: bool) -> None:
         self.path = options.get("path")
@@ -173,10 +193,13 @@ class JsonlShardsWriter(DataSourceWriter):
         self.max_records = int(options.get("max_records_per_file", "10000"))
         self.schema = schema
         self.overwrite = overwrite
+        self.ext = _shard_ext(options)
         self.staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
 
     def write(self, iterator: Iterator) -> ShardsCommit:
-        return _write_partition(iterator, self.staging, self.schema, self.max_records)
+        return _write_partition(
+            iterator, self.staging, self.schema, self.max_records, self.ext
+        )
 
     def commit(self, messages) -> None:
         _publish(self.path, messages, self.overwrite, self.schema.json())
@@ -200,10 +223,13 @@ class JsonlShardsStreamWriter(DataSourceStreamWriter):
             raise ValueError("jsonlshards requires a path")
         self.max_records = int(options.get("max_records_per_file", "10000"))
         self.schema = schema
+        self.ext = _shard_ext(options)
         self.staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
 
     def write(self, iterator: Iterator) -> ShardsCommit:
-        return _write_partition(iterator, self.staging, self.schema, self.max_records)
+        return _write_partition(
+            iterator, self.staging, self.schema, self.max_records, self.ext
+        )
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
         _publish(
@@ -318,7 +344,7 @@ class JsonlShardsReader(DataSourceReader):
     @staticmethod
     def parse_shard(shard_path: str, schema: StructType) -> Iterator[tuple]:
         fields = [(f.name, _converter(f.dataType)) for f in schema.fields]
-        with open(shard_path) as fh:
+        with _open_shard(shard_path, "r") as fh:
             for line in fh:
                 if not line.strip():
                     continue

@@ -454,3 +454,25 @@ def test_batch_read_of_streaming_layout(spark, tmp_path):
     back = spark.read.format("jsonlshards").load(out)
     assert back.schema == schema
     assert sorted(r["id"] for r in back.collect()) == list(range(30))
+
+
+def test_gzip_compression_roundtrip(spark, tmp_path):
+    """option('compression','gzip') → shard-XXXXX.jsonl.gz shards that
+    read back identically (batch and manifest schema intact)."""
+    out = str(tmp_path / "gz")
+    spark.range(500).select(
+        F.col("id"), F.concat(F.lit("t-"), F.col("id")).alias("s")
+    ).write.format("jsonlshards").option("compression", "gzip").option(
+        "max_records_per_file", "200"
+    ).mode("overwrite").save(out)
+    names = sorted(n for n in os.listdir(out) if n.startswith("shard-"))
+    assert names and all(n.endswith(".jsonl.gz") for n in names)
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert [m["shard"] for m in manifest["shards"]] == names
+    back = spark.read.format("jsonlshards").load(out)
+    assert sorted((r["id"], r["s"]) for r in back.collect()) == [
+        (i, f"t-{i}") for i in range(500)
+    ]
+    # gzip shards really are gzip bytes
+    with open(os.path.join(out, names[0]), "rb") as f:
+        assert f.read(2) == b"\x1f\x8b"
