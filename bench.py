@@ -94,6 +94,7 @@ HEADLINE = [
     "last_touch_attribution",
     "ohlc_bars",
     "bm25_topk",
+    "quality_decile_select",
 ]
 
 

@@ -55,6 +55,7 @@ _MODULES = [
     # untouched; rotate into the window in round 5.
     "sleep_edf_data_pipeline_spark.queries.timeseries_extra",
     "sleep_edf_data_pipeline_spark.queries.retrieval",
+    "sleep_edf_data_pipeline_spark.queries.selection_extra",
 ]
 
 # ROUND-5 WINDOW PLAN (execute at the START of round 5, never
