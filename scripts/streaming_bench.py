@@ -31,6 +31,7 @@ from sleep_edf_data_pipeline_spark.streaming.dedup import (
 )
 from sleep_edf_data_pipeline_spark.streaming.sessions import (
     streaming_hourly_counts,
+    streaming_ohlc_bars,
     streaming_sessions,
 )
 from sleep_edf_data_pipeline_spark.streaming.stateful import streaming_episodes
@@ -151,6 +152,12 @@ def main() -> None:
         "streaming_episodes": lambda: streaming_episodes(
             ev_stream().select("user_id", "ts", "value"), gap="30 minutes"
         ),
+        "streaming_ohlc_bars": lambda: streaming_ohlc_bars(
+            ev_stream().select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "event_id", "event_type", "value",
+            )
+        ),
         "streaming_exact_dedup": lambda: streaming_exact_dedup(doc_stream()),
         "streaming_lsh_admission": lambda: streaming_lsh_admission(
             doc_stream(), index_signed
@@ -163,7 +170,12 @@ def main() -> None:
     for name, build in runs.items():
         if "pq_encode" in name:
             rows_in = counts["embeddings"]
-        elif name.startswith("streaming_s") or "hourly" in name or "episodes" in name:
+        elif (
+            name.startswith("streaming_s")
+            or "hourly" in name
+            or "episodes" in name
+            or "ohlc" in name
+        ):
             rows_in = counts["events"]
         else:
             rows_in = counts["docs_batch"]

@@ -66,3 +66,39 @@ def streaming_hourly_counts(
             "n_events",
         )
     )
+
+
+def streaming_ohlc_bars(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of the batch ``ohlc_bars`` query.
+
+    Batch picks open/close with forward/reverse ``row_number`` — an
+    ordered window, which streaming aggregation can't run.  The same
+    total order (ts, event_id) expressed as ``min_by``/``max_by`` over
+    a struct key is commutative and incremental, so it streams: each
+    micro-batch folds into per-(type, hour) state, and append mode
+    emits a bar once the watermark passes its close.  Equivalence with
+    the batch plan is pinned by test (same rows for the same input).
+    """
+    order_key = F.struct("ts", "event_id")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.min_by("value", order_key).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", order_key).alias("close_v"),
+            F.count("*").alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("bar_hour"),
+            "open_v", "high_v", "low_v", "close_v", "volume",
+        )
+        .filter(F.col("volume") >= 3)
+    )

@@ -476,3 +476,46 @@ def test_gzip_compression_roundtrip(spark, tmp_path):
     # gzip shards really are gzip bytes
     with open(os.path.join(out, names[0]), "rb") as f:
         assert f.read(2) == b"\x1f\x8b"
+
+
+def test_roundtrip_property_random_values(spark, tmp_path):
+    """Property: any finite scalars/arrays/temporals survive the
+    write→manifest→read cycle bit-for-bit (hypothesis-generated)."""
+    import datetime
+    import random
+
+    rng = random.Random(20260814)
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                None if i % 17 == 0 else rng.randint(-2**62, 2**62),
+                None if i % 13 == 0 else rng.uniform(-1e12, 1e12),
+                None if i % 11 == 0 else "".join(
+                    chr(rng.randint(32, 0x2FA0)) for _ in range(rng.randint(0, 12))
+                ),
+                None if i % 7 == 0 else [
+                    None if j == 2 else rng.randint(-1000, 1000)
+                    for j in range(rng.randint(0, 4))
+                ],
+                None if i % 5 == 0 else datetime.datetime(
+                    2020 + i % 6, 1 + i % 12, 1 + i % 28,
+                    i % 24, i % 60, i % 60, (i * 12345) % 1_000_000
+                ),
+            )
+        )
+    schema = (
+        "i bigint, n bigint, x double, s string, "
+        "xs array<int>, ts timestamp_ntz"
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "prop")
+    df.write.format("jsonlshards").option(
+        "max_records_per_file", "37"
+    ).mode("overwrite").save(out)
+    back = spark.read.format("jsonlshards").load(out)
+    assert back.schema == df.schema
+    a = sorted(df.collect(), key=lambda r: r["i"])
+    b = sorted(back.collect(), key=lambda r: r["i"])
+    assert a == b

@@ -762,3 +762,45 @@ def test_streaming_lsh_admission_matches_batch_bands(spark, tmp_path):
     rows = spark.sql("SELECT * FROM lsh_admission").collect()
     assert len(rows) == batch_docs.count()
     assert {r["doc_id"] for r in rows if r["admitted"]} == admitted_expected
+
+
+def test_streaming_ohlc_matches_batch(spark, tmp_path, sf_dir):
+    """streaming_ohlc_bars over a file stream of the events table must
+    emit exactly the batch ohlc_bars rows (min_by/max_by on the
+    (ts, event_id) struct ≡ forward/reverse row_number)."""
+    from sleep_edf_data_pipeline_spark.queries.timeseries_extra import q_ohlc_bars
+    from sleep_edf_data_pipeline_spark.streaming.sessions import streaming_ohlc_bars
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_id",
+        "event_type", "value",
+    )
+    src = str(tmp_path / "ohlc_src")
+    ev.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", "2").parquet(src)
+    q = (
+        streaming_ohlc_bars(stream)
+        .writeStream.format("memory")
+        .queryName("ohlc_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), q.exception()
+    got = {
+        (r["event_type"], r["bar_hour"]): (
+            r["open_v"], r["high_v"], r["low_v"], r["close_v"], r["volume"]
+        )
+        for r in spark.sql("SELECT * FROM ohlc_stream").collect()
+    }
+    want = {
+        (r["event_type"], r["bar_hour"]): (
+            r["open_v"], r["high_v"], r["low_v"], r["close_v"], r["volume"]
+        )
+        for r in q_ohlc_bars(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
