@@ -77,6 +77,47 @@ def snapshot_dir(path: str, version: int | None = None) -> str | None:
         return os.path.join(path, f.read().strip())
 
 
+def history(path: str) -> list[dict]:
+    """Commit log, newest first: the audit `DESCRIBE HISTORY` serves.
+
+    Each entry: version, its data directory, commit wall time (marker
+    mtime), file count and byte size of the snapshot — enough for a
+    retention job (pair with :func:`vacuum`) or an incident timeline.
+    Vacuumed versions (marker removed) disappear from the history, the
+    same contract as Delta's log retention.
+    """
+    try:
+        versions = sorted(
+            (
+                _marker_version(n)
+                for n in os.listdir(path)
+                if n.startswith(_MARKER_PREFIX)
+            ),
+            reverse=True,
+        )
+    except FileNotFoundError:
+        return []
+    out = []
+    for v in versions:
+        marker = os.path.join(path, _MARKER.format(v))
+        ddir = snapshot_dir(path, v)
+        files = [
+            os.path.join(ddir, f)
+            for f in os.listdir(ddir)
+            if f.endswith(".parquet")
+        ] if ddir and os.path.isdir(ddir) else []
+        out.append(
+            {
+                "version": v,
+                "data_dir": ddir,
+                "committed_at": os.path.getmtime(marker),
+                "n_files": len(files),
+                "bytes": sum(os.path.getsize(f) for f in files),
+            }
+        )
+    return out
+
+
 def read_versioned(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:

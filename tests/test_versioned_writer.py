@@ -153,3 +153,24 @@ def test_compact_preserves_rows_in_fewer_files(spark, tmp_path):
     assert n_after == 1
     rows = {(r.subject_id, r.value) for r in read_versioned(spark, path).collect()}
     assert rows == {(i, float(i)) for i in range(20)}
+
+
+def test_history_lists_commits_newest_first(spark, tmp_path):
+    from sleep_edf_data_pipeline_spark.writers.versioned import (
+        commit_versioned,
+        history,
+        vacuum,
+    )
+
+    path = str(tmp_path / "hist")
+    assert history(path) == []
+    v1 = commit_versioned(spark.range(10), path, None)
+    v2 = commit_versioned(spark.range(20), path, v1)
+    v3 = commit_versioned(spark.range(5), path, v2)
+    h = history(path)
+    assert [e["version"] for e in h] == [v3, v2, v1]
+    assert all(e["n_files"] > 0 and e["bytes"] > 0 for e in h)
+    assert h[0]["committed_at"] >= h[-1]["committed_at"]
+    # vacuumed versions drop out of the history
+    vacuum(path, keep_last=1)
+    assert [e["version"] for e in history(path)] == [v3]
