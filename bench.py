@@ -95,6 +95,7 @@ HEADLINE = [
     "ohlc_bars",
     "bm25_topk",
     "quality_decile_select",
+    "twap_user_value",
 ]
 
 

@@ -246,3 +246,72 @@ ORACLES = {
     "last_touch_attribution": ORACLE_LAST_TOUCH_ATTRIBUTION,
     "ohlc_bars": ORACLE_OHLC_BARS,
 }
+
+
+def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily TWAP: each observation weighted by the seconds
+    it was "in effect" (until the next event that day).
+
+    The integration-over-time shape quote/sensor pipelines need, where
+    a plain avg over-counts bursts.  Exactness: value rides as
+    DECIMAL(18,2), the weight is an integer second count, and the
+    weighted sum accumulates in DECIMAL (order-free, exact); ONE
+    double division at the end — bit-stable cross-engine.  Plan: one
+    (user_id) exchange shared by the lead() window and the (user, day)
+    aggregate.
+    """
+    ev = table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    next_ts = F.lead("ts").over(w)
+    dt = (F.unix_timestamp(next_ts) - F.unix_timestamp("ts")).cast("bigint")
+    weighted = (
+        ev.select(
+            "user_id",
+            day.alias("day"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+            dt.alias("dt_s"),
+        )
+        .filter(F.col("dt_s").isNotNull() & (F.col("dt_s") > 0))
+    )
+    return (
+        weighted.groupBy("user_id", "day")
+        .agg(
+            F.sum(F.col("v") * F.col("dt_s")).alias("num"),
+            F.sum("dt_s").alias("den"),
+            F.count("*").alias("n_obs"),
+        )
+        .filter(F.col("n_obs") >= 3)
+        .select(
+            "user_id",
+            "day",
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+                "twap"
+            ),
+            "n_obs",
+        )
+    )
+
+
+ORACLE_TWAP_USER_VALUE = """
+WITH staged AS (
+    SELECT user_id,
+           CAST(ts AS DATE) AS day,
+           CAST(value AS DECIMAL(18,2)) AS v,
+           date_diff('second', ts,
+                     lead(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                    ORDER BY ts, event_id)) AS dt_s
+    FROM events
+)
+SELECT user_id, day,
+       CAST(sum(v * dt_s) AS DOUBLE) / CAST(CAST(sum(dt_s) AS BIGINT) AS DOUBLE) AS twap,
+       count(*) AS n_obs
+FROM staged
+WHERE dt_s IS NOT NULL AND dt_s > 0
+GROUP BY user_id, day
+HAVING count(*) >= 3
+"""
+
+
+QUERIES["twap_user_value"] = q_twap_user_value
+ORACLES["twap_user_value"] = ORACLE_TWAP_USER_VALUE
