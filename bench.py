@@ -96,6 +96,7 @@ HEADLINE = [
     "bm25_topk",
     "quality_decile_select",
     "twap_user_value",
+    "rolling_median_value",
 ]
 
 

@@ -81,6 +81,13 @@ SMOKE = [
     # closure, whose broadcast guard needs a bigger-graph datapoint.
     "ivfpq_topk",
     "triangle_counts",
+    # r04 debuts: the new time-series/retrieval/selection families.
+    "ewma_user_value",
+    "last_touch_attribution",
+    "ohlc_bars",
+    "twap_user_value",
+    "bm25_topk",
+    "quality_decile_select",
 ]
 
 

@@ -27,6 +27,13 @@ map-side combining aggregate to a 1-row frame, broadcast back) + ONE
 scoring scan (tf per term via JVM higher-order ``filter``, no
 shuffle), then a rank-k TakeOrdered.  At 100 TB the stats frame is
 still one row and the scoring scan is embarrassingly parallel.
+
+Integer-regime bound: the BIGINT numerator is ≤ (2N+1)·22·tf·T, which
+stays under 2^63 through ~10^6 docs at this corpus's shape (verified
+at sf0.1 and the 10× decade).  Past that, drop the exact-rational
+path and compute the same formula in DOUBLE — the ranking is
+unaffected (scores are well-separated); the integer form exists so
+the oracle hash-gate is bit-exact, not because retrieval needs it.
 """
 
 from __future__ import annotations

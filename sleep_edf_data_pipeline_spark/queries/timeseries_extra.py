@@ -315,3 +315,68 @@ HAVING count(*) >= 3
 
 QUERIES["twap_user_value"] = q_twap_user_value
 ORACLES["twap_user_value"] = ORACLE_TWAP_USER_VALUE
+
+
+#: Rolling-median frame length (rows 14 preceding .. current).
+MEDIAN_FRAME = 15
+
+
+def q_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 15-row rolling median of event value per user.
+
+    The robust-statistics smoother (median absolute to outliers where
+    the EWMA is not).  No engine exposes an exact windowed median, so
+    the frame's values ride as a sorted array: ``collect_list`` over
+    the frame (bounded at 15 elements — constant memory per row),
+    ``array_sort``, middle element(s).  Values are 2^20-quantized
+    BIGINTs, the even-frame midpoint is (a+b)/2^21 via one double
+    division — bit-stable cross-engine with zero float comparisons.
+
+    Plan: one (user_id) exchange, one window walk; the array never
+    exceeds 15 BIGINTs so state is constant per row — the same plan
+    holds on a 100 TB stream partition.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = F.floor(F.col("value") * F.lit(EWMA_SCALE)).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(MEDIAN_FRAME - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list(q).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    # odd n: lo == hi (same index); even n: true midpoint
+    med = (lo + hi).cast("double") / F.lit(float(2 * EWMA_SCALE))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            med.alias("rolling_median"),
+        )
+        .filter(F.col("event_id") % 5 == 0)
+    )
+
+
+ORACLE_ROLLING_MEDIAN_VALUE = f"""
+WITH framed AS (
+    SELECT user_id, event_id,
+           list_sort(list(CAST(floor(value * {EWMA_SCALE}) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {MEDIAN_FRAME - 1} PRECEDING AND CURRENT ROW)
+           ) AS arr
+    FROM events
+    WHERE value IS NOT NULL
+)
+SELECT user_id, event_id,
+       CAST(arr[CAST((len(arr) + 1) // 2 AS INT)]
+            + arr[CAST(len(arr) // 2 + 1 AS INT)] AS DOUBLE)
+       / {float(2 * (1 << 20))} AS rolling_median
+FROM framed
+WHERE event_id % 5 = 0
+"""
+
+
+QUERIES["rolling_median_value"] = q_rolling_median_value
+ORACLES["rolling_median_value"] = ORACLE_ROLLING_MEDIAN_VALUE
