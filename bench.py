@@ -97,6 +97,7 @@ HEADLINE = [
     "quality_decile_select",
     "twap_user_value",
     "rolling_median_value",
+    "source_overlap_matrix",
 ]
 
 

@@ -75,3 +75,93 @@ QUALIFY pr <= 0.1
 
 QUERIES = {"quality_decile_select": q_quality_decile_select}
 ORACLES = {"quality_decile_select": ORACLE_QUALITY_DECILE_SELECT}
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise content overlap between sources (Jaccard over
+    distinct 3-gram sets) — the corpus-curation view that says which
+    feeds are re-scrapes of each other.
+
+    Plan: explode to distinct (gram, source) pairs once (the gram
+    set), self-join per gram with ``src_a < src_b`` — the fan-out per
+    gram is bounded by the SOURCE count (a handful), never the corpus,
+    so the join is linear in distinct grams at any corpus size.
+    Per-source set sizes broadcast back for the inclusion-exclusion
+    union; Jaccard = one double division of exact BIGINTs.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = (
+        docs.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.slice(toks, 1, 2048),
+                    lambda _t, i: F.concat_ws(
+                        " ", F.slice(toks, i + 1, 3)
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .filter(F.size(F.split(F.col("gram"), " ")) == 3)
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = grams.select(F.col("source").alias("src_a"), "gram")
+    b = grams.select(F.col("source").alias("src_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n_grams").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n_grams").alias("n_b")))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_SOURCE_OVERLAP_MATRIX = """
+WITH toks AS (
+    SELECT source, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+    SELECT DISTINCT source,
+           concat_ws(' ', t[i], t[i+1], t[i+2]) AS gram
+    FROM toks, LATERAL (
+        SELECT unnest(range(1, least(len(t) - 1, 2049))) AS i
+    )
+    WHERE i + 2 <= len(t)
+),
+sizes AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY source
+),
+inter AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM grams a JOIN grams b USING (gram)
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common,
+       CAST(n_common AS DOUBLE)
+       / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = inter.src_a
+JOIN sizes sb ON sb.source = inter.src_b
+"""
+
+
+QUERIES["source_overlap_matrix"] = q_source_overlap_matrix
+ORACLES["source_overlap_matrix"] = ORACLE_SOURCE_OVERLAP_MATRIX
