@@ -98,6 +98,7 @@ HEADLINE = [
     "twap_user_value",
     "rolling_median_value",
     "source_overlap_matrix",
+    "cohort_ltv",
 ]
 
 

@@ -348,3 +348,77 @@ WHERE abs(round((value - mean_v) / std_v, 6)) > 3.0
 """
 
 
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per signup cohort by week of age (LTV curve).
+
+    The retention query's revenue twin: users cohort by their first
+    event's week; each purchase lands in an age bucket (weeks since
+    cohort start); revenue accumulates across ages per cohort.  All
+    money stays DECIMAL until one final double cast; the cumulative
+    window runs over the tiny (cohort, age) aggregate, not the fact.
+    Plan: one user_id agg (cohort frame, broadcast back), one
+    (cohort, age) agg, one window over the aggregate.
+    """
+    ev = table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cohorts), "user_id")
+        .select(
+            F.col("cohort_week"),
+            F.floor(
+                (F.unix_timestamp("ts") - F.unix_timestamp("cohort_week"))
+                / F.lit(604800)
+            ).cast("int").alias("age_weeks"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    weekly = purchases.groupBy("cohort_week", "age_weeks").agg(
+        F.sum("v").alias("wk_rev"),
+        F.count("*").alias("n_purchases"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return weekly.select(
+        "cohort_week",
+        "age_weeks",
+        "n_purchases",
+        F.sum("wk_rev").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH cohorts AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+purchases AS (
+    SELECT c.cohort_week,
+           CAST(floor(date_diff('second', c.cohort_week, e.ts) / 604800.0)
+                AS INT) AS age_weeks,
+           CAST(e.value AS DECIMAL(18,2)) AS v
+    FROM events e JOIN cohorts c USING (user_id)
+    WHERE e.event_type = 'purchase'
+),
+weekly AS (
+    SELECT cohort_week, age_weeks,
+           sum(v) AS wk_rev, count(*) AS n_purchases
+    FROM purchases GROUP BY 1, 2
+)
+SELECT cohort_week, age_weeks, n_purchases,
+       CAST(sum(wk_rev) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS cum_revenue
+FROM weekly
+"""
+
+
+QUERIES["cohort_ltv"] = q_cohort_ltv
+ORACLES["cohort_ltv"] = ORACLE_COHORT_LTV
