@@ -99,6 +99,7 @@ HEADLINE = [
     "rolling_median_value",
     "source_overlap_matrix",
     "cohort_ltv",
+    "key_skew_report",
 ]
 
 

@@ -165,3 +165,88 @@ JOIN sizes sb ON sb.source = inter.src_b
 
 QUERIES["source_overlap_matrix"] = q_source_overlap_matrix
 ORACLES["source_overlap_matrix"] = ORACLE_SOURCE_OVERLAP_MATRIX
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic for the events stream's user_id key.
+
+    Before a 100 TB job shuffles on a key, this is the question: how
+    concentrated is it?  One output row: distinct keys, total rows,
+    the heaviest key's max/avg ratio, the row share held by the top 1%
+    of keys, and the exact Gini coefficient of the key histogram —
+    Gini = 2·Σ(i·x_(i))/(n·Σx) − (n+1)/n over counts sorted ascending
+    (row_number rank), every sum a BIGINT, one double division per
+    metric.  Both aggregates run over the per-key count frame (one row
+    per distinct key), never the fact.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("cnt", "user_id")
+    ranked = per_key.select(
+        "cnt", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    base = ranked.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.col("cnt") * F.col("rk")).alias("weighted"),
+    )
+    top = (
+        ranked.crossJoin(F.broadcast(base.select("n_keys")))
+        .filter(F.col("rk") > F.expr("(n_keys * 99) div 100"))
+        .agg(F.sum("cnt").alias("top1pct_rows"))
+    )
+    n, tot = F.col("n_keys"), F.col("total_rows")
+    return base.crossJoin(F.broadcast(top)).select(
+        n.alias("n_keys"),
+        tot.alias("total_rows"),
+        (
+            (F.col("max_cnt") * n).cast("double") / tot.cast("double")
+        ).alias("max_over_avg"),
+        (
+            F.col("top1pct_rows").cast("double") / tot.cast("double")
+        ).alias("top1pct_share"),
+        (
+            (F.lit(2).cast("bigint") * F.col("weighted")).cast("double")
+            / (n * tot).cast("double")
+            - (n + F.lit(1).cast("bigint")).cast("double") / n.cast("double")
+        ).alias("gini"),
+    )
+
+
+ORACLE_KEY_SKEW_REPORT = """
+WITH per_key AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id
+),
+ranked AS (
+    SELECT cnt,
+           CAST(row_number() OVER (ORDER BY cnt, user_id) AS BIGINT) AS rk
+    FROM per_key
+),
+base AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS total_rows,
+           max(cnt) AS max_cnt,
+           CAST(sum(cnt * rk) AS BIGINT) AS weighted
+    FROM ranked
+),
+top AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS top1pct_rows
+    FROM ranked, base
+    WHERE rk > (n_keys * 99) // 100
+)
+SELECT n_keys,
+       total_rows,
+       CAST(max_cnt * n_keys AS DOUBLE) / CAST(total_rows AS DOUBLE)
+           AS max_over_avg,
+       CAST(top1pct_rows AS DOUBLE) / CAST(total_rows AS DOUBLE)
+           AS top1pct_share,
+       CAST(2 * weighted AS DOUBLE) / CAST(n_keys * total_rows AS DOUBLE)
+       - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE) AS gini
+FROM base, top
+"""
+
+
+QUERIES["key_skew_report"] = q_key_skew_report
+ORACLES["key_skew_report"] = ORACLE_KEY_SKEW_REPORT
