@@ -100,6 +100,7 @@ HEADLINE = [
     "source_overlap_matrix",
     "cohort_ltv",
     "key_skew_report",
+    "mad_outliers",
 ]
 
 

@@ -250,3 +250,84 @@ FROM base, top
 
 QUERIES["key_skew_report"] = q_key_skew_report
 ORACLES["key_skew_report"] = ORACLE_KEY_SKEW_REPORT
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers per event type: |value − median| > 3·1.4826·MAD.
+
+    The stddev z-score (`value_outliers`) breaks down when the
+    outliers themselves inflate the spread; median/MAD doesn't.  Exact
+    cross-engine: values quantize to BIGINT (2^20), the median of
+    integers interpolates to an exact .0/.5 double in both engines
+    (doubled → BIGINT), deviations stay integer, and the 1.4826·3
+    consistency cut becomes the integer comparison
+    ``dev2·20000 > 44478·mad4`` (dev2 = 2·|q−med|, mad4 = 4·MAD).
+    robust_z is one division of exact BIGINTs.
+
+    Plan: two exact-percentile aggregates over the (small) per-type
+    stats path, each broadcast back onto the fact — the fact itself
+    never shuffles.  (At 100 TB swap `percentile` for the
+    `approx_quantiles_price`-style sketch; the exact form is the
+    oracle-checkable variant.)
+    """
+    ev = table(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * F.lit(1 << 20)).cast("bigint")
+    vals = ev.select("event_id", "event_type", "value", q.alias("q"))
+    med = vals.groupBy("event_type").agg(
+        (F.percentile("q", F.lit(0.5)) * 2).cast("bigint").alias("med2")
+    )
+    devs = vals.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(F.col("q") * 2 - F.col("med2"))
+    )
+    mad = devs.groupBy("event_type").agg(
+        (F.percentile("dev2", F.lit(0.5)) * 2).cast("bigint").alias("mad4")
+    )
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .filter(
+            F.col("dev2") * F.lit(20000).cast("bigint")
+            > F.lit(44478).cast("bigint") * F.col("mad4")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (
+                (F.col("dev2") * F.lit(20000)).cast("double")
+                / (F.lit(14826).cast("bigint") * F.col("mad4")).cast("double")
+            ).alias("robust_z"),
+        )
+    )
+
+
+ORACLE_MAD_OUTLIERS = """
+WITH vals AS (
+    SELECT event_id, event_type, value,
+           CAST(floor(value * 1048576) AS BIGINT) AS q
+    FROM events
+),
+med AS (
+    SELECT event_type,
+           CAST(quantile_cont(q, 0.5) * 2 AS BIGINT) AS med2
+    FROM vals GROUP BY event_type
+),
+devs AS (
+    SELECT v.event_id, v.event_type, v.value,
+           abs(v.q * 2 - m.med2) AS dev2
+    FROM vals v JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type,
+           CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+    FROM devs GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value,
+       CAST(d.dev2 * 20000 AS DOUBLE) / CAST(14826 * m.mad4 AS DOUBLE)
+           AS robust_z
+FROM devs d JOIN mad m USING (event_type)
+WHERE d.dev2 * 20000 > 44478 * m.mad4
+"""
+
+
+QUERIES["mad_outliers"] = q_mad_outliers
+ORACLES["mad_outliers"] = ORACLE_MAD_OUTLIERS

@@ -60,10 +60,10 @@ _MODULES = [
 
 # ROUND-5 WINDOW PLAN (execute at the START of round 5, never
 # mid-round — the driver grades the window as committed at round end):
-# 1) the ten r04 debuts with only local verification so far:
+# 1) the eleven r04 debuts with only local verification so far:
 #    ewma_user_value, last_touch_attribution, ohlc_bars, bm25_topk,
 #    twap_user_value, rolling_median_value, quality_decile_select,
-#    source_overlap_matrix, cohort_ltv, key_skew_report;
+#    source_overlap_matrix, cohort_ltv, key_skew_report, mad_outliers;
 # 2) any query whose ONLY driver row is r01/r02 and that r04's window
 #    did not re-verify (compare CORRECTNESS_r0{1,2}.json names against
 #    the r04 _WINDOW below — the dedup/text/similarity/corpus_prep

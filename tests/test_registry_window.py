@@ -47,7 +47,7 @@ def test_driver_window_is_exactly_the_planned_50():
 
 def test_window_hoist_preserves_full_registry():
     queries, oracles = registry.collect()
-    assert len(queries) == 150
-    assert len(set(queries)) == 150
+    assert len(queries) == 151
+    assert len(set(queries)) == 151
     # hoisting must not drop or duplicate oracle entries
     assert all(name in queries for name in oracles)
