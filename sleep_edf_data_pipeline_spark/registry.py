@@ -17,18 +17,20 @@ from pyspark.sql import DataFrame, SparkSession
 #: follows in module order.  tests/test_registry_window.py pins the
 #: resulting first 50 so any window change is an explicit edit.
 #:
-#: ROUND-4 WINDOW (executing the round-3 rotation plan): the 37
-#: queries that debuted in round 3 and have only local verification
-#: (all of training_data, tpch_complete, quantization_queries,
-#: corpus_quality, plus ranking_suite / incremental_dedup /
-#: quality_classifier / multimodal_resize / customer_distribution /
-#: waiting_suppliers / kcore_membership / triangle_counts), then the
-#: three serving queries whose last driver row is r01, then ten
-#: backfill slots for queries whose implementation is touched this
-#: round (k-means rewrite, ngram-Jaccard prefix filter, multimodal
-#: codec) or that anchor the dedup/ANN spine.  The two approximate
-#: sketches (approx_distinct_parts, approx_quantiles_price) already
-#: have their by-design rows-only r03 rows and stay outside.
+#: ROUND-5 WINDOW (executing the round-4 rotation plan): the eleven
+#: round-4 debuts that have only local verification, then 36 of the 40
+#: queries whose ONLY driver row is r02 (every r02 name not re-checked
+#: by the r03/r04 windows), then the three serving queries — their
+#: implementations move onto a materialized clustered mart this round
+#: (VERDICT r04 item 5), so they re-verify even though r04 was green.
+#: The four r02-stale names left for round 6 are input stages whose
+#: downstream composites hold fresher rows: document_chunks_udtf
+#: (twin of document_chunks, in-window), simhash_fingerprints (feeds
+#: simhash_neardups, in-window), minhash_signatures (feeds
+#: minhash_lsh_neardups, r04-green), lsh_buckets (feeds
+#: embedding_neardups, in-window).  The by-design rows-only sketches
+#: (approx_distinct_parts, approx_quantiles_price, and the new
+#: mad_outliers_approx) stay outside.
 _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.extras",
     "sleep_edf_data_pipeline_spark.queries.sleep_relational",
@@ -58,79 +60,77 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.selection_extra",
 ]
 
-# ROUND-5 WINDOW PLAN (execute at the START of round 5, never
+# ROUND-6 WINDOW PLAN (execute at the START of round 6, never
 # mid-round — the driver grades the window as committed at round end):
-# 1) the eleven r04 debuts with only local verification so far:
-#    ewma_user_value, last_touch_attribution, ohlc_bars, bm25_topk,
-#    twap_user_value, rolling_median_value, quality_decile_select,
-#    source_overlap_matrix, cohort_ltv, key_skew_report, mad_outliers;
-# 2) any query whose ONLY driver row is r01/r02 and that r04's window
-#    did not re-verify (compare CORRECTNESS_r0{1,2}.json names against
-#    the r04 _WINDOW below — the dedup/text/similarity/corpus_prep
-#    r02 families are the stalest);
-# 3) backfill with queries whose implementation round 5 touches.
+# 1) any round-5 debut with only local verification (e.g.
+#    mad_outliers_approx — rows-only sketch — and anything else round 5
+#    adds after this rotation);
+# 2) the four r02-stale names deliberately left out of the r05 window:
+#    document_chunks_udtf, simhash_fingerprints, minhash_signatures,
+#    lsh_buckets;
+# 3) any query whose ONLY driver row is r03 and that r05's window did
+#    not re-verify (compare CORRECTNESS_r03.json names against the
+#    windows below — the r01/r03 relational spine is next-stalest);
+# 4) backfill with queries whose implementation round 6 touches.
 # Update tests/test_registry_window.py's pin in the same commit.
 
 #: The driver-verification window: collect() hoists these 50 names to
 #: the front, in this order.  Every name must exist in some module.
 _WINDOW = [
-    # -- round-3 debuts: training_data (9) --------------------------
-    "decontaminate_overlap",
-    "repetition_stats",
-    "stratified_sample",
-    "domain_mixture_weights",
-    "json_props_stats",
-    "pii_scrub",
-    "cluster_size_histogram",
-    "semdedup_prune",
-    "duplicate_spans",
-    # -- round-3 debuts: tpch_complete (8) --------------------------
-    "priority_order_counts",
-    "forecast_revenue",
-    "returned_item_customers",
-    "important_stock",
-    "shipping_priority_buckets",
-    "promo_revenue_share",
-    "part_supplier_diversity",
-    "dominant_small_part_suppliers",
-    # -- round-3 debuts: quantization_queries (6) --------------------
-    "pq_codes",
-    "pq_topk_adc",
-    "pq_topk_refined",
-    "pq_recall_eval",
-    "ivfpq_topk",
-    "ivfpq_residual_topk",
-    # -- round-3 debuts: corpus_quality (6) --------------------------
-    "bloom_decontaminate",
-    "dsir_importance_weights",
-    "unigram_logprob_scores",
-    "importance_resample",
-    "length_bucket_packing",
-    "corpus_shuffle_order",
-    # -- round-3 debut stragglers inside older modules (8) -----------
-    "ranking_suite",
-    "incremental_dedup",
-    "quality_classifier",
-    "multimodal_resize",
-    "customer_distribution",
-    "waiting_suppliers",
-    "kcore_membership",
-    "triangle_counts",
-    # -- last driver row is r01 (3) ----------------------------------
+    # -- round-4 debuts, local-only until now (11) --------------------
+    "ewma_user_value",
+    "twap_user_value",
+    "ohlc_bars",
+    "rolling_median_value",
+    "last_touch_attribution",
+    "cohort_ltv",
+    "bm25_topk",
+    "quality_decile_select",
+    "source_overlap_matrix",
+    "key_skew_report",
+    "mad_outliers",
+    # -- only driver row is r02 (36 of 40; see module docstring) ------
+    "ann_recall_eval",
+    "bigram_counts",
+    "context_packing",
+    "copurchase_pairs",
+    "cosine_topk_bruteforce",
+    "dataset_split_stats",
+    "dedup_canonical_docs",
+    "deterministic_downsample",
+    "doc_fingerprints",
+    "document_chunks",
+    "embedding_neardups",
+    "event_transitions",
+    "exact_moments_suite",
+    "funnel_counts",
+    "gopher_quality_flags",
+    "language_id",
+    "large_volume_customers",
+    "length_histogram",
+    "market_share",
+    "min_cost_supplier",
+    "pagerank_copurchase",
+    "quality_scores",
+    "regex_token_stats",
+    "retention_cohorts",
+    "sales_opportunity",
+    "simhash_neardups",
+    "small_quantity_revenue",
+    "special_promo_revenue",
+    "stopword_profile",
+    "tfidf_top_terms",
+    "token_stats",
+    "top_supplier_revenue",
+    "user_rfm",
+    "vocab_top_tokens",
+    "volume_shipping",
+    "weekly_active_users",
+    # -- serving trio: implementation moves to the clustered mart this
+    #    round, so re-verify on top of the green r04 rows (3) ---------
     "subject_list",
     "subject_lookup",
     "subject_timeseries",
-    # -- backfill: implementations touched this round + spine (10) ---
-    "kmeans_clusters",
-    "ngram_jaccard_neardups",
-    "multimodal_features",
-    "frame_sampling",
-    "cosine_topk_ivf",
-    "minhash_lsh_neardups",
-    "dedup_exact",
-    "dedup_clusters",
-    "diagnostics",
-    "data_quality_checks",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

