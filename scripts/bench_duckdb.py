@@ -87,8 +87,13 @@ def main() -> None:
             prior = json.load(f)
         merged = dict(prior.get("queries", {}))
         merged.update(timings)
-        timings = merged
-        timeouts = sorted(set(prior.get("timed_out", [])) | set(timeouts))
+        # drop entries for queries no longer in HEADLINE (renamed or
+        # removed) — stale rows would inflate the reported total forever
+        live = set(HEADLINE)
+        timings = {k: v for k, v in merged.items() if k in live}
+        timeouts = sorted(
+            (set(prior.get("timed_out", [])) | set(timeouts)) & live
+        )
         total = sum(timings.values())
     payload = {
         "metric": "duckdb_oracle_headline_total_wall",

@@ -358,8 +358,11 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort start); revenue accumulates across ages per cohort.  All
     money stays DECIMAL until one final double cast; the cumulative
     window runs over the tiny (cohort, age) aggregate, not the fact.
-    Plan: one user_id agg (cohort frame, broadcast back), one
-    (cohort, age) agg, one window over the aggregate.
+    Plan: one user_id agg (the cohort frame), one (cohort, age) agg,
+    one window over the aggregate.  The cohort frame has a row per
+    DISTINCT USER — unbounded at 100 TB — so it is NOT force-broadcast
+    (cf. TRIANGLE_BROADCAST_MAX_EDGES): AQE picks broadcast when the
+    runtime size fits and a shuffled hash join otherwise.
     """
     ev = table(spark, sf_dir, "events")
     cohorts = ev.groupBy("user_id").agg(
@@ -367,7 +370,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(cohorts), "user_id")
+        .join(cohorts, "user_id")
         .select(
             F.col("cohort_week"),
             F.floor(

@@ -77,6 +77,10 @@ QUERIES = {"quality_decile_select": q_quality_decile_select}
 ORACLES = {"quality_decile_select": ORACLE_QUALITY_DECILE_SELECT}
 
 
+#: Per-document token cap for the overlap matrix (see docstring).
+OVERLAP_MAX_TOKENS = 2048
+
+
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise content overlap between sources (Jaccard over
     distinct 3-gram sets) — the corpus-curation view that says which
@@ -88,6 +92,14 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the join is linear in distinct grams at any corpus size.
     Per-source set sizes broadcast back for the inclusion-exclusion
     union; Jaccard = one double division of exact BIGINTs.
+
+    DOCUMENTED CAP: only the first ``OVERLAP_MAX_TOKENS`` (2048)
+    tokens of each document contribute 3-grams — overlap beyond a
+    document's first ~2k tokens is invisible to this matrix (mirrored
+    in the oracle).  The cap bounds the per-document explode for the
+    pathological single-giant-document case; the join itself does not
+    need it.  For full-document overlap, raise the constant — cost is
+    linear in total tokens.
     """
     docs = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -96,7 +108,7 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(
                 F.transform(
-                    F.slice(toks, 1, 2048),
+                    F.slice(toks, 1, OVERLAP_MAX_TOKENS),
                     lambda _t, i: F.concat_ws(
                         " ", F.slice(toks, i + 1, 3)
                     ),
@@ -132,7 +144,7 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SOURCE_OVERLAP_MATRIX = """
+ORACLE_SOURCE_OVERLAP_MATRIX = f"""
 WITH toks AS (
     SELECT source, string_split(text, ' ') AS t FROM documents
 ),
@@ -140,7 +152,7 @@ grams AS (
     SELECT DISTINCT source,
            concat_ws(' ', t[i], t[i+1], t[i+2]) AS gram
     FROM toks, LATERAL (
-        SELECT unnest(range(1, least(len(t) - 1, 2049))) AS i
+        SELECT unnest(range(1, least(len(t) - 1, {OVERLAP_MAX_TOKENS + 1}))) AS i
     )
     WHERE i + 2 <= len(t)
 ),
@@ -176,25 +188,79 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     of keys, and the exact Gini coefficient of the key histogram —
     Gini = 2·Σ(i·x_(i))/(n·Σx) − (n+1)/n over counts sorted ascending
     (row_number rank), every sum a BIGINT, one double division per
-    metric.  Both aggregates run over the per-key count frame (one row
-    per distinct key), never the fact.
+    metric.
+
+    NO per-key rank is ever materialized (the r04 plan's global
+    ``Window.orderBy`` single-partition sort — the exact bottleneck
+    this query exists to diagnose — is gone): keys tied at the same
+    count occupy a CONSECUTIVE rank block, so both rank aggregates
+    collapse onto the distinct-count histogram:
+
+    - Σ cnt·rk over a tie block of m keys starting after s_prev keys
+      is cnt·(m·s_prev + m(m+1)/2), exact in BIGINT;
+    - the top-1% cut at rank t keeps greatest(0, least(m, s_prev+m−t))
+      keys of the block, each contributing cnt rows.
+
+    The exclusive cumulative s_prev over the histogram needs no global
+    window either: counts bucket by decimal digit length (a
+    data-independent total-order-preserving split, ≤19 buckets), the
+    intra-bucket running sum is a PARTITIONED window, and the ≤19
+    exclusive bucket offsets come from a broadcast theta-join.  Every
+    stage is parallel; the fact shuffles once (user_id), the histogram
+    once (cnt).
     """
     ev = table(spark, sf_dir, "events")
     per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
-    w = Window.orderBy("cnt", "user_id")
-    ranked = per_key.select(
-        "cnt", F.row_number().over(w).cast("bigint").alias("rk")
+    hist = per_key.groupBy("cnt").agg(F.count("*").cast("bigint").alias("m"))
+    hist = hist.withColumn("bkt", F.length(F.col("cnt").cast("string")))
+    wb = (
+        Window.partitionBy("bkt")
+        .orderBy("cnt")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    base = ranked.agg(
-        F.count("*").cast("bigint").alias("n_keys"),
-        F.sum("cnt").alias("total_rows"),
+    intra = hist.select(
+        "cnt",
+        "m",
+        "bkt",
+        F.coalesce(F.sum("m").over(wb), F.lit(0)).cast("bigint").alias("c_in"),
+    )
+    btot = hist.groupBy("bkt").agg(F.sum("m").cast("bigint").alias("bm"))
+    boff = (
+        btot.alias("a")
+        .join(
+            F.broadcast(btot.alias("b")),
+            F.col("b.bkt") < F.col("a.bkt"),
+            "left",
+        )
+        .groupBy(F.col("a.bkt").alias("bkt"))
+        .agg(F.coalesce(F.sum("b.bm"), F.lit(0)).cast("bigint").alias("c_bk"))
+    )
+    cum = intra.join(F.broadcast(boff), "bkt").select(
+        "cnt", "m", (F.col("c_in") + F.col("c_bk")).alias("s_prev")
+    )
+    # Σ cnt·rk over the tie block: ranks s_prev+1 .. s_prev+m.
+    # m·(m+1) is a product of consecutive integers — `div 2` is exact.
+    block_w = F.col("cnt") * (
+        F.col("m") * F.col("s_prev")
+        + F.expr("(m * (m + 1)) div 2").cast("bigint")
+    )
+    base = cum.agg(
+        F.sum("m").cast("bigint").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("m")).alias("total_rows"),
         F.max("cnt").alias("max_cnt"),
-        F.sum(F.col("cnt") * F.col("rk")).alias("weighted"),
+        F.sum(block_w).alias("weighted"),
+    )
+    in_top = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.col("m"),
+            F.col("s_prev") + F.col("m") - F.expr("(n_keys * 99) div 100"),
+        ),
     )
     top = (
-        ranked.crossJoin(F.broadcast(base.select("n_keys")))
-        .filter(F.col("rk") > F.expr("(n_keys * 99) div 100"))
-        .agg(F.sum("cnt").alias("top1pct_rows"))
+        cum.crossJoin(F.broadcast(base.select("n_keys")))
+        .select((F.col("cnt") * in_top).alias("contrib"))
+        .agg(F.sum("contrib").alias("top1pct_rows"))
     )
     n, tot = F.col("n_keys"), F.col("total_rows")
     return base.crossJoin(F.broadcast(top)).select(
@@ -331,3 +397,62 @@ WHERE d.dev2 * 20000 > 44478 * m.mad4
 
 QUERIES["mad_outliers"] = q_mad_outliers
 ORACLES["mad_outliers"] = ORACLE_MAD_OUTLIERS
+
+
+#: percentile_approx accuracy for the MAD sketch: rank error ≤ n/acc,
+#: and any group smaller than acc is stored exactly (the sketch only
+#: starts compressing past `acc` values), so test scales are exact.
+MAD_SKETCH_ACCURACY = 50_000
+
+
+def q_mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``mad_outliers``: identical flag semantics,
+    but median and MAD come from ``percentile_approx`` (GK sketch,
+    mergeable, bounded state) instead of exact ``percentile`` — the
+    exact form buffers every group's values in one aggregation buffer,
+    which is an OOM at billions of rows per event_type; the sketch
+    caps per-group state at O(accuracy) regardless of group size.
+
+    No oracle by design (sketch results are engine-specific): the
+    contract test asserts the flagged set stays within the sketch's
+    rank-error bound of the exact twin's
+    (``tests/test_sketch_tolerance.py``).  percentile_approx returns
+    an observed value (no interpolation), so med2/mad4 stay exact
+    BIGINTs and the threshold comparison is the same integer test.
+    """
+    ev = table(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * F.lit(1 << 20)).cast("bigint")
+    vals = ev.select("event_id", "event_type", "value", q.alias("q"))
+    acc = F.lit(MAD_SKETCH_ACCURACY)
+    med = vals.groupBy("event_type").agg(
+        (F.percentile_approx("q", F.lit(0.5), acc) * 2)
+        .cast("bigint")
+        .alias("med2")
+    )
+    devs = vals.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(F.col("q") * 2 - F.col("med2"))
+    )
+    mad = devs.groupBy("event_type").agg(
+        (F.percentile_approx("dev2", F.lit(0.5), acc) * 2)
+        .cast("bigint")
+        .alias("mad4")
+    )
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .filter(
+            F.col("dev2") * F.lit(20000).cast("bigint")
+            > F.lit(44478).cast("bigint") * F.col("mad4")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (
+                (F.col("dev2") * F.lit(20000)).cast("double")
+                / (F.lit(14826).cast("bigint") * F.col("mad4")).cast("double")
+            ).alias("robust_z"),
+        )
+    )
+
+
+QUERIES["mad_outliers_approx"] = q_mad_outliers_approx

@@ -54,8 +54,13 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The 16 lags are ONE window walk in Spark (same frame, same order),
     not 16 shuffles; the plan is a single hash-partition on user_id.
+
+    NULL values are filtered up front (mirrored in the oracle): if a
+    row and all 15 prior taps were NULL, den=0 and Spark's 0/0 yields
+    NULL while DuckDB yields NaN — filtering keeps the two engines
+    identical whatever the data.
     """
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     q = F.floor(F.col("value") * F.lit(EWMA_SCALE)).cast("bigint")
     num = F.lit(0).cast("bigint")
@@ -86,6 +91,7 @@ WITH taps AS (
                for k in range(EWMA_TAPS)
            )}
     FROM events
+    WHERE value IS NOT NULL
 )
 SELECT user_id, event_id,
        CAST(({" + ".join(

@@ -94,7 +94,7 @@ def _write_partition(
             fh = _open_shard(path, "w")
             count, seq = 0, seq + 1
         d = dict(zip(names, row))
-        fh.write(json.dumps(d, default=str) + "\n")
+        fh.write(json.dumps(d, default=_json_default) + "\n")
         count += 1
     if fh is not None:
         fh.close()
@@ -255,16 +255,35 @@ def _load_manifest(path: str) -> dict:
         return json.load(f)
 
 
+def _json_default(v):
+    """Non-native JSON types on the write path: bytes → base64 text
+    (str(b'..') would emit an unreadable repr), Decimal/temporals →
+    str (lossless decimal text / ISO format, both re-parsed by
+    ``_converter``)."""
+    import base64
+
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    return str(v)
+
+
 def _converter(dt):
     """JSON value → Spark external type for one field (writer inverse).
 
-    The writer serializes with ``json.dumps(default=str)``, so
-    temporals arrive as ISO-ish strings; everything else is a native
-    JSON scalar/array.  Nested structs come back as dicts → Rows.
+    The writer serializes with ``json.dumps(default=_json_default)``,
+    so temporals arrive as ISO-ish strings, decimals as decimal text,
+    binary as base64; everything else is a native JSON scalar/array.
+    Nested structs come back as dicts → Rows.
     """
+    import base64
     import datetime
+    import decimal
 
     name = dt.typeName()
+    if name == "decimal":
+        return lambda v: decimal.Decimal(v)
+    if name == "binary":
+        return lambda v: base64.b64decode(v)
     if name in ("integer", "long", "short", "byte"):
         return lambda v: int(v)
     if name in ("double", "float"):

@@ -519,3 +519,27 @@ def test_roundtrip_property_random_values(spark, tmp_path):
     a = sorted(df.collect(), key=lambda r: r["i"])
     b = sorted(back.collect(), key=lambda r: r["i"])
     assert a == b
+
+
+def test_decimal_and_binary_round_trip(spark, tmp_path):
+    """DECIMAL survives as exact decimal text and BINARY as base64 —
+    json.dumps(default=str) used to emit a bytes repr the reader could
+    not invert, and decimals came back as strings."""
+    out = str(tmp_path / "decbin")
+    df = spark.createDataFrame(
+        [(1, "12345678901234.56", bytearray(b"\x00\xffpng")),
+         (2, "-0.01", bytearray(b"")),
+         (3, None, None)],
+        "id int, d string, b binary",
+    ).select("id", F.col("d").cast("decimal(18,2)").alias("d"), "b")
+    df.write.format("jsonlshards").mode("append").save(out)
+
+    back = spark.read.format("jsonlshards").load(out)
+    assert dict(back.dtypes)["d"] == "decimal(18,2)"
+    assert dict(back.dtypes)["b"] == "binary"
+    got = {r["id"]: (r["d"], bytes(r["b"]) if r["b"] is not None else None)
+           for r in back.collect()}
+    import decimal
+    assert got[1] == (decimal.Decimal("12345678901234.56"), b"\x00\xffpng")
+    assert got[2] == (decimal.Decimal("-0.01"), b"")
+    assert got[3] == (None, None)

@@ -74,3 +74,37 @@ def test_approx_quantiles_rank_error_within_contract(spark, sf_dir):
                 rank,
                 n,
             )
+
+
+def test_mad_sketch_flags_match_exact_within_rank_error(spark, sf_dir):
+    """``mad_outliers_approx`` must flag (nearly) the same events as
+    the exact twin: at test scales every group is smaller than the
+    sketch accuracy, so percentile_approx is exact up to its
+    no-interpolation semantics (it returns an observed value where
+    exact `percentile` interpolates a half-step) — the flagged sets
+    may disagree only on events whose robust_z sits at the 3.0 cut.
+    """
+    from sleep_edf_data_pipeline_spark.queries.selection_extra import (
+        q_mad_outliers,
+        q_mad_outliers_approx,
+    )
+
+    exact = {
+        r["event_id"]: r["robust_z"]
+        for r in q_mad_outliers(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_id"]: r["robust_z"]
+        for r in q_mad_outliers_approx(spark, sf_dir).collect()
+    }
+    assert exact, "exact twin returned no outliers — test is vacuous"
+    disagree = set(exact) ^ set(approx)
+    # a broken sketch (wrong column/group/threshold) disagrees on the
+    # whole tail, not a boundary sliver
+    assert len(disagree) <= max(2, len(exact) // 50), (
+        len(disagree),
+        len(exact),
+    )
+    for eid in disagree:
+        z = exact.get(eid, approx.get(eid))
+        assert abs(z - 3.0) < 0.1, (eid, z)
