@@ -105,6 +105,16 @@ HEADLINE = [
 
 
 def main() -> None:
+    # --only a,b,c: time just those headline queries (diagnostics —
+    # e.g. isolating whether a regression is the query or accumulated
+    # harness pressure from the full run).  The driver always runs the
+    # full set; --only output is NEVER a committed BENCH artifact.
+    headline = list(HEADLINE)
+    argv = list(sys.argv[1:])
+    if "--only" in argv:
+        i = argv.index("--only")
+        keep = set(argv[i + 1].split(","))
+        headline = [n for n in headline if n in keep]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="bench")
@@ -122,7 +132,7 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
     t0 = time.perf_counter()
-    for name in HEADLINE:
+    for name in headline:
         queries[name](spark, warm_dir).count()
     print(f"# warm-up ({warm_dir}): {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
@@ -132,7 +142,7 @@ def main() -> None:
     # plans).
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in headline:
         fn = queries[name]
         best, rows = float("inf"), 0
         for _ in range(2):

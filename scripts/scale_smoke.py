@@ -88,6 +88,14 @@ SMOKE = [
     "twap_user_value",
     "bm25_topk",
     "quality_decile_select",
+    # r05: the late r04 debuts that had no decade row (VERDICT item 6)
+    # plus the rewritten skew diagnostic and the MAD pair.
+    "rolling_median_value",
+    "source_overlap_matrix",
+    "cohort_ltv",
+    "key_skew_report",
+    "mad_outliers",
+    "mad_outliers_approx",
 ]
 
 

@@ -18,6 +18,7 @@ from .events_domain import (
 )
 
 STAGED_WITH = "WITH " + BASE_CTE.strip() + ",\n" + STAGED_CTE.strip()
+from ..marts import serve
 from .sleep_relational import ORACLE_SLEEP_SUMMARY, q_sleep_summary
 
 #: The demo subject every point-lookup serves (dashboard.py pattern).
@@ -25,7 +26,41 @@ LOOKUP_SUBJECT = 7
 
 
 def _summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return q_sleep_summary(spark, sf_dir)
+    """The subject summary MART (reference: dbt materializes marts as
+    tables, dbt_project.yml:27-29): built once per corpus content via
+    the clustered-layout writer, then every serving query is a pruned
+    scan.  ``sleep_summary`` stays registered as the recompute /
+    freshness path; values are identical (driver oracle proves it)."""
+    return serve(
+        spark,
+        sf_dir,
+        "sleep_summary",
+        "events",
+        lambda: q_sleep_summary(spark, sf_dir),
+        cluster_cols=["subject_id"],
+        n_files=1,  # subject-level: one row per subject
+    )
+
+
+def _metrics_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-level metrics mart, range-clustered on subject_id so a
+    per-subject timeseries read prunes to that subject's file."""
+
+    def build() -> DataFrame:
+        return sp.metrics(
+            sp.staging(epochs_from_events(spark, sf_dir)),
+            gap_epochs=GAP_EVENTS,
+        )
+
+    return serve(
+        spark,
+        sf_dir,
+        "sleep_metrics",
+        "events",
+        build,
+        cluster_cols=["subject_id", "epoch_idx"],
+        n_files=4,
+    )
 
 
 def q_subject_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,10 +86,10 @@ ORACLE_SUBJECT_LOOKUP = (
 
 
 def q_subject_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3: filter + 4-col projection + sort (viz/dashboard.py:113-125)."""
-    m = sp.metrics(
-        sp.staging(epochs_from_events(spark, sf_dir)), gap_epochs=GAP_EVENTS
-    )
+    """Q3: filter + 4-col projection + sort (viz/dashboard.py:113-125),
+    served from the clustered metrics mart (predicate prunes to the
+    subject's range)."""
+    m = _metrics_mart(spark, sf_dir)
     return (
         m.filter(F.col("subject_id") == LOOKUP_SUBJECT)
         .select(

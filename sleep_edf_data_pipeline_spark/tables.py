@@ -42,6 +42,34 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_fingerprint(sf_dir: str, name: str) -> tuple:
+    """Content fingerprint of one table under ``sf_dir``.
+
+    (realpath, sorted (relative-name, size, mtime_ns) of every data
+    file).  Any rewrite — new files, appended shards, touched bytes —
+    changes the key, so derived artifacts (trained codebooks,
+    materialized marts) can never outlive the data they came from.
+    Pure os.stat metadata: no file reads, so the check is microseconds
+    even for thousands of shards.
+    """
+    root = os.path.realpath(os.path.join(sf_dir, f"{name}.parquet"))
+    entries: list[tuple[str, int, int]] = []
+    if os.path.isdir(root):
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                if fn.startswith(("_", ".")):
+                    continue
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, root), st.st_size, st.st_mtime_ns)
+                )
+    elif os.path.exists(root):
+        st = os.stat(root)
+        entries.append((os.path.basename(root), st.st_size, st.st_mtime_ns))
+    return (root, tuple(sorted(entries)))
+
+
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     """Widen a narrow scan to the session's parallelism.
 
