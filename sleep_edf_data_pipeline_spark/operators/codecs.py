@@ -164,3 +164,58 @@ def encode_bmp(arr: np.ndarray, width: int, height: int) -> bytes:
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
     return header + info + body
+
+
+# --------------------------------------------------------------------
+# WAV (RIFF PCM) — the audio leg of the multimodal family.  stdlib
+# ``wave`` handles the container; scope is uncompressed integer PCM
+# (8/16-bit, any channel count), which is what featurization pipelines
+# actually ingest.  Compressed formats (μ-law, ADPCM, float) raise —
+# same honest-guard contract as the interlaced-PNG branch above.
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF PCM WAV → (int16 samples [frames × channels
+    interleaved, flattened], sample_rate).
+
+    8-bit PCM (unsigned per spec) is widened to int16 (−128..127 →
+    ×256) so every downstream feature sees one dtype.
+    """
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            frames = w.readframes(w.getnframes())
+            comp = w.getcomptype()
+    except wave.Error as e:
+        raise ValueError(f"not a PCM WAV: {e}") from e
+    if comp != "NONE":
+        raise NotImplementedError(f"compressed WAV ({comp}) not supported")
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<i2")
+    elif width == 1:
+        samples = (
+            np.frombuffer(frames, dtype=np.uint8).astype(np.int16) - 128
+        ) * 256
+    else:
+        raise NotImplementedError(f"{8 * width}-bit PCM not supported")
+    return samples.astype(np.int16, copy=False), rate
+
+
+def encode_wav(
+    samples: np.ndarray, rate: int = 16000, channels: int = 1
+) -> bytes:
+    """Encode int16 samples as mono/interleaved 16-bit PCM WAV."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()

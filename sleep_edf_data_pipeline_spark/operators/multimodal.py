@@ -193,3 +193,53 @@ def sample_frames(
         "media_type",
         F.explode(idx).alias("frame_idx"),
     )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "asset_id string, n_samples bigint, duration_s double, "
+    "rms double, zero_crossings bigint"
+)
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """Decode WAV payloads + featurize in Arrow batches (mapInPandas).
+
+    The audio leg of ``extract_features``: RIFF PCM decode via the
+    pure-stdlib codec (operators/codecs.decode_wav), then the standard
+    cheap audio screens a corpus pipeline runs before expensive
+    models — duration, RMS level (silence/clipping filter), and
+    zero-crossing count (noisiness proxy).  All sums are exact int64
+    (samples are int16 → squares fit comfortably), so the features are
+    engine-reproducible: rms = sqrt(sum_sq/n) is one exact-integer
+    division and one correctly-rounded sqrt.  Zero crossing = strict
+    sign product < 0 between neighbors.
+
+    Bytes stay Arrow-batched end-to-end — never row-at-a-time Python.
+    """
+    from .codecs import decode_wav
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "n_samples": [],
+                "duration_s": [],
+                "rms": [],
+                "zero_crossings": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                samples, rate = decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                n = int(s.size)
+                out["asset_id"].append(aid)
+                out["n_samples"].append(n)
+                out["duration_s"].append(n / rate)
+                out["rms"].append(
+                    float(np.sqrt(int((s * s).sum()) / n)) if n else 0.0
+                )
+                out["zero_crossings"].append(
+                    int((s[:-1] * s[1:] < 0).sum()) if n > 1 else 0
+                )
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(featurize, schema=AUDIO_FEATURE_SCHEMA)
