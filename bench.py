@@ -101,6 +101,9 @@ HEADLINE = [
     "cohort_ltv",
     "key_skew_report",
     "mad_outliers",
+    # r05 debut: the WAV encode→decode→featurize pipeline (real codec,
+    # Arrow-batched both ways)
+    "audio_features",
 ]
 
 

@@ -129,3 +129,91 @@ FROM sampled
 
 QUERIES["multimodal_resize"] = q_multimodal_resize
 ORACLES["multimodal_resize"] = ORACLE_MULTIMODAL_RESIZE
+
+
+_AUDIO_RATE = 16000
+
+
+def audio_assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → WAV assets: sample j = (ascii(char j) − 96)·257.
+
+    Deterministic synthesis through the REAL codec (encode_wav →
+    RIFF PCM bytes), same philosophy as the image path: the corpus has
+    no media table, so the payloads are derived from text in a way the
+    DuckDB oracle can replay sample-exactly (ascii() per char).  The
+    affine map keeps int16 range (space → −16448, 'z' → +6682) and
+    makes word boundaries sign changes, so zero-crossing counts are
+    non-trivial.
+    """
+    import numpy as np
+    import pandas as pd
+
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    src = docs.select(F.col("doc_id").cast("string").alias("asset_id"), "text")
+
+    def encode(batches):
+        from ..operators.codecs import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                s = (
+                    np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(
+                        np.int16
+                    )
+                    - 96
+                ) * 257
+                payloads.append(encode_wav(s, _AUDIO_RATE))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": "audio",
+                    "format": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    return src.mapInPandas(
+        encode,
+        schema="asset_id string, media_type string, format string, payload binary",
+    )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio screens over real WAV bytes: encode→decode→featurize, all
+    Arrow-batched.  Every feature is exact-integer-derived (int64 sums,
+    one division, one correctly-rounded sqrt), so the oracle replays
+    the decoded samples from the text and the hash gate checks the
+    whole codec round trip end-to-end."""
+    from ..operators.multimodal import extract_audio_features
+
+    return extract_audio_features(audio_assets_from_documents(spark, sf_dir))
+
+
+# sample j == (ascii(text[j]) - 96) * 257; the ×257 factor cancels in
+# the zero-crossing sign product.
+ORACLE_AUDIO_FEATURES = f"""
+WITH s AS (
+    SELECT doc_id, text, length(text) AS n FROM documents
+)
+SELECT
+    CAST(doc_id AS VARCHAR) AS asset_id,
+    CAST(n AS BIGINT) AS n_samples,
+    CAST(n AS DOUBLE) / {_AUDIO_RATE}.0 AS duration_s,
+    CASE WHEN n = 0 THEN 0.0 ELSE sqrt(
+        CAST(list_sum([
+            CAST((ascii(text[j]) - 96) * 257 AS BIGINT)
+            * CAST((ascii(text[j]) - 96) * 257 AS BIGINT)
+            for j in range(1, n + 1)
+        ]) AS DOUBLE) / CAST(n AS DOUBLE))
+    END AS rms,
+    CASE WHEN n <= 1 THEN CAST(0 AS BIGINT) ELSE CAST(len(list_filter(
+        range(1, n),
+        j -> (ascii(text[j]) - 96) * (ascii(text[j + 1]) - 96) < 0
+    )) AS BIGINT) END AS zero_crossings
+FROM s
+"""
+
+
+QUERIES["audio_features"] = q_audio_features
+ORACLES["audio_features"] = ORACLE_AUDIO_FEATURES

@@ -151,3 +151,63 @@ def test_multimodal_operators_on_real_png_and_bmp(spark):
     }
     assert resized["png1"]["resized_hash"] == resized["raw1"]["resized_hash"]
     assert set(resized) == {"png1", "bmp1", "raw1"}
+
+
+# ---------------------------------------------------------------- WAV
+
+
+def test_wav_16bit_round_trip():
+    import numpy as np
+
+    from sleep_edf_data_pipeline_spark.operators.codecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.array([0, 1, -1, 32767, -32768, 12345], dtype=np.int16)
+    out, rate = decode_wav(encode_wav(s, rate=8000))
+    assert rate == 8000
+    assert (out == s).all()
+
+
+def test_wav_stereo_interleaved():
+    import numpy as np
+
+    from sleep_edf_data_pipeline_spark.operators.codecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.array([10, -10, 20, -20], dtype=np.int16)  # L R L R
+    out, rate = decode_wav(encode_wav(s, rate=44100, channels=2))
+    assert rate == 44100
+    assert (out == s).all()
+
+
+def test_wav_8bit_widens_to_int16():
+    import io
+    import wave
+
+    import numpy as np
+
+    from sleep_edf_data_pipeline_spark.operators.codecs import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(16000)
+        w.writeframes(bytes([0, 128, 255]))  # unsigned 8-bit per spec
+    out, rate = decode_wav(buf.getvalue())
+    assert rate == 16000
+    assert out.tolist() == [-128 * 256, 0, 127 * 256]
+    assert out.dtype == np.int16
+
+
+def test_wav_rejects_garbage_and_unsupported():
+    import pytest
+
+    from sleep_edf_data_pipeline_spark.operators.codecs import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFnope")
