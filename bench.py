@@ -119,7 +119,11 @@ def main() -> None:
         keep = set(argv[i + 1].split(","))
         headline = [n for n in headline if n in keep]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    base = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf = float(base or "0.1")
+    except ValueError:  # non-sfN dir (e.g. /tmp/scale10 smoke corpora)
+        sf = base
     spark = get_spark(app_name="bench")
     queries, _ = registry.collect()
 

@@ -66,12 +66,16 @@ def test_cohort_ltv_does_not_force_broadcast_of_cohorts(spark, sf_dir):
 
 
 def test_source_overlap_joins_stay_keyed(spark, sf_dir):
-    """The per-gram self-join must be an equi-join on gram (fan-out
-    bounded by source count), never a cartesian product; per-source
-    sizes come back as broadcasts."""
+    """The gram stream is shuffled exactly once (groupBy(gram) with a
+    map-side-combined collect_set bounded by the source count); source
+    pairs expand inside the per-gram array, so NO join of any kind
+    touches the gram set — the only joins left are the broadcasts of
+    the tiny per-source size frame."""
     plan = plan_of(QUERIES["source_overlap_matrix"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
 
 
 def test_mad_outliers_fact_never_shuffles(spark, sf_dir):
