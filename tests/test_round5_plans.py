@@ -93,3 +93,19 @@ def test_mad_outliers_fact_never_shuffles(spark, sf_dir):
         assert "CartesianProduct" not in plan, (name, plan)
         # stats aggregates: med + mad, each partial+final over event_type
         assert n_shuffles(plan) <= 3, (name, plan)
+
+
+def test_gram_histogram_rewrites_scan_corpus_once(spark, sf_dir):
+    """dsir_importance_weights and source_overlap_matrix (round-5
+    rewrites): all consumers aggregate from ONE persisted histogram,
+    so the final plan reads the corpus from the in-memory relation and
+    never re-plans a documents parquet scan (the r04 plans re-exploded
+    the corpus per consumer — 3 scans for dsir)."""
+    for name in ("dsir_importance_weights", "source_overlap_matrix"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = plan_of(df)
+        # both histogram consumers read the cache (FileScan strings
+        # still appear in the plan text — InMemoryRelation prints its
+        # stored build plan inline — so count consumers, not scans)
+        assert plan.count("InMemoryTableScan") >= 2, (name, plan)
+        spark.catalog.clearCache()
