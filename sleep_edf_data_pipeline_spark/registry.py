@@ -62,16 +62,20 @@ _MODULES = [
 
 # ROUND-6 WINDOW PLAN (execute at the START of round 6, never
 # mid-round — the driver grades the window as committed at round end):
-# 1) any round-5 debut with only local verification (e.g.
-#    mad_outliers_approx — rows-only sketch — and anything else round 5
-#    adds after this rotation);
-# 2) the four r02-stale names deliberately left out of the r05 window:
+# 1) round-5 debuts with only local verification: audio_features
+#    (multimodal_queries, oracle-backed) and mad_outliers_approx
+#    (rows-only sketch);
+# 2) queries whose implementation round 5 REWROTE after their last
+#    driver row, so the hard signal is for the old code:
+#    dsir_importance_weights (r04 row; histogram rewrite) and
+#    volume_shipping (r03 row; nation-pair pushdown);
+# 3) the four r02-stale names deliberately left out of the r05 window:
 #    document_chunks_udtf, simhash_fingerprints, minhash_signatures,
 #    lsh_buckets;
-# 3) any query whose ONLY driver row is r03 and that r05's window did
+# 4) any query whose ONLY driver row is r03 and that r05's window did
 #    not re-verify (compare CORRECTNESS_r03.json names against the
 #    windows below — the r01/r03 relational spine is next-stalest);
-# 4) backfill with queries whose implementation round 6 touches.
+# 5) backfill with queries whose implementation round 6 touches.
 # Update tests/test_registry_window.py's pin in the same commit.
 
 #: The driver-verification window: collect() hoists these 50 names to
