@@ -104,6 +104,9 @@ HEADLINE = [
     # r05 debut: the WAV encode→decode→featurize pipeline (real codec,
     # Arrow-batched both ways)
     "audio_features",
+    # r05 debut: exact hot-key top-20 (the CMS sketch twin is rows-only
+    # and stays out of the timed headline, like the other sketches)
+    "heavy_hitters_exact",
 ]
 
 

@@ -58,6 +58,9 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.timeseries_extra",
     "sleep_edf_data_pipeline_spark.queries.retrieval",
     "sleep_edf_data_pipeline_spark.queries.selection_extra",
+    # r05 debuts — appended at the END so the pinned round-5 window is
+    # untouched; rotate into the window in round 6 (see plan above).
+    "sleep_edf_data_pipeline_spark.queries.heavy_hitters",
 ]
 
 # ROUND-6 WINDOW PLAN (execute at the START of round 6, never

@@ -108,3 +108,43 @@ def test_mad_sketch_flags_match_exact_within_rank_error(spark, sf_dir):
     for eid in disagree:
         z = exact.get(eid, approx.get(eid))
         assert abs(z - 3.0) < 0.1, (eid, z)
+
+
+def test_heavy_hitters_cms_contract(spark, sf_dir):
+    """CMS top-k: (1) every estimate >= the key's true count (CMS can
+    only over-count); (2) over-estimation stays within 3·eps·N;
+    (3) every returned key is a near-top key — its TRUE count reaches
+    the 2·TOPK-th exact count (rank equality is impossible on this
+    tie-dense uniform key distribution; see the module docstring)."""
+    from sleep_edf_data_pipeline_spark.queries.heavy_hitters import (
+        CMS_EPS,
+        TOPK,
+        q_heavy_hitters_cms,
+        q_heavy_hitters_exact,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    n_total = ev.count()
+    true_counts = {
+        r["user_id"]: r["cnt"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    floor_cnt = sorted(true_counts.values(), reverse=True)[
+        min(2 * TOPK, len(true_counts)) - 1
+    ]
+    got = q_heavy_hitters_cms(spark, sf_dir).collect()
+    assert len(got) == min(TOPK, len(true_counts))
+    slack = 3 * CMS_EPS * n_total
+    for r in got:
+        true = true_counts[r["user_id"]]
+        assert r["est_events"] >= true, (r, true)
+        assert r["est_events"] <= true + slack + 2, (r, true, slack)
+        assert true >= floor_cnt, (r, true, floor_cnt)
+    # exact twin sanity: its top-1 key must be in the sketch's set or
+    # within slack of the sketch's smallest estimate
+    top_exact = q_heavy_hitters_exact(spark, sf_dir).collect()[0]
+    min_est = min(r["est_events"] for r in got)
+    assert (
+        any(r["user_id"] == top_exact["user_id"] for r in got)
+        or top_exact["n_events"] <= min_est + slack
+    )
