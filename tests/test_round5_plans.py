@@ -109,3 +109,11 @@ def test_gram_histogram_rewrites_scan_corpus_once(spark, sf_dir):
         # stored build plan inline — so count consumers, not scans)
         assert plan.count("InMemoryTableScan") >= 2, (name, plan)
         spark.catalog.clearCache()
+
+
+def test_heavy_hitters_exact_is_takeordered(spark, sf_dir):
+    """One hash-agg exchange on the key, TakeOrdered for the top-20 —
+    never a global Sort of the aggregated key space."""
+    plan = plan_of(QUERIES["heavy_hitters_exact"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert n_shuffles(plan) == 1, plan
