@@ -96,6 +96,8 @@ SMOKE = [
     "key_skew_report",
     "mad_outliers",
     "mad_outliers_approx",
+    # r05 debut (decade row lands with the round-6 smoke run)
+    "heavy_hitters_exact",
 ]
 
 
