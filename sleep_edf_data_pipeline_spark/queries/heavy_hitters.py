@@ -11,14 +11,19 @@ naming keys).  Two registered forms:
 - ``heavy_hitters_cms`` — the bounded-state path (rows-only by
   design, anchored by the exact twin + error-bound tests, same
   contract as the other sketches): ONE pass builds a Spark
-  ``count_min_sketch`` aggregate — a fixed ~5 MB mergeable summary,
-  combined map-side, so nothing key-shaped ever shuffles — plus a
-  per-partition local top-64 candidate pass (bounded:
-  partitions × 64 rows).  Candidates are probed against the sketch
-  driver-side (a small-by-construction collect, like the k-means
-  centroid pattern) and the top-20 by estimated count returned.
+  ``count_min_sketch`` aggregate — a fixed ~1.1 MB mergeable summary
+  (eps=1e-4 -> width=ceil(2/eps)=20,000 counters; confidence 0.99 ->
+  depth=ceil(-ln(0.01)/ln 2)=7), combined map-side, so nothing
+  key-shaped ever shuffles — plus a per-partition Space-Saving
+  candidate pass whose executor state is a FIXED number of counters
+  (``SPACE_SAVING_COUNTERS``), independent of the partition's
+  distinct-key count.  The serialized sketch bytes ride into a
+  mapInPandas closure and are probed executor-side by the pure-Python
+  reader in ``functions/cms.py`` — no ``spark._jvm`` access anywhere,
+  so the query runs under Spark Connect as well as classic PySpark.
+  The only driver-side collect is the single sketch row.
   CMS never under-estimates; over-estimation is bounded by
-  ``e/width · N`` with probability 1 − δ, tested in
+  ``eps · N`` with probability 1 − δ per probe, tested in
   tests/test_sketch_tolerance.py.  NOTE the synthetic events table is
   nearly UNIFORM over user_id (≈1500 keys within a 60–99 count band
   at sf0.1, dense ties at the top-20 boundary), so the sketch's
@@ -34,26 +39,32 @@ regime the reference never reaches.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.cms import CountMinSketchReader
 from ..tables import table
 
 TOPK = 20
-#: CMS geometry: eps=1e-4 -> width=ceil(e/eps)=27,183 counters;
-#: confidence 0.99 -> depth 5. ~1.1 MB of longs — fixed, data-free.
 CMS_EPS = 1e-4
 CMS_CONFIDENCE = 0.99
 CMS_SEED = 42
-#: Local candidates kept per partition. A key with global share
-#: > 1/CANDIDATES_PER_PARTITION of any partition it appears in is
-#: guaranteed into that partition's list; in practice (Zipfian keys,
-#: hash-random partition placement) the union covers every global
-#: top-20 key by a wide margin — asserted against the exact twin.
+#: Space-Saving summary size per partition.  The classic guarantee:
+#: with m counters, any key whose in-partition count exceeds n_p/m is
+#: guaranteed to be IN the summary when the partition ends, and every
+#: counter over-estimates its key's true in-partition count by at most
+#: n_p/m.  4096 counters ≈ 64 KiB of dict state — fixed, regardless of
+#: how many billions of distinct keys stream through the partition.
+SPACE_SAVING_COUNTERS = 4096
+#: Local candidates emitted per partition (top of the Space-Saving
+#: summary).  The downstream union is bounded by partitions × 64 rows;
+#: in practice (skewed keys, hash-random partition placement) it
+#: covers every global top-20 key by a wide margin — asserted against
+#: the exact twin in tests.
 CANDIDATES_PER_PARTITION = 64
 
 
@@ -77,48 +88,80 @@ LIMIT 20
 """
 
 
-def _local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    counts: dict[int, int] = {}
+def _space_saving_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Bounded per-partition candidates via weighted Space-Saving.
+
+    Executor state never exceeds SPACE_SAVING_COUNTERS entries: a
+    batch-count for a key already tracked adds to its counter; a new
+    key with the summary full EVICTS the current minimum counter and
+    inherits its value (the Space-Saving substitution, generalized to
+    weighted arrivals).  Counters therefore only over-estimate, and
+    any sufficiently heavy key survives to partition end.
+    """
+    counters: dict[int, int] = {}
     for pdf in batches:
         for key, n in pdf["user_id"].value_counts().items():
-            k = int(key)
-            counts[k] = counts.get(k, 0) + int(n)
-    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            k, w = int(key), int(n)
+            if k in counters:
+                counters[k] += w
+            elif len(counters) < SPACE_SAVING_COUNTERS:
+                counters[k] = w
+            else:
+                victim = min(counters, key=counters.get)
+                floor = counters.pop(victim)
+                counters[k] = floor + w
+    top = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
     yield pd.DataFrame(
         {"user_id": [k for k, _ in top[:CANDIDATES_PER_PARTITION]]},
         dtype="int64",
     )
 
 
+def _make_probe(
+    sketch_bytes: bytes,
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Executor-side sketch probe; the ~1.1 MB serialized sketch rides
+    in the task closure (fixed size by construction — eps and
+    confidence, not data, set it), parsed once per task."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        reader = CountMinSketchReader(sketch_bytes)
+        for pdf in batches:
+            ids = pdf["user_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "user_id": ids,
+                    "est_events": [reader.estimate_long(int(u)) for u in ids],
+                }
+            )
+
+    return probe
+
+
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch top-20 (no oracle: estimates are sketch-
     specific; deterministic under the fixed seed)."""
     ev = table(spark, sf_dir, "events").select("user_id")
-    sketch_bytes = ev.agg(
-        F.count_min_sketch(
-            "user_id",
-            F.lit(CMS_EPS),
-            F.lit(CMS_CONFIDENCE),
-            F.lit(CMS_SEED),
-        ).alias("sk")
-    ).collect()[0]["sk"]
-    jsketch = (
-        spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-            bytes(sketch_bytes)
-        )
+    sketch_bytes = bytes(
+        ev.agg(
+            F.count_min_sketch(
+                "user_id",
+                F.lit(CMS_EPS),
+                F.lit(CMS_CONFIDENCE),
+                F.lit(CMS_SEED),
+            ).alias("sk")
+        ).collect()[0]["sk"]
     )
-    candidates = ev.mapInPandas(_local_topk, schema="user_id bigint")
-    cand_ids = sorted(
-        {int(r["user_id"]) for r in candidates.collect()}
-    )  # bounded: partitions x 64
-    ranked = sorted(
-        ((int(jsketch.estimateCount(u)), u) for u in cand_ids),
-        key=lambda t: (-t[0], t[1]),
-    )[:TOPK]
-    return spark.createDataFrame(
-        [(u, est) for est, u in ranked],
-        schema="user_id bigint, est_events bigint",
+    candidates = (
+        ev.mapInPandas(_space_saving_topk, schema="user_id bigint")
+        .distinct()
     )
+    estimated = candidates.mapInPandas(
+        _make_probe(sketch_bytes), schema="user_id bigint, est_events bigint"
+    )
+    return estimated.orderBy(
+        F.desc("est_events"), F.asc("user_id")
+    ).limit(TOPK)
 
 
 QUERIES = {

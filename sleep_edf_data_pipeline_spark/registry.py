@@ -17,20 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 #: follows in module order.  tests/test_registry_window.py pins the
 #: resulting first 50 so any window change is an explicit edit.
 #:
-#: ROUND-5 WINDOW (executing the round-4 rotation plan): the eleven
-#: round-4 debuts that have only local verification, then 36 of the 40
-#: queries whose ONLY driver row is r02 (every r02 name not re-checked
-#: by the r03/r04 windows), then the three serving queries — their
-#: implementations move onto a materialized clustered mart this round
-#: (VERDICT r04 item 5), so they re-verify even though r04 was green.
-#: The four r02-stale names left for round 6 are input stages whose
-#: downstream composites hold fresher rows: document_chunks_udtf
-#: (twin of document_chunks, in-window), simhash_fingerprints (feeds
-#: simhash_neardups, in-window), minhash_signatures (feeds
-#: minhash_lsh_neardups, r04-green), lsh_buckets (feeds
-#: embedding_neardups, in-window).  The by-design rows-only sketches
-#: (approx_distinct_parts, approx_quantiles_price, and the new
-#: mad_outliers_approx) stay outside.
+#: The current window's composition rationale lives in the comment
+#: block directly above ``_WINDOW`` below; the next round's rotation
+#: plan sits above that.
 _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.extras",
     "sleep_edf_data_pipeline_spark.queries.sleep_relational",
@@ -63,81 +52,97 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.heavy_hitters",
 ]
 
-# ROUND-6 WINDOW PLAN (execute at the START of round 6, never
+# ROUND-7 WINDOW PLAN (execute at the START of round 7, never
 # mid-round — the driver grades the window as committed at round end):
-# 1) round-5 debuts with only local verification: audio_features
-#    (multimodal_queries, oracle-backed) and mad_outliers_approx
-#    (rows-only sketch);
-# 2) queries whose implementation round 5 REWROTE after their last
-#    driver row, so the hard signal is for the old code:
-#    dsir_importance_weights (r04 row; histogram rewrite) and
-#    volume_shipping (r03 row; nation-pair pushdown);
-# 3) the four r02-stale names deliberately left out of the r05 window:
-#    document_chunks_udtf, simhash_fingerprints, minhash_signatures,
-#    lsh_buckets;
-# 4) any query whose ONLY driver row is r03 and that r05's window did
-#    not re-verify (compare CORRECTNESS_r03.json names against the
-#    windows below — the r01/r03 relational spine is next-stalest);
-# 5) backfill with queries whose implementation round 6 touches.
+# 1) any round-6 debut with only local verification;
+# 2) any query whose implementation round 6 REWROTE after its last
+#    driver row (candidates: bloom_decontaminate if the auto-switch
+#    lands, heavy_hitters_cms if the executor-side probe lands after
+#    its r6 row);
+# 3) the 8 sleep-spine names deliberately deferred from the r06
+#    window (staging_cast, moving_average, transition_flag,
+#    gaps_islands, episode_detection, episode_ranking, episode_bounds,
+#    sleep_metrics) plus the 2 rows-only sketches left stale at r03
+#    (approx_distinct_parts, approx_quantiles_price);
+# 4) backfill with the next-stalest driver rows (after the r06 window
+#    lands, the stalest remaining pool is the r04 set — compare
+#    CORRECTNESS_r04.json names against the r05/r06 windows).
 # Update tests/test_registry_window.py's pin in the same commit.
 
 #: The driver-verification window: collect() hoists these 50 names to
 #: the front, in this order.  Every name must exist in some module.
+#:
+#: ROUND-6 WINDOW (executing the round-5 rotation plan): the four
+#: round-5 debuts that have never had a driver row (audio_features,
+#: heavy_hitters_exact, and the rows-only heavy_hitters_cms /
+#: mad_outliers_approx — the driver records the weaker rows-only
+#: check for those two); the two queries round 5 rewrote after their
+#: then-latest driver row (dsir_importance_weights — histogram
+#: rewrite after its r04 row; volume_shipping — nation-pair pushdown,
+#: re-verified green in the r05 window but re-windowed per the
+#: round-5 verdict); the four r02-stale input stages
+#: (document_chunks_udtf, simhash_fingerprints, minhash_signatures,
+#: lsh_buckets); then 40 of the 48 oracle-backed queries whose latest
+#: driver row is r03.  The 8 r03-stale names deferred to round 7 are
+#: the shallow sleep-pipeline spine — the in-window downstream
+#: composites sleep_summary / sleep_features consume every spine
+#: stage, so the spine re-verifies transitively, and each stage also
+#: holds dedicated pytest goldens.
 _WINDOW = [
-    # -- round-4 debuts, local-only until now (11) --------------------
-    "ewma_user_value",
-    "twap_user_value",
-    "ohlc_bars",
-    "rolling_median_value",
-    "last_touch_attribution",
-    "cohort_ltv",
-    "bm25_topk",
-    "quality_decile_select",
-    "source_overlap_matrix",
-    "key_skew_report",
-    "mad_outliers",
-    # -- only driver row is r02 (36 of 40; see module docstring) ------
-    "ann_recall_eval",
-    "bigram_counts",
-    "context_packing",
-    "copurchase_pairs",
-    "cosine_topk_bruteforce",
-    "dataset_split_stats",
-    "dedup_canonical_docs",
-    "deterministic_downsample",
-    "doc_fingerprints",
-    "document_chunks",
-    "embedding_neardups",
-    "event_transitions",
-    "exact_moments_suite",
-    "funnel_counts",
-    "gopher_quality_flags",
-    "language_id",
-    "large_volume_customers",
-    "length_histogram",
-    "market_share",
-    "min_cost_supplier",
-    "pagerank_copurchase",
-    "quality_scores",
-    "regex_token_stats",
-    "retention_cohorts",
-    "sales_opportunity",
-    "simhash_neardups",
-    "small_quantity_revenue",
-    "special_promo_revenue",
-    "stopword_profile",
-    "tfidf_top_terms",
-    "token_stats",
-    "top_supplier_revenue",
-    "user_rfm",
-    "vocab_top_tokens",
+    # -- round-5 debuts, never driver-rowed (4; last 2 rows-only) -----
+    "audio_features",
+    "heavy_hitters_exact",
+    "heavy_hitters_cms",
+    "mad_outliers_approx",
+    # -- rewritten in round 5 after their then-latest driver row (2) --
+    "dsir_importance_weights",
     "volume_shipping",
-    "weekly_active_users",
-    # -- serving trio: implementation moves to the clustered mart this
-    #    round, so re-verify on top of the green r04 rows (3) ---------
-    "subject_list",
-    "subject_lookup",
-    "subject_timeseries",
+    # -- r02-stale input stages (4) -----------------------------------
+    "document_chunks_udtf",
+    "simhash_fingerprints",
+    "minhash_signatures",
+    "lsh_buckets",
+    # -- latest driver row is r03 (40 of 48 oracle-backed) ------------
+    "above_average_orders",
+    "asof_last_order",
+    "correlated_above_cust_avg",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "distinct_counts",
+    "event_type_pivot",
+    "events_near_orders",
+    "full_outer_reconciliation",
+    "fuzzy_name_dedup",
+    "hourly_densified",
+    "hourly_event_agg",
+    "json_props_agg",
+    "linear_interpolation",
+    "lineitem_rollup",
+    "locf_gap_fill",
+    "modern_agg_suite",
+    "nation_set_ops",
+    "orders_cube",
+    "orders_per_customer",
+    "part_attributes_unpivot",
+    "pricing_summary",
+    "priority_set_ops_all",
+    "product_profit",
+    "quantity_band_agg",
+    "quantity_quantiles",
+    "range_frame_spend",
+    "regional_revenue",
+    "scalar_functions",
+    "session_window_agg",
+    "ship_latency_percentiles",
+    "shipping_grouping_sets",
+    "sleep_features",
+    "sleep_summary",
+    "sliding_window_agg",
+    "top_orders_per_customer",
+    "top_revenue_orders",
+    "value_outliers",
+    "weighted_discount_udaf",
+    "window_function_suite",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

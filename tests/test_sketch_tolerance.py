@@ -148,3 +148,91 @@ def test_heavy_hitters_cms_contract(spark, sf_dir):
         any(r["user_id"] == top_exact["user_id"] for r in got)
         or top_exact["n_events"] <= min_est + slack
     )
+
+
+def test_cms_reader_matches_jvm_estimates(spark, sf_dir):
+    """The pure-Python CountMinSketchReader must reproduce the JVM
+    implementation's estimateCount bit-for-bit for the same serialized
+    sketch — the byte-layout parse and the long-item hash (wrapping
+    64-bit multiply, arithmetic shift, 31-bit mask) are the risky
+    parts.  Probes include negatives and >32-bit magnitudes.  The test
+    itself may use the JVM gateway (classic-PySpark test host); the
+    REGISTERED query must not — see test_no_jvm_gateway_in_package."""
+    from sleep_edf_data_pipeline_spark.functions.cms import (
+        CountMinSketchReader,
+    )
+    from sleep_edf_data_pipeline_spark.queries.heavy_hitters import (
+        CMS_CONFIDENCE,
+        CMS_EPS,
+        CMS_SEED,
+    )
+
+    ev = table(spark, sf_dir, "events").select("user_id")
+    raw = bytes(
+        ev.agg(
+            F.count_min_sketch(
+                "user_id", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)
+            ).alias("sk")
+        ).collect()[0]["sk"]
+    )
+    reader = CountMinSketchReader(raw)
+    jsketch = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        raw
+    )
+    assert reader.total_count == jsketch.totalCount()
+    assert reader.depth == jsketch.depth()
+    assert reader.width == jsketch.width()
+    probes = (
+        [r["user_id"] for r in ev.distinct().limit(200).collect()]
+        + [0, -1, -(10**15), 10**12, 2**62, -(2**62)]
+    )
+    for item in probes:
+        assert reader.estimate_long(int(item)) == jsketch.estimateCount(
+            int(item)
+        ), item
+
+
+def test_space_saving_state_is_bounded_and_keeps_heavy_key():
+    """Feed more distinct keys than SPACE_SAVING_COUNTERS through the
+    candidate pass: the summary must stay bounded (the whole point —
+    ADVICE r5 flagged the old unbounded dict) and a key with share far
+    above 1/m must survive to the emitted top-64."""
+    import pandas as pd
+
+    from sleep_edf_data_pipeline_spark.queries import heavy_hitters as hh
+
+    heavy = 7
+    batches = []
+    key = 10_000
+    for _ in range(4):
+        ids = []
+        for _ in range(hh.SPACE_SAVING_COUNTERS // 2):
+            ids.extend([key, key + 1, key + 2])  # unique singletons
+            key += 3
+        ids.extend([heavy] * 400)  # heavy key every batch
+        batches.append(pd.DataFrame({"user_id": pd.Series(ids, dtype="int64")}))
+    assert key - 10_000 > hh.SPACE_SAVING_COUNTERS  # more keys than counters
+    [out] = list(hh._space_saving_topk(iter(batches)))
+    assert len(out) <= hh.CANDIDATES_PER_PARTITION
+    assert heavy in set(out["user_id"].astype(int))
+
+
+def test_no_jvm_gateway_in_package():
+    """No registered query or operator may touch the private
+    ``spark._jvm`` gateway (breaks under Spark Connect; not public
+    API).  The pure-Python CMS reader exists precisely so the sketch
+    probe does not need it.  Tests may still use the gateway to
+    cross-check."""
+    import ast
+    import pathlib
+
+    import sleep_edf_data_pipeline_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = []
+    for p in root.rglob("*.py"):
+        tree = ast.parse(p.read_text(encoding="utf-8"))
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Attribute) and node.attr == "_jvm":
+                offenders.append(f"{p}:{node.lineno}")
+    assert offenders == []
