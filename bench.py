@@ -119,7 +119,14 @@ def main() -> None:
     argv = list(sys.argv[1:])
     if "--only" in argv:
         i = argv.index("--only")
+        if i + 1 >= len(argv):
+            sys.exit("bench.py: --only requires a comma-separated value")
         keep = set(argv[i + 1].split(","))
+        unknown = keep - set(headline)
+        if unknown:
+            sys.exit(
+                f"bench.py: --only names not in HEADLINE: {sorted(unknown)}"
+            )
         headline = [n for n in headline if n in keep]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     base = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")

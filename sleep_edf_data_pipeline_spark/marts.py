@@ -45,9 +45,37 @@ from .writers.layout import write_clustered
 #: point it at durable storage for a real deployment.
 MART_ROOT = os.environ.get("SPARK_GRAFT_MART_DIR", "/tmp/spark_graft_marts")
 
+_CODE_VERSION: str | None = None
+
+
+def _code_version() -> str:
+    """Fingerprint of the package's source files.
+
+    MART_ROOT outlives the Python process (and git commits), so a
+    data-only cache key would keep serving marts built by OLD build
+    logic after a code change that leaves the source parquet
+    untouched.  Salting the key with a hash of every .py file in the
+    package makes code changes invalidate marts exactly like data
+    changes do — the worst case is a spurious rebuild, never a stale
+    serve.  Computed once per process.
+    """
+    global _CODE_VERSION
+    if _CODE_VERSION is None:
+        pkg_root = os.path.dirname(os.path.abspath(__file__))
+        md5 = hashlib.md5()
+        for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
+            dirnames.sort()
+            for fn in sorted(f for f in filenames if f.endswith(".py")):
+                full = os.path.join(dirpath, fn)
+                md5.update(os.path.relpath(full, pkg_root).encode())
+                with open(full, "rb") as fh:
+                    md5.update(fh.read())
+        _CODE_VERSION = md5.hexdigest()[:12]
+    return _CODE_VERSION
+
 
 def _mart_path(sf_dir: str, source_table: str, name: str) -> str:
-    key = repr(table_fingerprint(sf_dir, source_table))
+    key = repr((table_fingerprint(sf_dir, source_table), _code_version()))
     h = hashlib.md5(key.encode()).hexdigest()[:16]
     return os.path.join(MART_ROOT, h, name)
 

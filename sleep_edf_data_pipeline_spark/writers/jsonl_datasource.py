@@ -52,6 +52,40 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+#: Manifest wire-format version.  v1 (no marker) serialized binary
+#: columns as Python ``repr`` text; v2 uses base64.  Non-binary
+#: columns are byte-identical across the two, so v1 shards only
+#: become unreadable when the schema actually contains BINARY —
+#: enforced at read/append time instead of silently b64-decoding
+#: repr garbage.
+FORMAT_VERSION = 2
+
+
+def _schema_has_binary(dt) -> bool:
+    name = dt.typeName()
+    if name == "binary":
+        return True
+    if name == "array":
+        return _schema_has_binary(dt.elementType)
+    if name == "map":
+        return _schema_has_binary(dt.keyType) or _schema_has_binary(
+            dt.valueType
+        )
+    if name == "struct":
+        return any(_schema_has_binary(f.dataType) for f in dt.fields)
+    return False
+
+
+def _check_binary_readable(manifest: dict, schema, path: str) -> None:
+    """Refuse to b64-decode shards written by the pre-base64 writer."""
+    if manifest.get("format_version", 1) < 2 and _schema_has_binary(schema):
+        raise ValueError(
+            f"jsonlshards: {path} was written by a pre-v2 writer (no "
+            "format_version in its manifest) and the schema contains a "
+            "BINARY column, which v1 serialized as Python repr text — "
+            "rewrite the shards with the current writer to read them"
+        )
+
 
 @dataclass
 class ShardsCommit(WriterCommitMessage):
@@ -136,6 +170,12 @@ def _publish(
                 prior_manifest = json.load(f)
             prior = prior_manifest["shards"]
             prior_schema = prior_manifest.get("schema")
+            if schema_json is not None:
+                _check_binary_readable(
+                    prior_manifest,
+                    StructType.fromJson(json.loads(schema_json)),
+                    out_dir,
+                )
             if (
                 schema_json is not None
                 and prior_schema is not None
@@ -162,6 +202,7 @@ def _publish(
     # The manifest lands LAST: its presence is the commit marker.  The
     # schema rides in it so reads are self-describing.
     payload = {
+        "format_version": FORMAT_VERSION,
         "shards": manifest,
         "total_rows": sum(m["rows"] for m in manifest),
     }
@@ -337,19 +378,22 @@ class JsonlShardsReader(DataSourceReader):
             raise ValueError("jsonlshards requires a path: .load('/dir')")
         if os.path.exists(os.path.join(self.path, "_MANIFEST.json")):
             manifest = _load_manifest(self.path)
+            _check_binary_readable(manifest, schema, self.path)
             self.shards = [s["shard"] for s in manifest["shards"]]
         else:
             # streaming layout: batch-read = union of committed batches
             ids = _committed_batches(self.path)
             if not ids:
                 _load_manifest(self.path)  # raises the standard error
-            self.shards = [
-                os.path.join(f"batch={b}", s["shard"])
-                for b in ids
-                for s in _load_manifest(
-                    os.path.join(self.path, f"batch={b}")
-                )["shards"]
-            ]
+            self.shards = []
+            for b in ids:
+                bdir = os.path.join(self.path, f"batch={b}")
+                m = _load_manifest(bdir)
+                _check_binary_readable(m, schema, bdir)
+                self.shards.extend(
+                    os.path.join(f"batch={b}", s["shard"])
+                    for s in m["shards"]
+                )
         self.schema = schema
 
     def partitions(self) -> list[ShardPartition]:
@@ -420,6 +464,7 @@ class JsonlShardsStreamReader(DataSourceStreamReader):
             if start["next"] <= b < end["next"]:
                 bdir = os.path.join(self.path, f"batch={b}")
                 manifest = _load_manifest(bdir)
+                _check_binary_readable(manifest, self.schema, bdir)
                 parts.extend(
                     ShardPartition(os.path.join(bdir, s["shard"]))
                     for s in manifest["shards"]

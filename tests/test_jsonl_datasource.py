@@ -543,3 +543,41 @@ def test_decimal_and_binary_round_trip(spark, tmp_path):
     assert got[1] == (decimal.Decimal("12345678901234.56"), b"\x00\xffpng")
     assert got[2] == (decimal.Decimal("-0.01"), b"")
     assert got[3] == (None, None)
+
+
+def test_pre_v2_binary_shards_are_refused_with_clear_error(spark, tmp_path):
+    """ADVICE r5: v1 shards (no format_version in the manifest) wrote
+    binary columns as Python repr text; b64-decoding them would raise
+    binascii garbage or silently corrupt.  A manifest without the
+    marker + a BINARY schema must fail loudly; without binary columns
+    the v1 data is byte-identical to v2 and must keep reading."""
+    import json as _json
+
+    out = tmp_path / "v1shards"
+    spark.createDataFrame(
+        [(1, b"\x00\x01"), (2, b"\x02")], "id bigint, payload binary"
+    ).write.format("jsonlshards").mode("overwrite").save(str(out))
+    mpath = out / "_MANIFEST.json"
+    manifest = _json.loads(mpath.read_text())
+    assert manifest["format_version"] == 2
+    # forge a pre-v2 manifest (drop the marker)
+    del manifest["format_version"]
+    mpath.write_text(_json.dumps(manifest))
+    with pytest.raises(Exception, match="pre-v2"):
+        spark.read.format("jsonlshards").load(str(out)).collect()
+    # appending binary data into a pre-v2 directory is refused too
+    with pytest.raises(Exception, match="pre-v2"):
+        spark.createDataFrame(
+            [(3, b"\x03")], "id bigint, payload binary"
+        ).write.format("jsonlshards").mode("append").save(str(out))
+    # non-binary schema: v1 and v2 are byte-identical — still readable
+    out2 = tmp_path / "v1plain"
+    spark.createDataFrame([(1, "a")], "id bigint, s string").write.format(
+        "jsonlshards"
+    ).mode("overwrite").save(str(out2))
+    m2path = out2 / "_MANIFEST.json"
+    m2 = _json.loads(m2path.read_text())
+    del m2["format_version"]
+    m2path.write_text(_json.dumps(m2))
+    got = spark.read.format("jsonlshards").load(str(out2)).collect()
+    assert [(r["id"], r["s"]) for r in got] == [(1, "a")]

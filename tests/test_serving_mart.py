@@ -96,3 +96,19 @@ def test_lost_rename_race_discards_loser(spark, sf_dir, monkeypatch):
     leftovers = [n for n in os.listdir(parent) if ".tmp-" in n]
     assert leftovers == []
     shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_code_version_salts_mart_path(tmp_path, monkeypatch):
+    """ADVICE r5: a build-logic change with unchanged source parquet
+    must route to a NEW mart path (the old key was data-only, so a
+    persistent MART_ROOT kept serving marts built by old code)."""
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "events.parquet").write_bytes(b"stable-bytes")
+    p1 = marts._mart_path(str(src), "events", "sleep_summary")
+    monkeypatch.setattr(marts, "_CODE_VERSION", "deadbeef0000")
+    p2 = marts._mart_path(str(src), "events", "sleep_summary")
+    assert p1 != p2
+    # and the salt is deterministic per process: recompute -> same path
+    monkeypatch.setattr(marts, "_CODE_VERSION", None)
+    assert marts._mart_path(str(src), "events", "sleep_summary") == p1
