@@ -69,6 +69,9 @@ HEADLINE = [
     # corpus-scoring passes (hashed-feature LLR + unigram surprisal).
     "pq_topk_refined",
     "bloom_decontaminate",
+    # r06: the size-based exact/bloom switch — the registered default
+    # decontamination path (VERDICT r5 item 3)
+    "decontaminate_auto",
     "dsir_importance_weights",
     "unigram_logprob_scores",
     # the composed ANN stack, the graph peel, the mapInPandas resize,

@@ -7,6 +7,11 @@ Adds the data-*selection* layer on top of the existing filters:
   ``decontaminate_overlap`` (the oracle *is* the exact join — bloom
   false negatives are impossible), but the corpus-side scan probes a
   fixed-size literal bitset instead of broadcasting the gram strings.
+- ``decontaminate_auto`` — the registered DEFAULT decontamination
+  path: measures the eval-gram set (one bounded approx-distinct
+  pre-pass) and picks the exact broadcast join below the broadcast
+  budget, the bloom prefilter above it.  Same oracle as both
+  variants; the switch is a physical-plan choice only.
 - ``dsir_importance_weights`` — Data Selection via Importance
   Resampling (Xie et al., NeurIPS 2023): per-document log-likelihood
   ratio between a target distribution (here ``lang = 'en'``) and the
@@ -120,6 +125,60 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Lossless by construction: the oracle is the exact join.
 ORACLE_BLOOM_DECONTAMINATE = ORACLE_DECONTAMINATE_OVERLAP
+
+
+#: Auto-switch cut-over: above this many (approx) distinct eval grams
+#: the gram strings stop being an acceptable broadcast for the exact
+#: confirm join (~100 B/gram in the JVM hash relation: ~40 B of gram
+#: text + UnsafeRow + hash-map overhead → ~100 MB at the threshold)
+#: and the fixed-size bloom bitset becomes the right prefilter.  Below
+#: it the exact broadcast join wins on every scale measured locally
+#: (SCALING.md: bloom loses to exact at sf0.1, 10×, AND 100× — the
+#: bitset only pays once the *strings* are too big to ship).
+AUTO_BLOOM_MAX_BROADCAST_GRAMS = 1_000_000
+
+
+def q_decontaminate_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a measured size-based plan switch.
+
+    VERDICT r5: ``bloom_decontaminate`` is slower than the exact
+    broadcast join at every locally measurable scale — its win regime
+    is an eval-gram set too large to broadcast as strings, which one
+    box cannot reach.  This entry makes the weak variant unreachable
+    by default: ONE cheap bounded pre-pass (approx_count_distinct over
+    the eval split — the small side by construction) picks the plan:
+
+    - eval grams ≤ AUTO_BLOOM_MAX_BROADCAST_GRAMS → exact broadcast
+      confirm join (``decontaminate_overlap``), the measured local
+      winner;
+    - above → bloom-prefiltered confirm join
+      (``bloom_decontaminate``), whose probe side is a fixed 8 KB
+      bitset no matter how many grams the eval split holds.
+
+    Both branches share the same oracle (bloom false negatives are
+    impossible; false positives die in the confirm join), so the
+    switch can never change results — only the plan.
+    tests/test_round6_plans.py pins branch selection on both sides of
+    the threshold.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    n_eval_grams = (
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    word_shingles(tokens(F.col("text")), DECONTAM_N)
+                )
+            ).alias("gram")
+        )
+        .agg(F.approx_count_distinct("gram").alias("n"))
+        .collect()[0]["n"]
+    )
+    if n_eval_grams <= AUTO_BLOOM_MAX_BROADCAST_GRAMS:
+        from .training_data import q_decontaminate_overlap
+
+        return q_decontaminate_overlap(spark, sf_dir)
+    return q_bloom_decontaminate(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -480,6 +539,7 @@ FROM documents
 
 QUERIES = {
     "bloom_decontaminate": q_bloom_decontaminate,
+    "decontaminate_auto": q_decontaminate_auto,
     "dsir_importance_weights": q_dsir_importance_weights,
     "unigram_logprob_scores": q_unigram_logprob_scores,
     "importance_resample": q_importance_resample,
@@ -489,6 +549,7 @@ QUERIES = {
 
 ORACLES = {
     "bloom_decontaminate": ORACLE_BLOOM_DECONTAMINATE,
+    "decontaminate_auto": ORACLE_BLOOM_DECONTAMINATE,
     "dsir_importance_weights": ORACLE_DSIR_IMPORTANCE_WEIGHTS,
     "unigram_logprob_scores": ORACLE_UNIGRAM_LOGPROB_SCORES,
     "importance_resample": ORACLE_IMPORTANCE_RESAMPLE,
