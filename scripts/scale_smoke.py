@@ -98,6 +98,15 @@ SMOKE = [
     "mad_outliers_approx",
     # r05 debut (decade row lands with the round-6 smoke run)
     "heavy_hitters_exact",
+    # r06: the CMS twin (sketch + bounded candidates — the whole point
+    # is that its wall should be ~one corpus pass at any scale), the
+    # WAV codec pipeline, the image codec pipeline (two-round bench
+    # creep, VERDICT r5 item 4 wants its cost curve), and the
+    # exact/bloom auto-switch default.
+    "heavy_hitters_cms",
+    "audio_features",
+    "multimodal_features",
+    "decontaminate_auto",
 ]
 
 
@@ -327,8 +336,29 @@ def main() -> None:
         print(f"# generated {SCALED} in {time.perf_counter() - t0:.0f}s", file=sys.stderr)
 
     queries, _ = registry.collect()
-    results = {}
-    for name in SMOKE:
+    # --only a,b,c: measure just those SMOKE queries and MERGE into the
+    # existing artifact (same contract as bench_duckdb --only) — new
+    # debuts get their decade row without re-measuring the full list.
+    smoke = list(SMOKE)
+    prior_results = {}
+    if "--only" in sys.argv:
+        i = sys.argv.index("--only")
+        if i + 1 >= len(sys.argv):
+            sys.exit("scale_smoke.py: --only requires a comma-separated value")
+        keep = set(sys.argv[i + 1].split(","))
+        unknown = keep - set(smoke)
+        if unknown:
+            sys.exit(f"scale_smoke.py: --only names not in SMOKE: {sorted(unknown)}")
+        smoke = [n for n in smoke if n in keep]
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                prior_results = {
+                    k: v
+                    for k, v in json.load(f).get("queries", {}).items()
+                    if k in SMOKE  # drop renamed/retired keys
+                }
+    results = dict(prior_results)
+    for name in smoke:
         fn = queries[name]
         # warm once at base scale, then best-of-2 at each scale
         fn(spark, BASE).count()

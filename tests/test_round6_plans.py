@@ -64,3 +64,24 @@ def test_auto_output_equals_exact_twin(spark, sf_dir):
         for r in td.q_decontaminate_overlap(spark, sf_dir).collect()
     }
     assert auto == exact
+
+
+def test_multimodal_features_stays_arrow_batched(spark, sf_dir):
+    """VERDICT r5 item 4: multimodal_features crept +0.11 s over two
+    rounds.  Pin the plan so creep can never be a silently changed
+    codec path: exactly ONE Arrow-batched MapInPandas stage, zero
+    row-at-a-time Python evals, and no shuffle beyond the single
+    deliberate spread() repartition of the scan."""
+    from sleep_edf_data_pipeline_spark.queries.multimodal_queries import (
+        q_multimodal_features,
+    )
+
+    plan = (
+        q_multimodal_features(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
