@@ -77,3 +77,44 @@ class CountMinSketchReader:
         return min(
             self.table[i][self._bucket(item, i)] for i in range(self.depth)
         )
+
+    def to_bytes(self) -> bytes:
+        """Re-serialize in the same wire format (inverse of __init__)."""
+        parts = [struct.pack(">iqii", 1, self.total_count, self.depth, self.width)]
+        parts.append(struct.pack(f">{self.depth}q", *self.hash_a))
+        for row in self.table:
+            parts.append(struct.pack(f">{self.width}q", *row))
+        return b"".join(parts)
+
+
+def merge_sketch_bytes(*parts: bytes) -> bytes:
+    """Merge serialized sketches (same geometry + seed) element-wise.
+
+    CountMinSketch merge is exact: counters and totalCount add, so a
+    fold over per-micro-batch sketches is bit-identical to one sketch
+    over the concatenated stream (integer addition is order-free).
+    Mirrors CountMinSketchImpl.mergeInPlace, including its geometry
+    check.
+    """
+    if not parts:
+        raise ValueError("merge_sketch_bytes: nothing to merge")
+    readers = [CountMinSketchReader(p) for p in parts]
+    first = readers[0]
+    merged = CountMinSketchReader(parts[0])
+    merged.table = [list(row) for row in merged.table]
+    for r in readers[1:]:
+        if (r.depth, r.width, r.hash_a) != (
+            first.depth,
+            first.width,
+            first.hash_a,
+        ):
+            raise ValueError(
+                "merge_sketch_bytes: incompatible sketch geometry/seed"
+            )
+        merged.total_count += r.total_count
+        for i in range(first.depth):
+            row = merged.table[i]
+            other = r.table[i]
+            for j in range(first.width):
+                row[j] += other[j]
+    return merged.to_bytes()

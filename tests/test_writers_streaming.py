@@ -804,3 +804,79 @@ def test_streaming_ohlc_matches_batch(spark, tmp_path, sf_dir):
         for r in q_ohlc_bars(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_cms_merge_is_exact_over_split_data(spark):
+    """Folding per-split sketches must be bit-identical to one sketch
+    over the full data (CMS merge is integer addition) — the property
+    the streaming accumulator rests on."""
+    from sleep_edf_data_pipeline_spark.functions.cms import (
+        merge_sketch_bytes,
+    )
+    from sleep_edf_data_pipeline_spark.queries.heavy_hitters import (
+        CMS_CONFIDENCE,
+        CMS_EPS,
+        CMS_SEED,
+    )
+
+    def sketch_of(df):
+        return bytes(
+            df.agg(
+                F.count_min_sketch(
+                    "k", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)
+                ).alias("s")
+            ).collect()[0]["s"]
+        )
+
+    full = spark.range(0, 20000).select((F.col("id") % 313).alias("k"))
+    parts = [
+        full.filter(F.col("id") % 3 == i) for i in range(3)
+    ]
+    merged = merge_sketch_bytes(*[sketch_of(p) for p in parts])
+    assert merged == sketch_of(full)
+
+
+def test_streaming_heavy_hitters_matches_batch_exact(spark, tmp_path):
+    """Batch/stream equivalence: replay the events table in multiple
+    micro-batches through the foreachBatch CMS accumulator; the final
+    top-k must equal the oracle-checked batch exact twin on both keys
+    AND counts (at sf0.001 the key space is far below the sketch's
+    collision floor, so estimates are exact)."""
+    from sleep_edf_data_pipeline_spark.queries.heavy_hitters import (
+        TOPK,
+        q_heavy_hitters_exact,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.heavy_hitters import (
+        StreamingHeavyHitters,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table as load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    exact = [
+        (r["user_id"], r["n_events"])
+        for r in q_heavy_hitters_exact(spark, sf_dir).collect()
+    ]
+
+    src = str(tmp_path / "events_hh_src")
+    # several files so maxFilesPerTrigger yields several micro-batches
+    load_table(spark, sf_dir, "events").select("user_id").repartition(
+        5
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    acc = StreamingHeavyHitters(key_col="user_id")
+    q = (
+        stream.writeStream.foreachBatch(acc.process_batch)
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.lastProgress is not None
+    got = acc.topk(TOPK)
+    assert got == exact
+    # bounded state: candidate pool respects its cap
+    assert len(acc.candidates) <= acc.max_candidates
