@@ -55,6 +55,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: streamed matmul + per-partition partial top-k.
 
@@ -70,13 +71,20 @@ def brute_force_topk(
     Ranking uses the 6-digit-rounded similarity with an id tie-break so
     top-k membership is deterministic across engines and runs.
     Returns (query_id, neighbor_id, cosine_sim, rank).
+
+    ``exclude_label_col``: when set, corpus rows sharing the query's
+    value in that column are masked out along with the self-match —
+    the hard-negative-mining shape (top-k most-similar rows of a
+    DIFFERENT class).
     """
     import numpy as np
 
-    qrows = queries.select(id_col, vec_col).collect()  # query batch: small by contract
+    qcols = [id_col, vec_col] + ([exclude_label_col] if exclude_label_col else [])
+    qrows = queries.select(*qcols).collect()  # query batch: small by contract
     qids = [int(r[0]) for r in qrows]
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qlabels = [r[2] for r in qrows] if exclude_label_col else None
 
     def score(batches):
         import pandas as pd
@@ -85,6 +93,9 @@ def brute_force_topk(
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy()
+            labels = (
+                pdf[exclude_label_col].to_numpy() if exclude_label_col else None
+            )
             x = np.array(list(pdf[vec_col]), dtype=np.float64)
             xn = np.sqrt((x * x).sum(axis=1))
             den = np.outer(xn, qnorm)
@@ -94,6 +105,8 @@ def brute_force_topk(
             for j, qid in enumerate(qids):
                 raw = sims[:, j].copy()
                 raw[ids == qid] = -np.inf  # exclude self-match
+                if labels is not None:
+                    raw[labels == qlabels[j]] = -np.inf  # same-class mask
                 # Local ordering must equal the global (rounded DESC,
                 # id ASC) ordering or boundary ties could select a
                 # different top-k than the final rank; raw sims are
@@ -108,7 +121,8 @@ def brute_force_topk(
                 {"query_id": out_q, "neighbor_id": out_n, "cosine_sim": out_s}
             )
 
-    candidates = corpus.select(id_col, vec_col).mapInPandas(
+    ccols = [id_col, vec_col] + ([exclude_label_col] if exclude_label_col else [])
+    candidates = corpus.select(*ccols).mapInPandas(
         score, schema="query_id bigint, neighbor_id bigint, cosine_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1,0 +1,277 @@
+"""Round-6 LLM-data operators: tokenizer induction, bigram LM, hard negatives.
+
+Three additions to the training-data surface, each oracle-checked:
+
+- ``bpe_merge_pairs`` — the statistics pass of byte-pair-encoding
+  tokenizer training (Sennrich et al. 2016): adjacent character-pair
+  frequencies over the corpus, weighted by word frequency.  The smart
+  plan aggregates the WORD VOCABULARY first (map-side-combinable
+  groupBy over tokens — the 100 TB corpus collapses to its distinct
+  words) and only then explodes each distinct word's character pairs
+  weighted by its count, so the pair explode runs over the vocabulary,
+  not the corpus.  Top-64 merge candidates, count-desc / pair-asc.
+- ``bigram_lm_surprisal`` — per-doc mean conditional surprisal under
+  an add-one-smoothed corpus bigram LM:
+  ``ln((c(ctx) + V) / (c(ctx,w) + 1))`` per observed bigram.  One gram
+  pass builds the bigram count table; the context table aggregates
+  FROM it (no second corpus pass); surprisal is quantized to integer
+  micro-nats so per-doc sums are order-free BIGINTs (the engine's
+  standard cross-engine float discipline, see unigram_logprob_scores).
+- ``hard_negatives`` — contrastive-training data mining: for each
+  query vector, the top-5 most-similar corpus vectors with a
+  DIFFERENT label (the self-match mask generalized to a class mask).
+  Runs on the streamed-BLAS brute-force path
+  (operators/similarity.py:brute_force_topk with
+  ``exclude_label_col``): per-partition local top-k, shuffle carries
+  O(partitions·k·|Q|) candidates, never the scored pair matrix.
+
+Reference parity: none of these exist in the reference (its warehouse
+stops at SQL aggregates); they extend SURVEY §2.7's training-data
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import tokens, word_shingles
+from ..operators.similarity import brute_force_topk
+from ..tables import spread, table
+
+#: Top merge candidates reported by the BPE statistics pass.
+BPE_TOP = 64
+#: Hard-negative mining: query batch and per-query depth.
+HN_QUERIES = 10
+HN_TOP_K = 5
+
+
+# --------------------------------------------------------------------------
+# bpe_merge_pairs
+# --------------------------------------------------------------------------
+
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent char-pair counts over the vocab, weighted by word freq."""
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")
+        ).alias("pair"),
+    )
+    ranked = (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+            ),
+        )
+        .filter(F.col("rank") <= BPE_TOP)
+    )
+    return ranked.select("pair", "pair_count", "rank")
+
+
+ORACLE_BPE_MERGE_PAIRS = f"""
+WITH vocab AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS freq
+    FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM documents
+    )
+    WHERE length(tok) >= 2
+    GROUP BY tok
+),
+pairs AS (
+    SELECT unnest([substr(tok, i, 2) for i in range(1, length(tok))]) AS pair,
+           freq
+    FROM vocab
+),
+ranked AS (
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count,
+           CAST(row_number() OVER (ORDER BY sum(freq) DESC, pair ASC) AS INT)
+               AS rank
+    FROM pairs GROUP BY pair
+)
+SELECT pair, pair_count, rank FROM ranked WHERE rank <= {BPE_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# bigram_lm_surprisal
+# --------------------------------------------------------------------------
+
+
+def q_bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean add-one-smoothed bigram surprisal (micro-nat exact).
+
+    Docs with < 2 tokens contribute no bigrams and are absent from the
+    output (no shingle fallback — a conditional LM needs a context).
+    The bigram count table is ONE map-side-combinable corpus pass; the
+    context-count table aggregates from it; V is the distinct unigram
+    vocabulary of the same docs.  Surprisal rides a broadcast join
+    back onto the per-doc gram stream (the bigram vocab is bounded and
+    small next to the corpus; at a scale where it is not, the same
+    dsir-style per-doc histogram trick applies).
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    grams = toks.select(
+        "doc_id", F.explode(word_shingles(F.col("w"), 2)).alias("gram")
+    )
+    gram_counts = grams.groupBy("gram").agg(F.count("*").alias("c_gram"))
+    ctx_counts = (
+        gram_counts.withColumn(
+            "ctx", F.split(F.col("gram"), " ").getItem(0)
+        )
+        .groupBy("ctx")
+        .agg(F.sum("c_gram").alias("c_ctx"))
+    )
+    v = (
+        toks.select(F.explode("w").alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    sur = (
+        gram_counts.withColumn("ctx", F.split(F.col("gram"), " ").getItem(0))
+        .join(F.broadcast(ctx_counts), "ctx")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "gram",
+            F.round(
+                F.log(
+                    (F.col("c_ctx") + F.col("v")).cast("double")
+                    / (F.col("c_gram") + F.lit(1)).cast("double")
+                )
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("sur_micro"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(sur), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("sur_micro").alias("_s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("_s").cast("double")
+                / (F.lit(1e6) * F.col("n_bigrams").cast("double"))
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
+ORACLE_BIGRAM_LM_SURPRISAL = """
+WITH w AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+    FROM documents
+    WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= 2
+),
+grams AS (
+    SELECT doc_id,
+           unnest([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS gram
+    FROM w
+),
+gram_counts AS (
+    SELECT gram, CAST(count(*) AS BIGINT) AS c_gram FROM grams GROUP BY gram
+),
+ctx_counts AS (
+    SELECT split_part(gram, ' ', 1) AS ctx,
+           CAST(sum(c_gram) AS BIGINT) AS c_ctx
+    FROM gram_counts GROUP BY ctx
+),
+vocab AS (
+    SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+    FROM (SELECT unnest(w) AS tok FROM w)
+),
+sur AS (
+    SELECT g.gram,
+           CAST(round(ln(CAST(cc.c_ctx + vv.v AS DOUBLE)
+                         / CAST(g.c_gram + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+               AS sur_micro
+    FROM gram_counts g
+    JOIN ctx_counts cc ON cc.ctx = split_part(g.gram, ' ', 1)
+    CROSS JOIN vocab vv
+)
+SELECT k.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(s.sur_micro) AS DOUBLE)
+           / (1e6 * CAST(count(*) AS DOUBLE)) AS mean_surprisal
+FROM grams k JOIN sur s USING (gram)
+GROUP BY k.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# hard_negatives
+# --------------------------------------------------------------------------
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most-similar different-label vectors per query vector."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < HN_QUERIES)
+    return brute_force_topk(
+        emb, queries, k=HN_TOP_K, exclude_label_col="label"
+    )
+
+
+_DOT = (
+    "list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+    " for i in range(1, len(a.embedding) + 1)])"
+)
+_NORM_A = (
+    "sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)"
+    " for i in range(1, len(a.embedding) + 1)]))"
+)
+_NORM_B = (
+    "sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+    " for i in range(1, len(b.embedding) + 1)]))"
+)
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH scored AS (
+    SELECT
+        a.vec_id AS query_id,
+        b.vec_id AS neighbor_id,
+        round({_DOT} / nullif({_NORM_A} * {_NORM_B}, 0), 6) AS cosine_sim
+    FROM embeddings AS a
+    JOIN embeddings AS b
+      ON a.label != b.label AND a.vec_id != b.vec_id
+    WHERE a.vec_id < {HN_QUERIES}
+),
+ranked AS (
+    SELECT *,
+        CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {HN_TOP_K}
+"""
+
+
+QUERIES = {
+    "bpe_merge_pairs": q_bpe_merge_pairs,
+    "bigram_lm_surprisal": q_bigram_lm_surprisal,
+    "hard_negatives": q_hard_negatives,
+}
+
+ORACLES = {
+    "bpe_merge_pairs": ORACLE_BPE_MERGE_PAIRS,
+    "bigram_lm_surprisal": ORACLE_BIGRAM_LM_SURPRISAL,
+    "hard_negatives": ORACLE_HARD_NEGATIVES,
+}

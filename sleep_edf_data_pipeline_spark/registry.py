@@ -50,6 +50,9 @@ _MODULES = [
     # r05 debuts — appended at the END so the pinned round-5 window is
     # untouched; rotate into the window in round 6 (see plan above).
     "sleep_edf_data_pipeline_spark.queries.heavy_hitters",
+    # r06 debuts — appended at the END so the pinned round-6 window is
+    # untouched; rotate into the window in round 7 (see plan above).
+    "sleep_edf_data_pipeline_spark.queries.lm_data_extras",
 ]
 
 # ROUND-7 WINDOW PLAN (execute at the START of round 7, never
