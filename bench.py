@@ -110,6 +110,11 @@ HEADLINE = [
     # r05 debut: exact hot-key top-20 (the CMS sketch twin is rows-only
     # and stays out of the timed headline, like the other sketches)
     "heavy_hitters_exact",
+    # r06 debuts: tokenizer-induction stats, bigram LM scoring, and
+    # contrastive hard-negative mining
+    "bpe_merge_pairs",
+    "bigram_lm_surprisal",
+    "hard_negatives",
 ]
 
 

@@ -107,6 +107,10 @@ SMOKE = [
     "audio_features",
     "multimodal_features",
     "decontaminate_auto",
+    # r06 debuts: each arrives with its decade row
+    "bpe_merge_pairs",
+    "bigram_lm_surprisal",
+    "hard_negatives",
 ]
 
 
