@@ -115,6 +115,8 @@ HEADLINE = [
     "bpe_merge_pairs",
     "bigram_lm_surprisal",
     "hard_negatives",
+    "cdc_chunks",
+    "token_entropy_by_source",
 ]
 
 

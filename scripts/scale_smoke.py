@@ -111,6 +111,8 @@ SMOKE = [
     "bpe_merge_pairs",
     "bigram_lm_surprisal",
     "hard_negatives",
+    "cdc_chunks",
+    "token_entropy_by_source",
 ]
 
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash64, hash64_sql
 from ..operators.dedup import tokens, word_shingles
 from ..operators.similarity import brute_force_topk
 from ..tables import spread, table
@@ -264,14 +265,196 @@ FROM ranked WHERE rank <= {HN_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# cdc_chunks
+# --------------------------------------------------------------------------
+
+#: CDC window size (tokens) and boundary divisor: a window's seeded
+#: hash ≡ 0 (mod divisor) marks a chunk boundary, so chunks average
+#: CDC_DIVISOR tokens with content-determined edges.
+CDC_K = 4
+CDC_DIVISOR = 16
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin-style rolling-window boundaries).
+
+    Fixed-size chunking (``document_chunks``) shifts every boundary
+    when one token is inserted, defeating chunk-level dedup; CDC cuts
+    where ``hash(window) % divisor == 0``, so an edit only moves the
+    boundaries inside its own neighborhood — the standard trick from
+    dedup storage systems, applied to corpus prep.  All logic is
+    integer/hash (seeded md5-60bit % divisor), so the oracle replays
+    it bit-for-bit.  One token pass: posexplode the k-token windows,
+    keep boundary ends (interior only), union the per-doc sentinel
+    boundary at n, then spans via lag — the islands pattern.
+
+    Output: (doc_id, chunk_idx, start_tok, end_tok, n_tokens),
+    positions 1-based inclusive.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    ).withColumn("n", F.size("w"))
+    wins = toks.filter(F.col("n") >= CDC_K).select(
+        "doc_id",
+        "n",
+        F.posexplode(word_shingles(F.col("w"), CDC_K)).alias("pos0", "gram"),
+    )
+    interior = (
+        wins.withColumn("bpos", F.col("pos0") + CDC_K)
+        .filter(F.col("bpos") < F.col("n"))
+        .filter(hash64(F.col("gram"), seed="cdc") % CDC_DIVISOR == 0)
+        .select("doc_id", "bpos")
+    )
+    sentinel = toks.select("doc_id", F.col("n").alias("bpos"))
+    bounds = interior.unionByName(sentinel)
+    w = Window.partitionBy("doc_id").orderBy("bpos")
+    return (
+        bounds.withColumn("chunk_idx", F.row_number().over(w))
+        .withColumn(
+            "start_tok",
+            F.coalesce(F.lag("bpos").over(w) + 1, F.lit(1)).cast("int"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start_tok",
+            F.col("bpos").cast("int").alias("end_tok"),
+            (F.col("bpos") - F.col("start_tok") + 1)
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
+
+
+_CDC_GRAM = f"array_to_string(list_slice(w, e - {CDC_K - 1}, e), ' ')"
+
+ORACLE_CDC_CHUNKS = f"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+    FROM documents
+),
+tt AS (SELECT doc_id, w, len(w) AS n FROM t),
+interior AS (
+    SELECT doc_id, e AS bpos
+    FROM (
+        SELECT doc_id, w, n, unnest(range({CDC_K}, n)) AS e FROM tt
+        WHERE n >= {CDC_K}
+    )
+    WHERE ({hash64_sql(_CDC_GRAM, seed="cdc")}) % {CDC_DIVISOR} = 0
+),
+bounds AS (
+    SELECT doc_id, bpos FROM interior
+    UNION ALL
+    SELECT doc_id, n AS bpos FROM tt
+),
+spans AS (
+    SELECT doc_id,
+           CAST(row_number() OVER win AS INT) AS chunk_idx,
+           CAST(coalesce(lag(bpos) OVER win + 1, 1) AS INT) AS start_tok,
+           CAST(bpos AS INT) AS end_tok
+    FROM bounds
+    WINDOW win AS (PARTITION BY doc_id ORDER BY bpos)
+)
+SELECT doc_id, chunk_idx, start_tok, end_tok,
+       CAST(end_tok - start_tok + 1 AS INT) AS n_tokens
+FROM spans
+"""
+
+
+# --------------------------------------------------------------------------
+# token_entropy_by_source
+# --------------------------------------------------------------------------
+
+
+def q_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon token entropy (corpus-diversity metric).
+
+    ``H = ln N − (Σ c·ln c) / N`` over the source's token counts —
+    collapsed sources (one token repeated) score 0, diverse sources
+    approach ln(vocab).  Cross-engine discipline: ``ln c`` is
+    quantized once to integer micro-nats per DISTINCT (source, token)
+    and weighted by the exact BIGINT count, so the Σ is order-free;
+    ``ln N`` is quantized the same way; the only float ops after
+    quantization are one division and one subtraction (IEEE-exact).
+    One map-side-combinable token pass; everything after runs on the
+    per-source vocabulary histogram.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    counts = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    per_source = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(
+            (F.round(F.log(F.col("c").cast("double")) * 1e6).cast("bigint"))
+            * F.col("c").cast("bigint")
+        ).alias("_clnc_micro"),
+    )
+    ln_n_micro = F.round(
+        F.log(F.col("n_tokens").cast("double")) * 1e6
+    ).cast("bigint")
+    return per_source.select(
+        "source",
+        "n_tokens",
+        "n_distinct",
+        (
+            (
+                ln_n_micro.cast("double")
+                - F.col("_clnc_micro").cast("double")
+                / F.col("n_tokens").cast("double")
+            )
+            / F.lit(1e6)
+        ).alias("entropy_nats"),
+    ).orderBy("source")
+
+
+ORACLE_TOKEN_ENTROPY_BY_SOURCE = r"""
+WITH counts AS (
+    SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+    FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        FROM documents
+    )
+    GROUP BY source, tok
+),
+per_source AS (
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT) * c)
+                AS BIGINT) AS clnc_micro
+    FROM counts GROUP BY source
+)
+SELECT source, n_tokens, n_distinct,
+       (CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6, 0) AS BIGINT)
+             AS DOUBLE)
+        - CAST(clnc_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 1e6
+           AS entropy_nats
+FROM per_source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "bigram_lm_surprisal": q_bigram_lm_surprisal,
     "hard_negatives": q_hard_negatives,
+    "cdc_chunks": q_cdc_chunks,
+    "token_entropy_by_source": q_token_entropy_by_source,
 }
 
 ORACLES = {
     "bpe_merge_pairs": ORACLE_BPE_MERGE_PAIRS,
     "bigram_lm_surprisal": ORACLE_BIGRAM_LM_SURPRISAL,
     "hard_negatives": ORACLE_HARD_NEGATIVES,
+    "cdc_chunks": ORACLE_CDC_CHUNKS,
+    "token_entropy_by_source": ORACLE_TOKEN_ENTROPY_BY_SOURCE,
 }
