@@ -210,6 +210,9 @@ SELECT100 = [
     "decontaminate_overlap",
     "dsir_importance_weights",
     "unigram_logprob_scores",
+    # r06 gram-heavy debuts: second decade for the LM-scoring pair
+    "bigram_lm_surprisal",
+    "cdc_chunks",
 ]
 
 
@@ -289,8 +292,24 @@ def select100(spark, out_path: str) -> None:
     if not os.path.isdir(f"{SCALED100}/documents.parquet"):
         generate_docs100(spark)
     queries, _ = registry.collect()
-    results = {}
-    for name in SELECT100:
+    names = list(SELECT100)
+    prior = {}
+    if "--only" in sys.argv:
+        i = sys.argv.index("--only")
+        keep = set(sys.argv[i + 1].split(","))
+        unknown = keep - set(names)
+        if unknown:
+            sys.exit(f"scale_smoke.py: --only names not in SELECT100: {sorted(unknown)}")
+        names = [n for n in names if n in keep]
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                prior = {
+                    k: v
+                    for k, v in json.load(f).get("queries", {}).items()
+                    if k in SELECT100
+                }
+    results = dict(prior)
+    for name in names:
         fn = queries[name]
         t = {}
         for label, d, reps in (

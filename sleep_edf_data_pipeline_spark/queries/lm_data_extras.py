@@ -67,18 +67,20 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")
         ).alias("pair"),
     )
-    ranked = (
+    top = (
         pairs.groupBy("pair")
         .agg(F.sum("freq").cast("bigint").alias("pair_count"))
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("pair_count"), F.asc("pair"))
-            ),
-        )
-        .filter(F.col("rank") <= BPE_TOP)
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(BPE_TOP)
     )
-    return ranked.select("pair", "pair_count", "rank")
+    # rank over the already-truncated 64-row frame: orderBy+limit
+    # compiles to TakeOrderedAndProject (per-partition top-64 merged on
+    # the driver), so no global single-partition sort of the full pair
+    # space ever exists; the window below orders 64 rows.
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("pair_count"), F.asc("pair"))),
+    ).select("pair", "pair_count", "rank")
 
 
 ORACLE_BPE_MERGE_PAIRS = f"""
@@ -127,10 +129,23 @@ def q_bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", tokens(F.col("text")).alias("w")).filter(
         F.size("w") >= 2
     )
-    grams = toks.select(
-        "doc_id", F.explode(word_shingles(F.col("w"), 2)).alias("gram")
+    # ONE corpus pass: the per-doc gram histogram.  Every downstream
+    # frame (bigram counts, context counts, vocabulary, final per-doc
+    # sum) aggregates from hist, which is persisted+materialized so
+    # the tokenize→shingle subtree runs once instead of once per
+    # consumer (the dsir lesson: broadcast subtrees defeat exchange
+    # reuse).  V (distinct unigrams) is derivable from the gram parts:
+    # every token of a ≥2-token doc appears in some bigram.
+    hist = (
+        toks.select(
+            "doc_id", F.explode(word_shingles(F.col("w"), 2)).alias("gram")
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
     )
-    gram_counts = grams.groupBy("gram").agg(F.count("*").alias("c_gram"))
+    hist.count()
+    gram_counts = hist.groupBy("gram").agg(F.sum("cnt").alias("c_gram"))
     ctx_counts = (
         gram_counts.withColumn(
             "ctx", F.split(F.col("gram"), " ").getItem(0)
@@ -139,7 +154,7 @@ def q_bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c_gram").alias("c_ctx"))
     )
     v = (
-        toks.select(F.explode("w").alias("tok"))
+        hist.select(F.explode(F.split(F.col("gram"), " ")).alias("tok"))
         .agg(F.countDistinct("tok").alias("v"))
     )
     sur = (
@@ -160,9 +175,12 @@ def q_bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        grams.join(F.broadcast(sur), "gram")
+        hist.join(F.broadcast(sur), "gram")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_bigrams"), F.sum("sur_micro").alias("_s"))
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("sur_micro")).alias("_s"),
+        )
         .select(
             "doc_id",
             "n_bigrams",

@@ -85,3 +85,60 @@ def test_multimodal_features_stays_arrow_batched(spark, sf_dir):
     assert plan.count("MapInPandas") == 1, plan
     assert "BatchEvalPython" not in plan, plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def _plan_of(spark, sf_dir, name):
+    from sleep_edf_data_pipeline_spark.queries import lm_data_extras as lx
+
+    return (
+        lx.QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_bpe_merge_pairs_uses_takeordered_not_global_sort(spark, sf_dir):
+    """The top-64 cut must be TakeOrderedAndProject (per-partition
+    top-k merged on the driver), never a global single-partition sort
+    of the full pair space; the only window runs over the already-
+    truncated 64-row frame."""
+    plan = _plan_of(spark, sf_dir, "bpe_merge_pairs")
+    assert "TakeOrdered" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bigram_lm_reuses_one_materialized_gram_pass(spark, sf_dir):
+    """The tokenize→shingle subtree must run ONCE: every consumer
+    (bigram counts, contexts, vocab, per-doc sum) reads the persisted
+    per-doc gram histogram (InMemoryTableScan), not a re-explode of
+    the corpus — the dsir lesson, pinned."""
+    plan = _plan_of(spark, sf_dir, "bigram_lm_surprisal")
+    # every consumer reads the cache (the plan TEXT inlines the cached
+    # subtree per reference, so parquet-scan substrings repeat — the
+    # InMemoryTableScan nodes are what executes)
+    assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_hard_negatives_is_partition_local_topk(spark, sf_dir):
+    """One Arrow-batched scoring stage; the scored pair matrix never
+    shuffles (no join of corpus against corpus)."""
+    plan = _plan_of(spark, sf_dir, "hard_negatives")
+    assert plan.count("MapInPandas") == 1, plan
+    for bad in ("SortMergeJoin", "CartesianProduct", "BatchEvalPython"):
+        assert bad not in plan, plan
+
+
+def test_cdc_and_entropy_are_join_free(spark, sf_dir):
+    """cdc_chunks (window explode + islands) and
+    token_entropy_by_source (two-level histogram agg) must stay
+    join-free — their cost is one token pass each."""
+    for name in ("cdc_chunks", "token_entropy_by_source"):
+        plan = _plan_of(spark, sf_dir, name)
+        for bad in (
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "CartesianProduct",
+            "BatchEvalPython",
+        ):
+            assert bad not in plan, (name, plan)
