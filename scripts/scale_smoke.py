@@ -336,9 +336,134 @@ def select100(spark, out_path: str) -> None:
         f.write("\n")
 
 
+EVENTS100 = "/tmp/events100_skew"
+
+#: Hot keys injected into the skewed 100x events corpus.
+N_HOT_KEYS = 10
+#: 1-in-HOT_MOD events remapped to a hot key (~5% of the stream).
+HOT_MOD = 20
+
+
+def generate_events100_skew(spark) -> None:
+    """100x events with INJECTED Zipf-like head: ~5% of all events
+    remapped onto 10 global hot keys.
+
+    The base synthetic events table is near-uniform over user_id, which
+    (documented in SCALING.md) means it has NO heavy hitters by the CMS
+    eps definition at 10x — the sketch correctly answers "none", but
+    that is only the negative half of the evidence.  This corpus is the
+    positive half: hot keys whose counts (~70k each at 13.5M events)
+    sit two orders of magnitude above the sketch noise floor
+    (eps·N ≈ 1.4k), the regime the CMS path exists for.  Remap is
+    deterministic (event_id % HOT_MOD), so the exact twin defines the
+    ground truth.
+    """
+    os.makedirs(EVENTS100, exist_ok=True)
+    base = spark.read.parquet(f"{BASE}/events.parquet")
+    okey = 10_000_000
+    parts = []
+    for i in range(100):
+        parts.append(
+            base.withColumn("event_id", F.col("event_id") + F.lit(i * okey))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+        )
+    out = parts[0]
+    for piece in parts[1:]:
+        out = out.unionByName(piece)
+    # hot key from the QUOTIENT (the remainder is constant 0 on the
+    # selected rows); negative ids keep hot keys disjoint from every
+    # organic user_id
+    skewed = out.withColumn(
+        "user_id",
+        F.when(
+            F.col("event_id") % HOT_MOD == 0,
+            -1 - (F.floor(F.col("event_id") / HOT_MOD) % N_HOT_KEYS),
+        ).otherwise(F.col("user_id")),
+    )
+    skewed.repartition(64).write.mode("overwrite").parquet(
+        f"{EVENTS100}/events.parquet"
+    )
+
+
+def events100(spark, out_path: str) -> None:
+    """Skewed second decade for the heavy-hitter pair: wall clocks AND
+    sketch-vs-exact recovery on a corpus that HAS heavy hitters."""
+    from sleep_edf_data_pipeline_spark.queries.heavy_hitters import (
+        q_heavy_hitters_cms,
+        q_heavy_hitters_exact,
+    )
+
+    if "--regen" in sys.argv or not os.path.isdir(f"{EVENTS100}/events.parquet"):
+        t0 = time.perf_counter()
+        generate_events100_skew(spark)
+        print(
+            f"# generated {EVENTS100} in {time.perf_counter() - t0:.0f}s",
+            file=sys.stderr,
+        )
+    results = {}
+    rows = {}
+    for name, fn in (
+        ("heavy_hitters_exact", q_heavy_hitters_exact),
+        ("heavy_hitters_cms", q_heavy_hitters_cms),
+    ):
+        t = {}
+        for label, d, reps in (("sf0.1", BASE, 2), ("events100", EVENTS100, 2)):
+            best, collected = float("inf"), None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                collected = fn(spark, d).collect()
+                best = min(best, time.perf_counter() - t0)
+            t[label] = round(best, 3)
+            if label == "events100":
+                rows[name] = collected
+        t["x100"] = round(t["events100"] / t["sf0.1"], 2)
+        results[name] = t
+        print(f"# {name}: {t}", file=sys.stderr)
+    exact_set = [r["user_id"] for r in rows["heavy_hitters_exact"]]
+    cms_set = [r["user_id"] for r in rows["heavy_hitters_cms"]]
+    hot = {-1 - k for k in range(N_HOT_KEYS)}
+    coverage = {
+        "exact_top": exact_set,
+        "cms_top": cms_set,
+        "hot_keys_in_exact_top10": sorted(hot & set(exact_set[:N_HOT_KEYS])),
+        "hot_keys_in_cms_top10": sorted(hot & set(cms_set[:N_HOT_KEYS])),
+        "cms_recovers_all_hot_keys": hot <= set(cms_set),
+        "max_cms_overestimate": max(
+            est - true
+            for est, true in zip(
+                (r["est_events"] for r in rows["heavy_hitters_cms"]),
+                (
+                    next(
+                        e["n_events"]
+                        for e in rows["heavy_hitters_exact"]
+                        if e["user_id"] == r["user_id"]
+                    )
+                    for r in rows["heavy_hitters_cms"]
+                    if any(
+                        e["user_id"] == r["user_id"]
+                        for e in rows["heavy_hitters_exact"]
+                    )
+                ),
+            )
+        ),
+    }
+    print(f"# coverage: {coverage}", file=sys.stderr)
+    with open(out_path, "w") as f:
+        json.dump({"base": BASE, "queries": results, "coverage": coverage}, f, indent=1)
+        f.write("\n")
+
+
 def main() -> None:
     out_path = sys.argv[-1] if sys.argv[-1].endswith(".json") else "SCALE_SMOKE.json"
     spark = get_spark(app_name="scale-smoke")
+    if "--events100" in sys.argv:
+        events100(
+            spark,
+            out_path
+            if sys.argv[-1].endswith(".json")
+            else "SCALE_SMOKE_EVENTS100.json",
+        )
+        return
     if "--select100" in sys.argv:
         select100(
             spark,

@@ -89,27 +89,32 @@ LIMIT 20
 
 
 def _space_saving_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Bounded per-partition candidates via weighted Space-Saving.
+    """Bounded per-partition candidates via BATCHED weighted Space-Saving.
 
-    Executor state never exceeds SPACE_SAVING_COUNTERS entries: a
-    batch-count for a key already tracked adds to its counter; a new
-    key with the summary full EVICTS the current minimum counter and
-    inherits its value (the Space-Saving substitution, generalized to
-    weighted arrivals).  Counters therefore only over-estimate, and
-    any sufficiently heavy key survives to partition end.
+    Executor state stays ≤ SPACE_SAVING_COUNTERS + one Arrow batch's
+    distinct keys: each batch's value_counts merge into the summary,
+    then ONE truncation pass keeps the top counters and records the
+    largest evicted count as ``floor``; later arrivals of unseen keys
+    start from ``floor`` (the Space-Saving substitution, applied per
+    batch instead of per key).  Counters therefore only over-estimate,
+    and any key heavy within the partition survives to partition end.
+
+    Why batched: the textbook per-arrival eviction scans the summary
+    for its minimum — O(m) per eviction, which on a mostly-unique
+    stream is O(n·m) and measured ~50 s per 13.5M-row partition set at
+    the 100× decade.  One sort per batch is O((m + b)·log(m + b)) and
+    took the same corpus to ~2 s (SCALE_SMOKE_EVENTS100.json).
     """
     counters: dict[int, int] = {}
+    floor = 0
     for pdf in batches:
         for key, n in pdf["user_id"].value_counts().items():
-            k, w = int(key), int(n)
-            if k in counters:
-                counters[k] += w
-            elif len(counters) < SPACE_SAVING_COUNTERS:
-                counters[k] = w
-            else:
-                victim = min(counters, key=counters.get)
-                floor = counters.pop(victim)
-                counters[k] = floor + w
+            k = int(key)
+            counters[k] = counters.get(k, floor) + int(n)
+        if len(counters) > SPACE_SAVING_COUNTERS:
+            ranked = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+            counters = dict(ranked[:SPACE_SAVING_COUNTERS])
+            floor = max(floor, ranked[SPACE_SAVING_COUNTERS][1])
     top = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
     yield pd.DataFrame(
         {"user_id": [k for k, _ in top[:CANDIDATES_PER_PARTITION]]},
