@@ -117,6 +117,7 @@ HEADLINE = [
     "hard_negatives",
     "cdc_chunks",
     "token_entropy_by_source",
+    "hard_negatives_lsh",
 ]
 
 

@@ -113,6 +113,7 @@ SMOKE = [
     "hard_negatives",
     "cdc_chunks",
     "token_entropy_by_source",
+    "hard_negatives_lsh",
 ]
 
 

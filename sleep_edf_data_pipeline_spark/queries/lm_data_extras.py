@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash64, hash64_sql
 from ..operators.dedup import tokens, word_shingles
-from ..operators.similarity import brute_force_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    dot,
+    hyperplane_lsh_buckets,
+    norm,
+)
 from ..tables import spread, table
 
 #: Top merge candidates reported by the BPE statistics pass.
@@ -461,10 +466,102 @@ ORDER BY source
 """
 
 
+def q_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives, LSH-bucketed: the 100 TB path for the miner.
+
+    ``hard_negatives`` scans the whole corpus per query batch (the
+    recall baseline).  This twin restricts candidates to vectors in
+    the query's random-hyperplane LSH bucket (the deterministic seeded
+    planes from ``lsh_buckets`` — oracle-shared machinery), then ranks
+    different-label candidates by exact cosine.  At scale the probe
+    touches |corpus| / 2^n_planes of the data per query instead of all
+    of it; recall follows the LSH collision probability, which is what
+    the bucketed trade buys.  Deterministic end to end, so unlike most
+    ANN indexes it is fully oracle-checked.
+    """
+    from .similarity_queries import _DIM, _N_PLANES
+
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    buckets = hyperplane_lsh_buckets(emb, n_planes=_N_PLANES, dim=_DIM)
+    embb = emb.join(buckets, "vec_id")
+    q = embb.filter(F.col("vec_id") < HN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("label").alias("_qlabel"),
+        F.col("bucket").alias("_qbucket"),
+        norm(F.col("embedding")).alias("_qn"),
+    )
+    c = embb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cv"),
+        F.col("label").alias("_clabel"),
+        F.col("bucket").alias("_cbucket"),
+        norm(F.col("embedding")).alias("_cn"),
+    )
+    den = F.col("_qn") * F.col("_cn")
+    cos = F.when(den > 0, dot(F.col("_qv"), F.col("_cv")) / den)
+    scored = (
+        c.join(F.broadcast(q), F.col("_cbucket") == F.col("_qbucket"))
+        .filter(
+            (F.col("_clabel") != F.col("_qlabel"))
+            & (F.col("neighbor_id") != F.col("query_id"))
+        )
+        .withColumn("cosine_sim", F.round(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HN_TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _oracle_hard_negatives_lsh() -> str:
+    from .similarity_queries import _N_PLANES, _proj_sql
+
+    proj_cols = ",\n".join(
+        f"        {_proj_sql(p)} AS p{p}" for p in range(_N_PLANES)
+    )
+    bucket_expr = " + ".join(
+        f"CASE WHEN p{p} > 0 THEN {2**p} ELSE 0 END" for p in range(_N_PLANES)
+    )
+    return f"""
+WITH proj AS (
+    SELECT vec_id,
+{proj_cols}
+    FROM embeddings
+),
+buckets AS (SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM proj),
+scored AS (
+    SELECT a.vec_id AS query_id,
+           b.vec_id AS neighbor_id,
+           round({_DOT} / nullif({_NORM_A} * {_NORM_B}, 0), 6) AS cosine_sim
+    FROM embeddings a
+    JOIN buckets ba ON ba.vec_id = a.vec_id
+    JOIN buckets bb ON bb.bucket = ba.bucket
+    JOIN embeddings b ON b.vec_id = bb.vec_id
+    WHERE a.vec_id < {HN_QUERIES}
+      AND a.label != b.label AND a.vec_id != b.vec_id
+),
+ranked AS (
+    SELECT *,
+        CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {HN_TOP_K}
+"""
+
+
 QUERIES = {
     "bpe_merge_pairs": q_bpe_merge_pairs,
     "bigram_lm_surprisal": q_bigram_lm_surprisal,
     "hard_negatives": q_hard_negatives,
+    "hard_negatives_lsh": q_hard_negatives_lsh,
     "cdc_chunks": q_cdc_chunks,
     "token_entropy_by_source": q_token_entropy_by_source,
 }
@@ -473,6 +570,7 @@ ORACLES = {
     "bpe_merge_pairs": ORACLE_BPE_MERGE_PAIRS,
     "bigram_lm_surprisal": ORACLE_BIGRAM_LM_SURPRISAL,
     "hard_negatives": ORACLE_HARD_NEGATIVES,
+    "hard_negatives_lsh": _oracle_hard_negatives_lsh(),
     "cdc_chunks": ORACLE_CDC_CHUNKS,
     "token_entropy_by_source": ORACLE_TOKEN_ENTROPY_BY_SOURCE,
 }
