@@ -259,6 +259,56 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Streaming heavy hitters: foreachBatch CMS accumulator (r6) — the
+    # fold is bit-identical to one batch sketch, so the streamed top-20
+    # keys can be sanity-checked against the batch exact twin's keys
+    # (uniform corpus: assert overlap with the near-top band, not rank).
+    from sleep_edf_data_pipeline_spark.queries.heavy_hitters import (
+        TOPK,
+        q_heavy_hitters_exact,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.heavy_hitters import (
+        StreamingHeavyHitters,
+    )
+
+    acc = StreamingHeavyHitters(key_col="user_id")
+    t0 = time.perf_counter()
+    q = (
+        ev_stream()
+        .select("user_id")
+        .writeStream.foreachBatch(acc.process_batch)
+        .option("checkpointLocation", f"{STAGE}/_ckpt_hh")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(f"streaming heavy hitters failed: {exc}")
+    wall = time.perf_counter() - t0
+    top = acc.topk(TOPK)
+    exact_counts = {
+        r["user_id"]: r["n_events"]
+        for r in q_heavy_hitters_exact(spark, SF_DIR).collect()
+    }
+    floor_exact = min(exact_counts.values())
+    results["streaming_heavy_hitters"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": counts["events"],
+        "rows_per_sec": round(counts["events"] / wall) if wall else None,
+        "micro_batches": len(
+            [p for p in q.recentProgress if p["numInputRows"] > 0]
+        ),
+        "topk_min_est": top[-1][1] if top else None,
+        "exact_topk_floor": floor_exact,
+        "n_keys_returned": len(top),
+    }
+    print(
+        f"# streaming_heavy_hitters: {results['streaming_heavy_hitters']}",
+        file=sys.stderr,
+    )
+
     with open(out_path, "w") as f:
         json.dump(
             {
