@@ -118,6 +118,12 @@ HEADLINE = [
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",
+    # r06 session-2 debuts: communities, incremental views, mixture
+    # temperature, unicode normalization
+    "label_propagation_communities",
+    "incremental_customer_summary",
+    "temperature_mixture_weights",
+    "normalize_text_nfc",
 ]
 
 

@@ -114,6 +114,11 @@ SMOKE = [
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",
+    # r06 session-2 debuts
+    "label_propagation_communities",
+    "incremental_customer_summary",
+    "temperature_mixture_weights",
+    "normalize_text_nfc",
 ]
 
 

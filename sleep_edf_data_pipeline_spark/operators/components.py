@@ -21,8 +21,80 @@ one aggregate, not data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    mirror: bool = True,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """(node, label) after ``iters`` rounds of synchronous mode-LPA.
+
+    Community detection by label propagation (Raghavan et al. 2007),
+    made deterministic and oracle-replayable: every round each node
+    adopts the most frequent label among its neighbors, ties broken by
+    the smallest label.  Unlike :func:`connected_components` (min-label
+    → one label per connected component), mode-propagation splits a
+    component into densely-connected communities.
+
+    A FIXED iteration count (no convergence test) keeps the computation
+    a pure function of the input, so an unrolled-SQL oracle replays it
+    bit-for-bit — same contract as PageRank/k-means here.  Synchronous
+    updates can oscillate on bipartite-ish structures; for an analytics
+    engine a fixed-round snapshot is the deterministic choice, and
+    callers wanting convergence raise ``iters``.
+
+    Scale: per round, one shuffle join (labels onto edge sources), one
+    map-side-combinable count per (node, candidate label), and one
+    per-node window argmax PARTITIONED BY node — nothing global, state
+    is O(|V| + |E|).  Rounds chain LAZILY (the PageRank shape: one job
+    at the terminal action, persisted edges read once per round from
+    cache); lineage is truncated with an eager localCheckpoint only
+    every ``checkpoint_every`` rounds, so short fixed-round runs — the
+    common analytics case — pay zero extra materializations while deep
+    runs stay plan-compilation-safe (see connected_components on why
+    unbounded lineage is fatal).  ``mirror=False`` asserts ``edges``
+    already contains both directions.
+    """
+    pairs = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    if mirror:
+        pairs = pairs.unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        ).distinct()
+    bidir = pairs.persist()
+    labels = (
+        bidir.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for it in range(iters):
+        # argmax by (count DESC, label ASC) as a SORT-FREE two-level
+        # hash aggregate: max over struct(c, -label) is lexicographic,
+        # so the winner is the highest count, ties to the smallest
+        # label.  A row_number window would demand a per-round
+        # repartition + sort; two hash aggs are map-side combinable.
+        labels = (
+            bidir.join(labels.select(F.col("node").alias("b"), "label"), "b")
+            .groupBy(F.col("a").alias("node"), F.col("label"))
+            .agg(F.count("*").alias("c"))
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"), (-F.col("label")).alias("nl")
+                    )
+                ).alias("_m")
+            )
+            .select("node", (-F.col("_m.nl")).alias("label"))
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            labels = labels.localCheckpoint()
+    return labels
 
 
 def connected_components(

@@ -1,0 +1,281 @@
+"""Round-6 session-2 additions: communities, incremental views, mixtures, NFC.
+
+Four operator classes new to the engine, each oracle-checked:
+
+- ``label_propagation_communities`` — community detection over the part
+  co-purchase graph by deterministic synchronous mode-LPA
+  (operators/components.py:label_propagation): 3 fixed rounds, ties to
+  the smallest label, replayed bit-for-bit by an unrolled-SQL oracle
+  (the PageRank/k-means contract).
+- ``incremental_customer_summary`` — incremental materialized-view
+  maintenance (plans/incremental.py): the per-customer order summary
+  computed as two independent algebraic partials (base < cutoff, delta
+  ≥ cutoff) folded by re-aggregation.  The oracle is the full
+  recompute, so the driver row IS the proof that fold == rebuild; the
+  versioned-table refresh flow (stored summary + delta batch only) is
+  exercised in tests/test_engine_extras.py.
+- ``temperature_mixture_weights`` — UniMax-style temperature sampling
+  weights (τ = 0.5): per-source shares ∝ n_tokens^τ flatten the source
+  mixture toward uniform without the inversion a hard uniform target
+  causes for tiny sources (compare ``domain_mixture_weights``).  Each
+  source's √n is quantized once to integer micro-units so the
+  normalizing total is an order-free BIGINT sum; the final division
+  happens once in double.
+- ``normalize_text_nfc`` — Unicode NFC normalization + whitespace
+  canonicalization, the corpus-prep step that must precede any
+  hash-keyed dedup (composed vs decomposed "é" would otherwise defeat
+  exact dedup).  NFC runs in an Arrow-batched pandas UDF (no built-in
+  Spark NFC); everything around it is codegen.  Output is md5-keyed so
+  the oracle (DuckDB ``nfc_normalize``) value-checks the exact
+  normalized bytes without shipping full texts through the driver.
+
+Reference parity: none of these exist in the reference (its dbt models
+rebuild from scratch; no graph/community, mixture, or normalization
+surface) — they extend SURVEY §2.7.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from ..operators.components import label_propagation
+from ..operators.dedup import tokens
+from ..plans.incremental import (
+    finish_order_summary,
+    merge_partials,
+    order_summary_partial,
+)
+from ..tables import spread, table
+from .graph_stats import _copurchase_edges
+
+LPA_ITERS = 3
+
+#: Mixture temperature (τ): weights ∝ share^τ; 0.5 = the sqrt flattening
+#: used for multilingual/multi-source LM mixtures.
+MIX_TOKEN_BUDGET = 1_000_000
+
+#: Incremental-view cutoff: orders before it are the "stored" base
+#: partial, the rest the freshly-ingested delta batch.
+INC_CUTOFF = "1997-01-01"
+
+
+# --------------------------------------------------------------------------
+# label_propagation_communities
+# --------------------------------------------------------------------------
+
+
+def q_label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-part community after 3 synchronous mode-LPA rounds."""
+    edges = _copurchase_edges(spark, sf_dir)  # both directions, distinct
+    labels = label_propagation(edges, iters=LPA_ITERS, mirror=False)
+    return labels.select(
+        F.col("node").alias("part"),
+        F.col("label").cast("bigint").alias("community"),
+    )
+
+
+def _lpa_oracle(iters: int = LPA_ITERS) -> str:
+    ctes = [
+        """edges AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+)""",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)",
+    ]
+    for it in range(iters):
+        ctes.append(
+            f"""l{it + 1} AS (
+    SELECT node, label FROM (
+        SELECT e.dst AS node, l.label,
+               row_number() OVER (
+                   PARTITION BY e.dst
+                   ORDER BY count(*) DESC, l.label ASC
+               ) AS rn
+        FROM edges e JOIN l{it} l ON e.src = l.node
+        GROUP BY e.dst, l.label
+    ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS part, CAST(label AS BIGINT) AS community"
+        f" FROM l{iters}"
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental_customer_summary
+# --------------------------------------------------------------------------
+
+
+def q_incremental_customer_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fold base + delta algebraic partials; oracle = full recompute."""
+    orders = table(spark, sf_dir, "orders")
+    cutoff = F.lit(INC_CUTOFF).cast("timestamp")
+    base = order_summary_partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = order_summary_partial(
+        orders.filter(F.col("o_orderdate") >= cutoff)
+    )
+    merged = merge_partials(
+        [base, delta],
+        keys=["o_custkey"],
+        sum_cols=["n_orders", "spend"],
+        max_cols=["max_price", "last_order"],
+        min_cols=["min_price"],
+    )
+    return finish_order_summary(merged)
+
+
+ORACLE_INCREMENTAL_CUSTOMER_SUMMARY = """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_spend,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS max_price,
+       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS min_price,
+       max(o_orderdate) AS last_order,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg_spend
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# temperature_mixture_weights
+# --------------------------------------------------------------------------
+
+
+def q_temperature_mixture_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source τ=0.5 sampling shares + token allocation at a budget."""
+    docs = table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select(
+            "source",
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    # √n quantized once to integer micro-units: the normalizer is an
+    # order-free BIGINT sum (sqrt is IEEE-correctly-rounded, identical
+    # cross-engine; perfect squares quantize exactly, so no half-ties).
+    scaled = per_source.withColumn(
+        "s_micro",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1e6)
+        .cast("bigint"),
+    )
+    totals = scaled.agg(F.sum("s_micro").alias("_total_micro"))
+    return scaled.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_tokens",
+        F.round(
+            F.col("s_micro").cast("double") / F.col("_total_micro"), 6
+        ).alias("temp_share"),
+        F.expr(
+            f"CAST((CAST({MIX_TOKEN_BUDGET} AS BIGINT) * s_micro)"
+            " div _total_micro AS BIGINT)"
+        ).alias("budget_tokens"),
+    )
+
+
+ORACLE_TEMPERATURE_MIXTURE_WEIGHTS = f"""
+WITH per_source AS (
+    SELECT source,
+           CAST(sum(len(regexp_split_to_array(lower(text), '\\s+')))
+                AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+scaled AS (
+    SELECT source, n_tokens,
+           CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6, 0) AS BIGINT)
+               AS s_micro
+    FROM per_source
+),
+totals AS (SELECT CAST(sum(s_micro) AS BIGINT) AS total_micro FROM scaled)
+SELECT source, n_tokens,
+       round(CAST(s_micro AS DOUBLE) / total_micro, 6) AS temp_share,
+       CAST((CAST({MIX_TOKEN_BUDGET} AS BIGINT) * s_micro) // total_micro
+            AS BIGINT) AS budget_tokens
+FROM scaled, totals
+"""
+
+
+# --------------------------------------------------------------------------
+# normalize_text_nfc
+# --------------------------------------------------------------------------
+
+
+# StringType() object (not "string" DDL): DDL parsing would demand an
+# active SparkSession at import time, breaking registry.collect() in
+# sessionless processes.
+@F.pandas_udf(StringType())
+def _nfc_udf(texts: pd.Series) -> pd.Series:
+    import unicodedata
+
+    return texts.map(
+        lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+    )
+
+
+def q_normalize_text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC + whitespace canonicalization; md5-keyed normalized bytes.
+
+    The whitespace class is the explicit ``[ \\t\\n\\r\\f]`` (NOT
+    ``\\s``: Java regex counts U+000B as ``\\s``, RE2 does not — the
+    explicit class is engine-identical).  ``changed`` marks docs the
+    canonicalization altered at all.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    cleaned = F.trim(
+        F.regexp_replace(_nfc_udf(F.col("text")), "[ \t\n\r\f]+", " ")
+    )
+    return docs.select(
+        "doc_id",
+        F.length(cleaned).cast("int").alias("n_chars_norm"),
+        (cleaned != F.col("text")).alias("changed"),
+        F.md5(F.encode(cleaned, "UTF-8")).alias("norm_md5"),
+    )
+
+
+ORACLE_NORMALIZE_TEXT_NFC = r"""
+SELECT doc_id,
+       CAST(length(cleaned) AS INT) AS n_chars_norm,
+       cleaned != text AS changed,
+       md5(cleaned) AS norm_md5
+FROM (
+    SELECT doc_id, text,
+           trim(regexp_replace(nfc_normalize(text),
+                               '[ \t\n\r\f]+', ' ', 'g')) AS cleaned
+    FROM documents
+)
+"""
+
+
+QUERIES = {
+    "label_propagation_communities": q_label_propagation_communities,
+    "incremental_customer_summary": q_incremental_customer_summary,
+    "temperature_mixture_weights": q_temperature_mixture_weights,
+    "normalize_text_nfc": q_normalize_text_nfc,
+}
+
+ORACLES = {
+    "label_propagation_communities": _lpa_oracle(),
+    "incremental_customer_summary": ORACLE_INCREMENTAL_CUSTOMER_SUMMARY,
+    "temperature_mixture_weights": ORACLE_TEMPERATURE_MIXTURE_WEIGHTS,
+    "normalize_text_nfc": ORACLE_NORMALIZE_TEXT_NFC,
+}

@@ -53,11 +53,17 @@ _MODULES = [
     # r06 debuts — appended at the END so the pinned round-6 window is
     # untouched; rotate into the window in round 7 (see plan above).
     "sleep_edf_data_pipeline_spark.queries.lm_data_extras",
+    "sleep_edf_data_pipeline_spark.queries.engine_extras",
 ]
 
 # ROUND-7 WINDOW PLAN (execute at the START of round 7, never
 # mid-round — the driver grades the window as committed at round end):
-# 1) any round-6 debut with only local verification;
+# 1) any round-6 debut with only local verification (as of the second
+#    r6 session that is: decontaminate_auto, bpe_merge_pairs,
+#    bigram_lm_surprisal, hard_negatives, hard_negatives_lsh,
+#    cdc_chunks, token_entropy_by_source, plus the engine_extras four —
+#    label_propagation_communities, incremental_customer_summary,
+#    temperature_mixture_weights, normalize_text_nfc);
 # 2) any query whose implementation round 6 REWROTE after its last
 #    driver row (candidates: bloom_decontaminate if the auto-switch
 #    lands, heavy_hitters_cms if the executor-side probe lands after
