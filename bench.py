@@ -124,6 +124,7 @@ HEADLINE = [
     "incremental_customer_summary",
     "temperature_mixture_weights",
     "normalize_text_nfc",
+    "community_quality",
 ]
 
 

@@ -119,6 +119,7 @@ SMOKE = [
     "incremental_customer_summary",
     "temperature_mixture_weights",
     "normalize_text_nfc",
+    "community_quality",
 ]
 
 

@@ -37,7 +37,7 @@ surface) — they extend SURVEY §2.7.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
@@ -79,7 +79,8 @@ def q_label_propagation_communities(
     )
 
 
-def _lpa_oracle(iters: int = LPA_ITERS) -> str:
+def _lpa_ctes(iters: int = LPA_ITERS) -> list[str]:
+    """The shared unrolled-LPA CTE chain (edges, l0 .. l{iters})."""
     ctes = [
         """edges AS (
     SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -103,11 +104,130 @@ def _lpa_oracle(iters: int = LPA_ITERS) -> str:
     ) WHERE rn = 1
 )"""
         )
+    return ctes
+
+
+def _lpa_oracle(iters: int = LPA_ITERS) -> str:
+    return (
+        "WITH\n"
+        + ",\n".join(_lpa_ctes(iters))
+        + f"\nSELECT node AS part, CAST(label AS BIGINT) AS community"
+        f" FROM l{iters}"
+    )
+
+
+# --------------------------------------------------------------------------
+# community_quality
+# --------------------------------------------------------------------------
+
+
+def q_community_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community size / internal edges / degree mass / modularity.
+
+    The QA report for the LPA partition: each community's Newman
+    modularity term ``e_c/m − (d_c/2m)²`` — positive means denser than
+    the configuration-model expectation.  With both-direction edges,
+    ``e2_c`` (directed in-community count) and ``d_c`` (directed
+    out-count from members) make the term ``e2_c/m2 − (d_c/m2)²``
+    where ``m2 = Σ d_c``.  Cross-engine float discipline: the term is
+    emitted as ONE division of exact BIGINTs —
+    ``(e2·m2 − d²) / m2²`` — so both engines divide identical
+    integers (no FMA-contraction exposure).
+
+    Plan shape: edges and labels persist (each is consumed twice); the
+    per-community stats frame persists, so the 1-row ``m2`` total
+    re-reads that tiny cache, not the corpus.
+    """
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    labels = label_propagation(
+        edges, iters=LPA_ITERS, mirror=False
+    ).persist()
+    src_lab = labels.select(
+        F.col("node").alias("src"), F.col("label").alias("_sl")
+    )
+    dst_lab = labels.select(
+        F.col("node").alias("dst"), F.col("label").alias("_dl")
+    )
+    deg = (
+        edges.join(src_lab, "src")
+        .groupBy(F.col("_sl").alias("community"))
+        .agg(F.count("*").alias("degree_sum"))
+    )
+    internal = (
+        edges.join(src_lab, "src")
+        .join(dst_lab, "dst")
+        .filter(F.col("_sl") == F.col("_dl"))
+        .groupBy(F.col("_sl").alias("community"))
+        .agg(F.count("*").alias("internal_directed"))
+    )
+    sizes = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_nodes")
+    )
+    stats = (
+        sizes.join(deg, "community")
+        .join(internal, "community", "left")
+        .withColumn(
+            "internal_directed",
+            F.coalesce(F.col("internal_directed"), F.lit(0)).cast("bigint"),
+        )
+        .withColumn("degree_sum", F.col("degree_sum").cast("bigint"))
+        .withColumn("n_nodes", F.col("n_nodes").cast("bigint"))
+        .persist()
+    )
+    m2 = stats.agg(F.sum("degree_sum").alias("_m2"))
+    return stats.crossJoin(F.broadcast(m2)).select(
+        F.col("community").cast("bigint").alias("community"),
+        "n_nodes",
+        "internal_directed",
+        "degree_sum",
+        (
+            (
+                F.col("internal_directed") * F.col("_m2")
+                - F.col("degree_sum") * F.col("degree_sum")
+            ).cast("double")
+            / (F.col("_m2").cast("double") * F.col("_m2").cast("double"))
+        ).alias("modularity_term"),
+    )
+
+
+def _community_quality_oracle(iters: int = LPA_ITERS) -> str:
+    ctes = _lpa_ctes(iters) + [
+        f"labeled AS (SELECT node, label FROM l{iters})",
+        """deg AS (
+    SELECT l.label AS community, CAST(count(*) AS BIGINT) AS degree_sum
+    FROM edges e JOIN labeled l ON e.src = l.node GROUP BY l.label
+)""",
+        """internal AS (
+    SELECT a.label AS community, CAST(count(*) AS BIGINT) AS e2
+    FROM edges e
+    JOIN labeled a ON e.src = a.node
+    JOIN labeled b ON e.dst = b.node
+    WHERE a.label = b.label
+    GROUP BY a.label
+)""",
+        """sizes AS (
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM labeled GROUP BY label
+)""",
+        "m2 AS (SELECT CAST(sum(degree_sum) AS BIGINT) AS m2 FROM deg)",
+    ]
     return (
         "WITH\n"
         + ",\n".join(ctes)
-        + f"\nSELECT node AS part, CAST(label AS BIGINT) AS community"
-        f" FROM l{iters}"
+        + """
+SELECT CAST(s.community AS BIGINT) AS community,
+       s.n_nodes,
+       CAST(COALESCE(i.e2, 0) AS BIGINT) AS internal_directed,
+       d.degree_sum,
+       CAST(COALESCE(i.e2, 0) * m2.m2 - d.degree_sum * d.degree_sum
+            AS DOUBLE)
+           / (CAST(m2.m2 AS DOUBLE) * CAST(m2.m2 AS DOUBLE))
+           AS modularity_term
+FROM sizes s
+JOIN deg d ON d.community = s.community
+LEFT JOIN internal i ON i.community = s.community
+CROSS JOIN m2
+"""
     )
 
 
@@ -179,8 +299,16 @@ def q_temperature_mixture_weights(
         F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1e6)
         .cast("bigint"),
     )
-    totals = scaled.agg(F.sum("s_micro").alias("_total_micro"))
-    return scaled.crossJoin(F.broadcast(totals)).select(
+    # Normalizer as a GLOBAL window over the aggregated frame — |rows|
+    # = |sources| (bounded domain metadata), so the single-partition
+    # window is safe by construction, and unlike a broadcast 1-row
+    # cross join it cannot re-execute the corpus-scan subtree (the
+    # dsir lesson: broadcast subtrees defeat exchange reuse — a
+    # second 100 TB pass just to compute the total).
+    scaled = scaled.withColumn(
+        "_total_micro", F.sum("s_micro").over(Window.partitionBy())
+    )
+    return scaled.select(
         "source",
         "n_tokens",
         F.round(
@@ -268,6 +396,7 @@ FROM (
 
 QUERIES = {
     "label_propagation_communities": q_label_propagation_communities,
+    "community_quality": q_community_quality,
     "incremental_customer_summary": q_incremental_customer_summary,
     "temperature_mixture_weights": q_temperature_mixture_weights,
     "normalize_text_nfc": q_normalize_text_nfc,
@@ -275,6 +404,7 @@ QUERIES = {
 
 ORACLES = {
     "label_propagation_communities": _lpa_oracle(),
+    "community_quality": _community_quality_oracle(),
     "incremental_customer_summary": ORACLE_INCREMENTAL_CUSTOMER_SUMMARY,
     "temperature_mixture_weights": ORACLE_TEMPERATURE_MIXTURE_WEIGHTS,
     "normalize_text_nfc": ORACLE_NORMALIZE_TEXT_NFC,

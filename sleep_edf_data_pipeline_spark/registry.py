@@ -63,7 +63,8 @@ _MODULES = [
 #    bigram_lm_surprisal, hard_negatives, hard_negatives_lsh,
 #    cdc_chunks, token_entropy_by_source, plus the engine_extras four —
 #    label_propagation_communities, incremental_customer_summary,
-#    temperature_mixture_weights, normalize_text_nfc);
+#    temperature_mixture_weights, normalize_text_nfc,
+#    community_quality);
 # 2) any query whose implementation round 6 REWROTE after its last
 #    driver row (candidates: bloom_decontaminate if the auto-switch
 #    lands, heavy_hitters_cms if the executor-side probe lands after

@@ -22,7 +22,8 @@ by the coarse key (date), cluster by the fine key (user) within.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_clustered(
@@ -36,6 +37,79 @@ def write_clustered(
     (
         df.repartitionByRange(n_files, *cluster_cols)
         .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def _ge(v: Column):
+    # closure factory: F.filter inspects lambda arity, and a
+    # default-arg capture would receive the ARRAY INDEX as arg 2
+    return lambda b: v >= b
+
+
+def _bucket(df: DataFrame, col: str, bits: int, rel_err: float) -> Column:
+    """Equi-depth bucket id (0 .. 2^bits − 1) for ``col``.
+
+    Boundaries come from one bounded ``approxQuantile`` pass (2^bits − 1
+    doubles on the driver — layout metadata, scale-free); the per-row
+    bucket is a counting scan of the boundary array (JVM higher-order
+    function, codegen).  Equi-depth (not min/max uniform) so skewed
+    columns still spread across the z-curve.
+    """
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    bounds = df.approxQuantile(col, probs, rel_err)
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    return F.size(F.filter(arr, _ge(F.col(col).cast("double"))))
+
+
+def _morton(buckets: list[Column], bits: int) -> Column:
+    """Interleave the bucket ids' bits (Morton / Z-curve order)."""
+    n = len(buckets)
+    terms = [
+        F.shiftleft(
+            F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j
+        )
+        for i in range(bits)
+        for j, b in enumerate(buckets)
+    ]
+    z = terms[0]
+    for t in terms[1:]:
+        z = z.bitwiseOR(t)
+    return z
+
+
+def zorder_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    bits: int = 8,
+    n_files: int = 8,
+    mode: str = "overwrite",
+    rel_err: float = 0.001,
+) -> None:
+    """Write parquet Z-ORDER clustered on several columns at once.
+
+    Range clustering (``write_clustered``) makes ONE column's row-group
+    min/max tight; a second predicate column still spans everything.
+    Z-ordering sorts by the bit-interleave of per-column equi-depth
+    bucket ids, so every clustered column's min/max stays tight-ish in
+    every row group — multi-dimensional data skipping, the same layout
+    trick Delta's ``OPTIMIZE ZORDER BY`` applies.  Locality degrades
+    with dimension count; 2-4 columns is the useful range.
+
+    The whole computation is distributed: the only driver state is the
+    boundary arrays (``cluster_cols × (2^bits − 1)`` doubles), and the
+    write is the usual range shuffle + in-file sort on the z value.
+    Measured (not asserted) in tests/test_layout.py: point predicates
+    on EACH clustered column prune against a layout built once.
+    """
+    zcols = [_bucket(df, c, bits, rel_err) for c in cluster_cols]
+    (
+        df.withColumn("_z", _morton(zcols, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
         .write.mode(mode)
         .parquet(path)
     )

@@ -166,6 +166,48 @@ def test_versioned_incremental_refresh_flow(spark, tmp_path):
     assert _collect_summary(refreshed) == _collect_summary(rebuilt)
 
 
+def test_streaming_incremental_summary_matches_batch(spark, tmp_path):
+    """Multi-micro-batch fold == one-shot batch summary (stream twin).
+
+    maxFilesPerTrigger=1 over a 4-file restage forces ≥4 micro-batches,
+    so the equivalence genuinely exercises repeated folding, and the
+    at-least-once re-delivery guard is checked explicitly.
+    """
+    from sleep_edf_data_pipeline_spark.streaming.incremental import (
+        _MERGE_KW,
+        StreamingOrderSummary,
+    )
+
+    orders = table(spark, SF_DIR, "orders")
+    src = str(tmp_path / "orders_stream")
+    orders.repartition(4).write.parquet(src)
+    sink = StreamingOrderSummary(str(tmp_path / "mv"))
+    q = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sink.version is not None and sink.version >= 2  # multi-batch
+    got = _collect_summary(sink.summary(spark))
+    want = _collect_summary(
+        finish_order_summary(
+            merge_partials([order_summary_partial(orders)], **_MERGE_KW)
+        )
+    )
+    assert got == want
+
+    # re-delivered batch id must be a no-op (double-fold double-counts)
+    v = sink.version
+    sink.process_batch(orders.limit(10), sink.last_batch_id)
+    assert sink.version == v
+    assert _collect_summary(sink.summary(spark)) == want
+
+
 def test_merge_partials_requires_measures(spark):
     orders = table(spark, SF_DIR, "orders")
     with pytest.raises(ValueError):
@@ -227,11 +269,12 @@ def test_incremental_summary_plan_is_join_free(spark):
 
 def test_temperature_weights_single_corpus_pass(spark):
     plan = _plan(q_temperature_mixture_weights(spark, SF_DIR))
-    # one documents scan; the 1-row total attaches by broadcast, and
-    # nothing sort-merge-joins
-    assert plan.count("Scan parquet") == 2  # corpus pass + 1-row total pass
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
+    # ONE documents scan: the normalizer is a global window over the
+    # |sources|-row aggregate (bounded by construction), never a
+    # broadcast 1-row cross join whose subtree would re-scan the corpus
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
 
 
 def test_nfc_plan_is_arrow_batched_no_shuffle(spark):

@@ -62,3 +62,48 @@ def test_clustered_layout_prunes_ranges(spark, sf_dir, tmp_path):
         spark.read.parquet(clus_path).filter(pred).count()
         == ev.filter(pred).count()
     )
+
+
+def test_zorder_layout_prunes_both_columns(spark, sf_dir, tmp_path):
+    """Z-order on (user_id, value): BOTH columns' predicates prune.
+
+    The single-column range layout answers user_id predicates well but
+    a value predicate reads everything; the z-ordered layout must prune
+    substantially on each column independently — the multi-dimensional
+    skipping the layout exists for.  Thresholds are deliberately loose
+    (8 files → 3 z-bits of granularity).
+    """
+    from sleep_edf_data_pipeline_spark.writers.layout import zorder_clustered
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    total = ev.count()
+
+    lin_path = str(tmp_path / "linear")
+    write_clustered(ev, lin_path, ["user_id"], n_files=8)
+    z_path = str(tmp_path / "zorder")
+    zorder_clustered(ev, z_path, ["user_id", "value"], n_files=8)
+
+    hi_u = ev.agg(F.max("user_id")).first()[0]
+    hi_v = ev.agg(F.expr("percentile(value, 0.9)")).first()[0]
+    pred_u = F.col("user_id") >= hi_u - hi_u // 8
+    pred_v = F.col("value") >= hi_v
+
+    # answers identical on every layout
+    for pred in (pred_u, pred_v):
+        assert (
+            spark.read.parquet(z_path).filter(pred).count()
+            == spark.read.parquet(lin_path).filter(pred).count()
+            == ev.filter(pred).count()
+        )
+
+    read_z_u = scan_rows_read(spark, spark.read.parquet(z_path).filter(pred_u))
+    read_z_v = scan_rows_read(spark, spark.read.parquet(z_path).filter(pred_v))
+    read_lin_v = scan_rows_read(
+        spark, spark.read.parquet(lin_path).filter(pred_v)
+    )
+
+    # each z-ordered column prunes on its own
+    assert read_z_u < (3 * total) // 4
+    assert read_z_v < (3 * total) // 4
+    # the value predicate cannot prune a user_id-only layout
+    assert read_z_v < read_lin_v
