@@ -125,6 +125,8 @@ HEADLINE = [
     "temperature_mixture_weights",
     "normalize_text_nfc",
     "community_quality",
+    "psi_drift_by_source",
+    "ks_two_sample",
 ]
 
 

@@ -120,6 +120,8 @@ SMOKE = [
     "temperature_mixture_weights",
     "normalize_text_nfc",
     "community_quality",
+    "psi_drift_by_source",
+    "ks_two_sample",
 ]
 
 

@@ -1,0 +1,290 @@
+"""Distribution-drift statistics: PSI per source, exact two-sample KS.
+
+The monitoring layer a production training-data pipeline runs before
+mixing a new source or shipping a new snapshot: has the document-length
+distribution drifted?  Two classic tests, both made hash-exact:
+
+- ``psi_drift_by_source`` — Population Stability Index of every
+  source's doc-length distribution against the whole corpus, over
+  10 equi-depth bins.  Bin thresholds are EXACT integer order
+  statistics (smallest length with ``10·cum ≥ i·N`` — no float
+  interpolation), Laplace-smoothed shares, and the ``(a−e)·ln(a/e)``
+  terms are computed as exact-BIGINT cross-products times a micro-nat
+  quantized log, so the per-source sum is order-free.
+- ``ks_two_sample`` — the exact Kolmogorov-Smirnov statistic between
+  two sources: ``max |F_a − F_b|`` evaluated as the integer
+  ``max |cum_a·N_b − cum_b·N_a|`` over the merged value domain, one
+  division at the end.
+
+Scale shape: ONE corpus pass builds the per-(source, length) histogram
+(map-side combinable, persisted); every cumulative/threshold step runs
+over the VALUE DOMAIN (distinct lengths — bounded by document length,
+hundreds of rows), so the single-partition cumulative windows are
+bounded by construction, not by data volume.
+
+Reference parity: no drift surface exists in the reference; extends
+SURVEY §2.7's training-data operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+#: PSI bin count (industry-standard decile binning).
+PSI_BINS = 10
+#: The fixed source pair for the registered KS query.
+KS_A, KS_B = "src0", "src1"
+
+
+def _length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, length) doc counts — the one corpus pass."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        "source", F.col("n_chars").alias("len")
+    ).agg(F.count("*").alias("c"))
+
+
+def q_psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist WITHOUT an eager materialization job: all three consumers
+    # (global hist, binning, source grid) run inside the terminal job,
+    # and the cache fills at first use — one corpus pass either way,
+    # one fewer Spark job (~0.3 s of local stage floor).
+    hist = _length_hist(spark, sf_dir).persist()
+
+    glob = hist.groupBy("len").agg(F.sum("c").cast("bigint").alias("gc"))
+    # cumulative over the ordered VALUE DOMAIN (|distinct lengths|
+    # rows — bounded by the length domain, safe single partition)
+    wcum = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = glob.withColumn("cum", F.sum("gc").over(wcum)).withColumn(
+        "n", F.sum("gc").over(wall)
+    )
+    deciles = spark.range(1, PSI_BINS).select(F.col("id").alias("i"))
+    # threshold i = smallest len with cum ≥ ceil(i·N/B), as integers:
+    # 10·cum ≥ i·N
+    thresholds = (
+        cum.crossJoin(F.broadcast(deciles))
+        .filter(F.lit(PSI_BINS) * F.col("cum") >= F.col("i") * F.col("n"))
+        .groupBy("i")
+        .agg(F.min("len").alias("t"))
+    )
+    # bin(len) = #{ thresholds < len } ∈ 0..9
+    binned = (
+        hist.join(F.broadcast(thresholds), F.col("len") > F.col("t"), "left")
+        .groupBy("source", "len", "c")
+        .agg(F.count("t").alias("bin"))
+    )
+    src_bins = binned.groupBy("source", "bin").agg(
+        F.sum("c").cast("bigint").alias("sc")
+    )
+    glob_bins = src_bins.groupBy("bin").agg(
+        F.sum("sc").cast("bigint").alias("gb")
+    )
+    grid = (
+        hist.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(PSI_BINS).select(F.col("id").alias("bin"))))
+        .join(src_bins, ["source", "bin"], "left")
+        .withColumn("sc", F.coalesce(F.col("sc"), F.lit(0)).cast("bigint"))
+        .join(F.broadcast(glob_bins), "bin", "left")
+        .withColumn("gb", F.coalesce(F.col("gb"), F.lit(0)).cast("bigint"))
+    )
+    wsrc = Window.partitionBy("source")
+    grid = (
+        grid.withColumn("ns", F.sum("sc").over(wsrc))
+        .withColumn("n", F.sum("sc").over(wall))
+        .withColumn("ap", F.col("sc") + 1)          # Laplace-smoothed
+        .withColumn("aq", F.col("ns") + PSI_BINS)
+        .withColumn("ep", F.col("gb") + 1)
+        .withColumn("eq", F.col("n") + PSI_BINS)
+    )
+    # ln of a ratio of exact integers, quantized once to micro-nats;
+    # the (a−e) factor is the exact BIGINT cross-product difference,
+    # so the per-source PSI sum is an order-free integer sum.
+    l_micro = F.round(
+        F.log(
+            (F.col("ap") * F.col("eq")).cast("double")
+            / (F.col("ep") * F.col("aq")).cast("double")
+        )
+        * 1e6
+    ).cast("bigint")
+    term = (
+        F.col("ap") * F.col("eq") - F.col("ep") * F.col("aq")
+    ).cast("bigint") * l_micro
+    return (
+        grid.withColumn("_t", term)
+        .groupBy("source", "aq", "eq")
+        .agg(
+            (F.col("aq") - PSI_BINS).alias("n_docs"),
+            F.sum("_t").alias("_s"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            (
+                F.col("_s").cast("double")
+                / (
+                    F.col("aq").cast("double")
+                    * F.col("eq").cast("double")
+                    * F.lit(1e6)
+                )
+            ).alias("psi"),
+        )
+    )
+
+
+ORACLE_PSI_DRIFT_BY_SOURCE = f"""
+WITH hist AS (
+    SELECT source, n_chars AS len, CAST(count(*) AS BIGINT) AS c
+    FROM documents GROUP BY source, n_chars
+),
+gl AS (SELECT len, CAST(sum(c) AS BIGINT) AS gc FROM hist GROUP BY len),
+cum AS (
+    SELECT len, gc,
+           CAST(sum(gc) OVER (ORDER BY len
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+           CAST(sum(gc) OVER () AS BIGINT) AS n
+    FROM gl
+),
+thresholds AS (
+    SELECT i, min(len) AS t
+    FROM cum CROSS JOIN (SELECT unnest(range(1, {PSI_BINS})) AS i)
+    WHERE {PSI_BINS} * cum >= i * n
+    GROUP BY i
+),
+binned AS (
+    SELECT h.source, h.len, h.c, CAST(count(t.t) AS BIGINT) AS bin
+    FROM hist h LEFT JOIN thresholds t ON h.len > t.t
+    GROUP BY h.source, h.len, h.c
+),
+src_bins AS (
+    SELECT source, bin, CAST(sum(c) AS BIGINT) AS sc
+    FROM binned GROUP BY source, bin
+),
+glob_bins AS (
+    SELECT bin, CAST(sum(sc) AS BIGINT) AS gb FROM src_bins GROUP BY bin
+),
+grid AS (
+    SELECT s.source, b.bin,
+           CAST(COALESCE(sb.sc, 0) AS BIGINT) AS sc,
+           CAST(COALESCE(gb.gb, 0) AS BIGINT) AS gb
+    FROM (SELECT DISTINCT source FROM hist) s
+    CROSS JOIN (SELECT unnest(range(0, {PSI_BINS})) AS bin) b
+    LEFT JOIN src_bins sb ON sb.source = s.source AND sb.bin = b.bin
+    LEFT JOIN glob_bins gb ON gb.bin = b.bin
+),
+sm AS (
+    SELECT source, bin, sc, gb,
+           CAST(sum(sc) OVER (PARTITION BY source) AS BIGINT) AS ns,
+           CAST(sum(sc) OVER () AS BIGINT) AS n
+    FROM grid
+),
+terms AS (
+    SELECT source,
+           ns + {PSI_BINS} AS aq,
+           n + {PSI_BINS} AS eq,
+           CAST((sc + 1) * (n + {PSI_BINS}) - (gb + 1) * (ns + {PSI_BINS})
+                AS BIGINT)
+           * CAST(round(ln(CAST((sc + 1) * (n + {PSI_BINS}) AS DOUBLE)
+                           / CAST((gb + 1) * (ns + {PSI_BINS}) AS DOUBLE))
+                        * 1e6, 0) AS BIGINT) AS t
+    FROM sm
+)
+SELECT source,
+       CAST(aq - {PSI_BINS} AS BIGINT) AS n_docs,
+       CAST(sum(t) AS DOUBLE)
+           / (CAST(aq AS DOUBLE) * CAST(eq AS DOUBLE) * 1e6) AS psi
+FROM terms
+GROUP BY source, aq, eq
+"""
+
+
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KS statistic between two sources' length distributions."""
+    hist = _length_hist(spark, sf_dir)
+    pair = (
+        hist.filter(F.col("source").isin(KS_A, KS_B))
+        .groupBy("len")
+        .agg(
+            F.sum(F.when(F.col("source") == KS_A, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("source") == KS_B, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    wcum = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = (
+        pair.withColumn("cuma", F.sum("ca").over(wcum))
+        .withColumn("cumb", F.sum("cb").over(wcum))
+        .withColumn("na", F.sum("ca").over(wall))
+        .withColumn("nb", F.sum("cb").over(wall))
+    )
+    diff = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+    return (
+        cum.withColumn("_d", diff)
+        .groupBy("na", "nb")
+        .agg(F.max("_d").cast("bigint").alias("ks_scaled"))
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            "ks_scaled",
+            (
+                F.col("ks_scaled").cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("ks_stat"),
+        )
+    )
+
+
+ORACLE_KS_TWO_SAMPLE = f"""
+WITH hist AS (
+    SELECT source, n_chars AS len, CAST(count(*) AS BIGINT) AS c
+    FROM documents
+    WHERE source IN ('{KS_A}', '{KS_B}')
+    GROUP BY source, n_chars
+),
+pair AS (
+    SELECT len,
+           CAST(sum(CASE WHEN source = '{KS_A}' THEN c ELSE 0 END) AS BIGINT)
+               AS ca,
+           CAST(sum(CASE WHEN source = '{KS_B}' THEN c ELSE 0 END) AS BIGINT)
+               AS cb
+    FROM hist GROUP BY len
+),
+cum AS (
+    SELECT
+        CAST(sum(ca) OVER (ORDER BY len
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cuma,
+        CAST(sum(cb) OVER (ORDER BY len
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cumb,
+        CAST(sum(ca) OVER () AS BIGINT) AS na,
+        CAST(sum(cb) OVER () AS BIGINT) AS nb
+    FROM pair
+)
+SELECT na AS n_a, nb AS n_b,
+       CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS ks_scaled,
+       CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+           / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_stat
+FROM cum
+GROUP BY na, nb
+"""
+
+
+QUERIES = {
+    "psi_drift_by_source": q_psi_drift_by_source,
+    "ks_two_sample": q_ks_two_sample,
+}
+
+ORACLES = {
+    "psi_drift_by_source": ORACLE_PSI_DRIFT_BY_SOURCE,
+    "ks_two_sample": ORACLE_KS_TWO_SAMPLE,
+}

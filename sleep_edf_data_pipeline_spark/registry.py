@@ -54,6 +54,7 @@ _MODULES = [
     # untouched; rotate into the window in round 7 (see plan above).
     "sleep_edf_data_pipeline_spark.queries.lm_data_extras",
     "sleep_edf_data_pipeline_spark.queries.engine_extras",
+    "sleep_edf_data_pipeline_spark.queries.drift_stats",
 ]
 
 # ROUND-7 WINDOW PLAN (execute at the START of round 7, never
@@ -64,7 +65,7 @@ _MODULES = [
 #    cdc_chunks, token_entropy_by_source, plus the engine_extras four —
 #    label_propagation_communities, incremental_customer_summary,
 #    temperature_mixture_weights, normalize_text_nfc,
-#    community_quality);
+#    community_quality, psi_drift_by_source, ks_two_sample);
 # 2) any query whose implementation round 6 REWROTE after its last
 #    driver row (candidates: bloom_decontaminate if the auto-switch
 #    lands, heavy_hitters_cms if the executor-side probe lands after
