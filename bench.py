@@ -127,6 +127,7 @@ HEADLINE = [
     "community_quality",
     "psi_drift_by_source",
     "ks_two_sample",
+    "image_dhash_neardups",
 ]
 
 

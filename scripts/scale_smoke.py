@@ -122,6 +122,7 @@ SMOKE = [
     "community_quality",
     "psi_drift_by_source",
     "ks_two_sample",
+    "image_dhash_neardups",
 ]
 
 

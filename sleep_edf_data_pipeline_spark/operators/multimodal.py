@@ -175,6 +175,51 @@ def resize_assets(assets: DataFrame, out_w: int = 16) -> DataFrame:
     return assets.mapInPandas(do_resize, schema=RESIZE_SCHEMA)
 
 
+def dhash_assets(assets: DataFrame, bits: int = 32) -> DataFrame:
+    """Perceptual difference-hash (dHash) per asset — image-dedup keys.
+
+    The classic image near-dup fingerprint (Krawetz's dHash): resample
+    the decoded pixel stream to ``bits + 1`` samples (the same
+    nearest-neighbor ``floor(i·n/(bits+1))`` rule as resize_assets;
+    row-major order for 2-D assets) and emit bit ``i`` =
+    ``[s_i < s_{i+1}]`` — a gradient sign signature that is invariant
+    to global brightness/contrast shifts and stable under small local
+    edits, so Hamming proximity ≈ perceptual similarity.  Pair with
+    :func:`..dedup.simhash_near_dups` for banded (never all-pairs)
+    candidate generation over the fingerprints.
+
+    Deterministic integer/comparison math end-to-end, so the DuckDB
+    oracle replays the bits exactly on ASCII payloads.  Empty payloads
+    are dropped (no gradient exists).
+    """
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vals = [], []
+            for aid, fmt, payload in zip(
+                pdf["asset_id"], pdf["format"], pdf["payload"]
+            ):
+                arr = StubCodec.decode(fmt, bytes(payload)).ravel()
+                if not arr.size:
+                    continue
+                idx = (
+                    np.arange(bits + 1) * arr.size // (bits + 1)
+                ).astype(np.int64)
+                s = arr[idx].astype(np.int64)
+                v = 0
+                for i in range(bits):
+                    if s[i] < s[i + 1]:
+                        v |= 1 << i
+                ids.append(aid)
+                vals.append(v)
+            yield pd.DataFrame(
+                {"asset_id": pd.Series(ids, dtype="object"),
+                 "dhash": pd.Series(vals, dtype="int64")}
+            )
+
+    return assets.mapInPandas(hash_batch, schema="asset_id string, dhash bigint")
+
+
 def sample_frames(
     assets: DataFrame, every_n: int = 10, frame_bytes: int = 1024
 ) -> DataFrame:

@@ -217,3 +217,80 @@ FROM s
 
 QUERIES["audio_features"] = q_audio_features
 ORACLES["audio_features"] = ORACLE_AUDIO_FEATURES
+
+
+# --- image dHash near-duplicates -------------------------------------------
+
+_DH_BITS = 32
+_DH_CHUNKS = 4
+_DH_WIDTH = _DH_BITS // _DH_CHUNKS
+_DH_MASK = (1 << _DH_WIDTH) - 1
+_DH_MAXHAM = 3
+
+
+def q_image_dhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level near-dup pairs by perceptual dHash + banded Hamming.
+
+    The multimodal face of the dedup surface: perceptual fingerprints
+    (operators/multimodal.py: dhash_assets — decode through the codec
+    registry, gradient-sign bits over nearest-neighbor samples), then
+    the SAME pigeonhole chunk-banding as the text SimHash path
+    (operators/dedup.py: simhash_near_dups) — candidates come from
+    chunk-equality buckets, never an all-pairs scan, so the 100 TB
+    story is identical to the proven SimHash decade evidence.
+    """
+    from ..operators.dedup import simhash_near_dups
+    from ..operators.multimodal import dhash_assets
+
+    fps = dhash_assets(
+        assets_from_documents(spark, sf_dir), bits=_DH_BITS
+    ).select(
+        F.col("asset_id").cast("bigint").alias("doc_id"),
+        F.col("dhash").alias("simhash"),
+    )
+    return simhash_near_dups(
+        fps,
+        "doc_id",
+        bits=_DH_BITS,
+        chunks=_DH_CHUNKS,
+        max_hamming=_DH_MAXHAM,
+    )
+
+
+_DH_BITSUM = " + ".join(
+    f"CASE WHEN s[{i + 1}] < s[{i + 2}] THEN {1 << i} ELSE 0 END"
+    for i in range(_DH_BITS)
+)
+
+ORACLE_IMAGE_DHASH_NEARDUPS = f"""
+WITH sampled AS (
+    SELECT doc_id,
+           [ascii(text[(i * length(text)) // {_DH_BITS + 1} + 1])
+            for i in range(0, {_DH_BITS + 1})] AS s
+    FROM documents
+    WHERE length(text) > 0
+),
+fp AS (
+    SELECT doc_id, CAST({_DH_BITSUM} AS BIGINT) AS dh FROM sampled
+),
+long AS (
+    SELECT doc_id, dh, c AS chunk_idx,
+           (dh >> (c * {_DH_WIDTH})) & {_DH_MASK} AS chunk_val
+    FROM fp
+    CROSS JOIN unnest(range(0, {_DH_CHUNKS})) AS tt(c)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.dh AS dh_a, b.dh AS dh_b
+    FROM long AS a
+    JOIN long AS b USING (chunk_idx, chunk_val)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(dh_a, dh_b)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(dh_a, dh_b)) <= {_DH_MAXHAM}
+"""
+
+
+QUERIES["image_dhash_neardups"] = q_image_dhash_neardups
+ORACLES["image_dhash_neardups"] = ORACLE_IMAGE_DHASH_NEARDUPS

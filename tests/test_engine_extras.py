@@ -287,3 +287,47 @@ def test_nfc_plan_is_arrow_batched_no_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "REPARTITION_BY_NUM" in line
+
+
+# --------------------------------------------------------------------------
+# perceptual dHash
+# --------------------------------------------------------------------------
+
+
+def test_dhash_brightness_invariance_and_edit_stability(spark):
+    """dHash is invariant to global brightness shifts and near-stable
+    under one local edit; unrelated payloads differ widely."""
+    import pandas as pd
+
+    from sleep_edf_data_pipeline_spark.operators.multimodal import (
+        dhash_assets,
+    )
+
+    base = bytes(range(40, 140)) * 2          # smooth ramp, 200 px
+    brighter = bytes(min(b + 50, 255) for b in base)
+    edited = bytearray(base)
+    edited[10:13] = b"\x00\x00\x00"           # one local edit
+    rng_other = bytes((b * 97 + 31) % 251 for b in base)
+
+    rows = [
+        ("base", "image", "fake/raw", base, len(base), 1),
+        ("bright", "image", "fake/raw", brighter, len(base), 1),
+        ("edited", "image", "fake/raw", bytes(edited), len(base), 1),
+        ("other", "image", "fake/raw", rng_other, len(base), 1),
+    ]
+    assets = spark.createDataFrame(
+        rows,
+        "asset_id string, media_type string, format string, "
+        "payload binary, width int, height int",
+    )
+    got = {
+        r["asset_id"]: r["dhash"]
+        for r in dhash_assets(assets, bits=32).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFF).count("1")
+
+    assert got["base"] == got["bright"]            # brightness-shift invariant
+    assert ham(got["base"], got["edited"]) <= 3    # local edit: few bits
+    assert ham(got["base"], got["other"]) > 6      # unrelated: far apart
