@@ -87,7 +87,7 @@ def q_psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist.select("source")
         .distinct()
         .crossJoin(F.broadcast(spark.range(PSI_BINS).select(F.col("id").alias("bin"))))
-        .join(src_bins, ["source", "bin"], "left")
+        .join(F.broadcast(src_bins), ["source", "bin"], "left")
         .withColumn("sc", F.coalesce(F.col("sc"), F.lit(0)).cast("bigint"))
         .join(F.broadcast(glob_bins), "bin", "left")
         .withColumn("gb", F.coalesce(F.col("gb"), F.lit(0)).cast("bigint"))

@@ -1,0 +1,117 @@
+"""Semantics + plan pins for queries/drift_stats.py (PSI, KS).
+
+The registered queries are hash-verified against DuckDB by the driver
+contract; these tests pin statistical properties the oracle can't see
+(null-drift zero, disjoint-support extremes, bounds) and the physical
+plan shapes that matter at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sleep_edf_data_pipeline_spark.queries.drift_stats import (
+    q_ks_two_sample,
+    q_psi_drift_by_source,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_psi_identical_distributions_is_zero(spark, tmp_path):
+    """Two sources with IDENTICAL length histograms: every bin share
+    equals the corpus share, so every PSI term is exactly ln(1)=0."""
+    rows = []
+    i = 0
+    for src in ("src0", "src1"):
+        for ln in range(100, 120):
+            for _ in range(3):
+                rows.append((i, "x", "en", src, ln))
+                i += 1
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r["source"]: r["psi"] for r in q_psi_drift_by_source(spark, d).collect()}
+    assert out["src0"] == 0.0 and out["src1"] == 0.0
+
+
+def test_psi_disjoint_source_is_large_and_nonnegative(spark, tmp_path):
+    """A source living in bins the rest never touches drifts hard; PSI
+    is non-negative for every source (sum of (a−e)·ln(a/e) terms)."""
+    rows = []
+    i = 0
+    for ln in range(100, 150):
+        for _ in range(4):
+            rows.append((i, "x", "en", "bulk", ln))
+            i += 1
+    for ln in range(900, 905):
+        for _ in range(40):
+            rows.append((i, "x", "en", "outlier", ln))
+            i += 1
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r["source"]: r["psi"] for r in q_psi_drift_by_source(spark, d).collect()}
+    assert out["outlier"] > 1.0          # way past the 0.25 alert rule
+    assert all(v >= 0.0 for v in out.values())
+
+
+def test_ks_identical_zero_and_disjoint_one(spark, tmp_path):
+    rows = []
+    i = 0
+    # identical samples for src0/src1 → KS = 0
+    for src in ("src0", "src1"):
+        for ln in range(10, 40):
+            rows.append((i, "x", "en", src, ln))
+            i += 1
+    d = _write_docs(spark, tmp_path, rows)
+    r = q_ks_two_sample(spark, d).collect()[0]
+    assert r["ks_stat"] == 0.0
+
+    rows = [(i, "x", "en", "src0", ln) for i, ln in enumerate(range(10, 40))]
+    rows += [
+        (100 + j, "x", "en", "src1", ln) for j, ln in enumerate(range(500, 530))
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    r = q_ks_two_sample(spark, d).collect()[0]
+    assert r["ks_stat"] == 1.0           # disjoint supports
+    assert r["n_a"] == 30 and r["n_b"] == 30
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_psi_plan_one_corpus_pass_no_sort_merge(spark):
+    plan = _plan(q_psi_drift_by_source(spark, SF_DIR))
+    # the histogram is persisted and every consumer reads the cache —
+    # the corpus parquet appears in the cached subtree only (plan text
+    # inlines it per consumer; what EXECUTES is the InMemoryTableScan)
+    assert "InMemoryTableScan" in plan
+    # everything after the hist runs on the value domain: broadcast
+    # joins only, no sort-merge join anywhere
+    assert "SortMergeJoin" not in plan
+
+
+def test_ks_plan_is_join_free(spark):
+    plan = _plan(q_ks_two_sample(spark, SF_DIR))
+    assert "Join" not in plan
+    # source pair filter reaches the parquet scan
+    assert "PushedFilters: [In(source" in plan or "src0" in plan
+
+
+def test_dhash_neardups_plan_no_cartesian(spark):
+    from sleep_edf_data_pipeline_spark.queries.multimodal_queries import (
+        q_image_dhash_neardups,
+    )
+
+    plan = _plan(q_image_dhash_neardups(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("ArrowEvalPython") == 0  # dhash runs in mapInPandas
+    assert "MapInPandas" in plan
