@@ -66,7 +66,15 @@ def label_propagation(
         pairs = pairs.unionByName(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         ).distinct()
-    bidir = pairs.persist()
+    # Skip the persist when the caller already cached the edge frame
+    # and we use it as-is (mirror=False): the rename projection reads
+    # the existing cache, and a second persist would double the
+    # executor storage for the largest frame in the loop.  Caller owns
+    # the cache lifetime either way (the returned frame is lazy).
+    caller_cached = not mirror and (
+        edges.storageLevel.useMemory or edges.storageLevel.useDisk
+    )
+    bidir = pairs if caller_cached else pairs.persist()
     labels = (
         bidir.select(F.col("a").alias("node"))
         .distinct()

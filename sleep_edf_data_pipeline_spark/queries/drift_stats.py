@@ -102,18 +102,24 @@ def q_psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("eq", F.col("n") + PSI_BINS)
     )
     # ln of a ratio of exact integers, quantized once to micro-nats;
-    # the (a−e) factor is the exact BIGINT cross-product difference,
-    # so the per-source PSI sum is an order-free integer sum.
+    # the (a−e) factor is the exact cross-product difference.  The
+    # cross-products and the term sum run in DECIMAL(38,0) (int128 —
+    # HUGEINT in the oracle): at web scale ap·eq reaches ~1e14 and the
+    # term ~1e21, past BIGINT range; the decimal sum stays exact and
+    # order-free.  The log ARGUMENT stays a double ratio (magnitude-
+    # safe by construction — it's a probability ratio).
+    _d = "decimal(38,0)"
     l_micro = F.round(
         F.log(
-            (F.col("ap") * F.col("eq")).cast("double")
-            / (F.col("ep") * F.col("aq")).cast("double")
+            (F.col("ap").cast(_d) * F.col("eq").cast(_d)).cast("double")
+            / (F.col("ep").cast(_d) * F.col("aq").cast(_d)).cast("double")
         )
         * 1e6
     ).cast("bigint")
     term = (
-        F.col("ap") * F.col("eq") - F.col("ep") * F.col("aq")
-    ).cast("bigint") * l_micro
+        F.col("ap").cast(_d) * F.col("eq").cast(_d)
+        - F.col("ep").cast(_d) * F.col("aq").cast(_d)
+    ).cast(_d) * l_micro.cast(_d)
     return (
         grid.withColumn("_t", term)
         .groupBy("source", "aq", "eq")
@@ -188,10 +194,10 @@ terms AS (
            ns + {PSI_BINS} AS aq,
            n + {PSI_BINS} AS eq,
            CAST((sc + 1) * (n + {PSI_BINS}) - (gb + 1) * (ns + {PSI_BINS})
-                AS BIGINT)
+                AS HUGEINT)
            * CAST(round(ln(CAST((sc + 1) * (n + {PSI_BINS}) AS DOUBLE)
                            / CAST((gb + 1) * (ns + {PSI_BINS}) AS DOUBLE))
-                        * 1e6, 0) AS BIGINT) AS t
+                        * 1e6, 0) AS HUGEINT) AS t
     FROM sm
 )
 SELECT source,

@@ -53,8 +53,11 @@ from .graph_stats import _copurchase_edges
 
 LPA_ITERS = 3
 
-#: Mixture temperature (τ): weights ∝ share^τ; 0.5 = the sqrt flattening
-#: used for multilingual/multi-source LM mixtures.
+#: Token budget allocated across sources by the temperature weights.
+#: The mixture temperature itself is τ = 0.5 — realized as F.sqrt in
+#: q_temperature_mixture_weights (sqrt is IEEE-correctly-rounded and
+#: cross-engine exact, unlike a general pow(x, τ)); changing τ means
+#: changing that expression AND the oracle together.
 MIX_TOKEN_BUDGET = 1_000_000
 
 #: Incremental-view cutoff: orders before it are the "stored" base
@@ -130,9 +133,10 @@ def q_community_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``e2_c`` (directed in-community count) and ``d_c`` (directed
     out-count from members) make the term ``e2_c/m2 − (d_c/m2)²``
     where ``m2 = Σ d_c``.  Cross-engine float discipline: the term is
-    emitted as ONE division of exact BIGINTs —
-    ``(e2·m2 − d²) / m2²`` — so both engines divide identical
-    integers (no FMA-contraction exposure).
+    emitted as ONE division of exact integers —
+    ``(e2·m2 − d²) / m2²``, cross-products in int128
+    (DECIMAL(38,0) / HUGEINT) — so both engines divide identical
+    values (no FMA-contraction exposure, no BIGINT overflow).
 
     Plan shape: edges and labels persist (each is consumed twice); the
     per-community stats frame persists, so the 1-row ``m2`` total
@@ -181,9 +185,15 @@ def q_community_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "internal_directed",
         "degree_sum",
         (
+            # cross-products in DECIMAL(38,0) (HUGEINT in the oracle):
+            # e2·m2 passes BIGINT range once the directed edge count
+            # exceeds ~3e9 (TPC-H sf≈50) — int128 keeps the numerator
+            # exact at any graph size
             (
-                F.col("internal_directed") * F.col("_m2")
-                - F.col("degree_sum") * F.col("degree_sum")
+                F.col("internal_directed").cast("decimal(38,0)")
+                * F.col("_m2").cast("decimal(38,0)")
+                - F.col("degree_sum").cast("decimal(38,0)")
+                * F.col("degree_sum").cast("decimal(38,0)")
             ).cast("double")
             / (F.col("_m2").cast("double") * F.col("_m2").cast("double"))
         ).alias("modularity_term"),
@@ -219,7 +229,8 @@ SELECT CAST(s.community AS BIGINT) AS community,
        s.n_nodes,
        CAST(COALESCE(i.e2, 0) AS BIGINT) AS internal_directed,
        d.degree_sum,
-       CAST(COALESCE(i.e2, 0) * m2.m2 - d.degree_sum * d.degree_sum
+       CAST(CAST(COALESCE(i.e2, 0) AS HUGEINT) * m2.m2
+            - CAST(d.degree_sum AS HUGEINT) * d.degree_sum
             AS DOUBLE)
            / (CAST(m2.m2 AS DOUBLE) * CAST(m2.m2 AS DOUBLE))
            AS modularity_term

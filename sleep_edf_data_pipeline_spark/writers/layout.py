@@ -48,27 +48,44 @@ def _ge(v: Column):
     return lambda b: v >= b
 
 
-def _bucket(df: DataFrame, col: str, bits: int, rel_err: float) -> Column:
-    """Equi-depth bucket id (0 .. 2^bits − 1) for ``col``.
+def _buckets(
+    df: DataFrame, cols: list[str], bits: int, rel_err: float
+) -> list[Column]:
+    """Equi-depth bucket ids (0 .. 2^bits − 1), one column per input.
 
-    Boundaries come from one bounded ``approxQuantile`` pass (2^bits − 1
-    doubles on the driver — layout metadata, scale-free); the per-row
-    bucket is a counting scan of the boundary array (JVM higher-order
+    Boundaries come from ONE bounded ``approxQuantile`` pass over all
+    columns together (cols × (2^bits − 1) doubles on the driver —
+    layout metadata, scale-free, single input scan); the per-row bucket
+    is a counting scan of the boundary array (JVM higher-order
     function, codegen).  Equi-depth (not min/max uniform) so skewed
     columns still spread across the z-curve.
     """
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    bounds = df.approxQuantile(col, probs, rel_err)
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
-    return F.size(F.filter(arr, _ge(F.col(col).cast("double"))))
+    all_bounds = df.approxQuantile(cols, probs, rel_err)
+    return [
+        F.size(
+            F.filter(
+                F.array(*[F.lit(float(b)) for b in bounds]),
+                _ge(F.col(col).cast("double")),
+            )
+        ).cast("bigint")
+        for col, bounds in zip(cols, all_bounds)
+    ]
 
 
 def _morton(buckets: list[Column], bits: int) -> Column:
-    """Interleave the bucket ids' bits (Morton / Z-curve order)."""
+    """Interleave the bucket ids' bits (Morton / Z-curve order).
+
+    Buckets must be BIGINT: interleave positions reach
+    ``bits·n_cols − 1``, and 32-bit shifts wrap at 31 (Java shift
+    semantics), which would alias high bits and corrupt the curve.
+    """
     n = len(buckets)
+    if bits * n > 63:
+        raise ValueError(f"z-key needs {bits * n} bits; max 63 (signed long)")
     terms = [
         F.shiftleft(
-            F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j
+            F.shiftright(b, i).bitwiseAND(F.lit(1).cast("bigint")), i * n + j
         )
         for i in range(bits)
         for j, b in enumerate(buckets)
@@ -104,7 +121,7 @@ def zorder_clustered(
     Measured (not asserted) in tests/test_layout.py: point predicates
     on EACH clustered column prune against a layout built once.
     """
-    zcols = [_bucket(df, c, bits, rel_err) for c in cluster_cols]
+    zcols = _buckets(df, cluster_cols, bits, rel_err)
     (
         df.withColumn("_z", _morton(zcols, bits))
         .repartitionByRange(n_files, "_z")
