@@ -128,6 +128,8 @@ HEADLINE = [
     "psi_drift_by_source",
     "ks_two_sample",
     "image_dhash_neardups",
+    # r06 session-3 debut: order-2 sequential path mining over events
+    "top_event_paths",
 ]
 
 

@@ -123,6 +123,8 @@ SMOKE = [
     "psi_drift_by_source",
     "ks_two_sample",
     "image_dhash_neardups",
+    # r06 session-3 debut
+    "top_event_paths",
 ]
 
 

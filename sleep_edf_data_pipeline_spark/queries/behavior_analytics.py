@@ -425,3 +425,68 @@ FROM weekly
 
 QUERIES["cohort_ltv"] = q_cohort_ltv
 ORACLES["cohort_ltv"] = ORACLE_COHORT_LTV
+
+
+# --- sequential path mining -------------------------------------------------
+
+_PATH_TOP = 20
+
+
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-step user paths (order-2 sequential pattern mining).
+
+    The journey-analysis extension of ``event_transitions``: both lag
+    columns ride ONE window partitioning/sort (single shuffle on
+    user_id), the (e1,e2,e3) count is a map-side-combinable hash agg,
+    and the global cut is ``orderBy().limit()`` → TakeOrderedAndProject
+    (per-partition top-20 merged on the driver — no single-partition
+    sort of the full path space; the rank window below orders 20 rows).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    paths = (
+        ev.withColumn("e1", F.lag("event_type", 2).over(w))
+        .withColumn("e2", F.lag("event_type", 1).over(w))
+        .filter(F.col("e1").isNotNull())
+        .groupBy("e1", "e2", F.col("event_type").alias("e3"))
+        .agg(F.count("*").cast("bigint").alias("n_paths"))
+    )
+    top = paths.orderBy(
+        F.desc("n_paths"), F.asc("e1"), F.asc("e2"), F.asc("e3")
+    ).limit(_PATH_TOP)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(
+                F.desc("n_paths"), F.asc("e1"), F.asc("e2"), F.asc("e3")
+            )
+        ),
+    )
+
+
+ORACLE_TOP_EVENT_PATHS = f"""
+WITH seq AS (
+    SELECT event_type AS e3,
+           lag(event_type, 1) OVER win AS e2,
+           lag(event_type, 2) OVER win AS e1
+    FROM events
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+counted AS (
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM seq WHERE e1 IS NOT NULL
+    GROUP BY e1, e2, e3
+),
+ranked AS (
+    SELECT *,
+        CAST(row_number() OVER (
+            ORDER BY n_paths DESC, e1 ASC, e2 ASC, e3 ASC
+        ) AS INT) AS rank
+    FROM counted
+)
+SELECT e1, e2, e3, n_paths, rank FROM ranked WHERE rank <= {_PATH_TOP}
+"""
+
+
+QUERIES["top_event_paths"] = q_top_event_paths
+ORACLES["top_event_paths"] = ORACLE_TOP_EVENT_PATHS

@@ -209,6 +209,85 @@ GROUP BY source, aq, eq
 """
 
 
+def psi_between(ref_hist: DataFrame, probe_hist: DataFrame) -> float:
+    """PSI of a probe length-histogram against a reference histogram.
+
+    Both inputs are ``(len, c)`` frames (any extra columns ignored).
+    Same integer discipline as ``psi_drift_by_source``: thresholds are
+    exact reference order statistics, Laplace smoothing, int128 term
+    cross-products, one double division at the end.  Used by the
+    streaming drift monitor (streaming/drift.py) to score each
+    micro-batch BEFORE folding it into the reference; everything runs
+    on the value domain, so the returned scalar costs one tiny job.
+    """
+    ref = ref_hist.groupBy("len").agg(F.sum("c").cast("bigint").alias("rc"))
+    probe = probe_hist.groupBy("len").agg(
+        F.sum("c").cast("bigint").alias("pc")
+    )
+    wcum = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = ref.withColumn("cum", F.sum("rc").over(wcum)).withColumn(
+        "n", F.sum("rc").over(wall)
+    )
+    spark = ref_hist.sparkSession
+    deciles = spark.range(1, PSI_BINS).select(F.col("id").alias("i"))
+    thresholds = (
+        cum.crossJoin(F.broadcast(deciles))
+        .filter(F.lit(PSI_BINS) * F.col("cum") >= F.col("i") * F.col("n"))
+        .groupBy("i")
+        .agg(F.min("len").alias("t"))
+    )
+
+    def to_bins(h: DataFrame, cnt: str, out: str) -> DataFrame:
+        return (
+            h.join(F.broadcast(thresholds), F.col("len") > F.col("t"), "left")
+            .groupBy("len", cnt)
+            .agg(F.count("t").alias("bin"))
+            .groupBy("bin")
+            .agg(F.sum(cnt).cast("bigint").alias(out))
+        )
+
+    bins = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+    grid = (
+        bins.join(F.broadcast(to_bins(ref, "rc", "e")), "bin", "left")
+        .join(F.broadcast(to_bins(probe, "pc", "a")), "bin", "left")
+        .withColumn("e", F.coalesce(F.col("e"), F.lit(0)).cast("bigint"))
+        .withColumn("a", F.coalesce(F.col("a"), F.lit(0)).cast("bigint"))
+        .withColumn("en", F.sum("e").over(wall) + PSI_BINS)
+        .withColumn("an", F.sum("a").over(wall) + PSI_BINS)
+    )
+    _d = "decimal(38,0)"
+    ap, ep = F.col("a") + 1, F.col("e") + 1
+    l_micro = F.round(
+        F.log(
+            (ap.cast(_d) * F.col("en").cast(_d)).cast("double")
+            / (ep.cast(_d) * F.col("an").cast(_d)).cast("double")
+        )
+        * 1e6
+    ).cast("bigint")
+    term = (
+        ap.cast(_d) * F.col("en").cast(_d)
+        - ep.cast(_d) * F.col("an").cast(_d)
+    ) * l_micro.cast(_d)
+    row = (
+        grid.withColumn("_t", term)
+        .groupBy("an", "en")
+        .agg(F.sum("_t").alias("_s"))
+        .select(
+            (
+                F.col("_s").cast("double")
+                / (
+                    F.col("an").cast("double")
+                    * F.col("en").cast("double")
+                    * F.lit(1e6)
+                )
+            ).alias("psi")
+        )
+        .collect()
+    )
+    return float(row[0]["psi"]) if row else 0.0
+
+
 def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact KS statistic between two sources' length distributions."""
     hist = _length_hist(spark, sf_dir)

@@ -65,7 +65,8 @@ _MODULES = [
 #    cdc_chunks, token_entropy_by_source, plus the engine_extras four —
 #    label_propagation_communities, incremental_customer_summary,
 #    temperature_mixture_weights, normalize_text_nfc,
-#    community_quality, psi_drift_by_source, ks_two_sample, image_dhash_neardups);
+#    community_quality, psi_drift_by_source, ks_two_sample,
+#    image_dhash_neardups, top_event_paths);
 # 2) any query whose implementation round 6 REWROTE after its last
 #    driver row (candidates: bloom_decontaminate if the auto-switch
 #    lands, heavy_hitters_cms if the executor-side probe lands after

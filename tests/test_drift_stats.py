@@ -115,3 +115,55 @@ def test_dhash_neardups_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("ArrowEvalPython") == 0  # dhash runs in mapInPandas
     assert "MapInPandas" in plan
+
+
+# --------------------------------------------------------------------------
+# streaming drift monitor
+# --------------------------------------------------------------------------
+
+
+def test_streaming_drift_monitor_folds_and_alerts(spark, tmp_path):
+    """4-batch replay: reference folds to the exact full histogram;
+    same-distribution batches stay quiet; a shifted batch alerts."""
+    from sleep_edf_data_pipeline_spark.queries.drift_stats import psi_between
+    from sleep_edf_data_pipeline_spark.streaming.drift import (
+        StreamingDriftMonitor,
+        length_hist,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(src)
+    mon = StreamingDriftMonitor(str(tmp_path / "ref"))
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(mon.history) >= 2
+
+    # folded reference == one-shot batch histogram (algebraic exactness)
+    got = sorted(map(tuple, mon.reference(spark).collect()))
+    want = sorted(map(tuple, length_hist(docs).collect()))
+    assert got == want
+
+    # random 4-way splits of one corpus: no alert after the first batch
+    assert mon.history[0][1] is None
+    assert all(not alerted for _, _, alerted in mon.history)
+
+    # a length-shifted batch must alert
+    shifted = docs.withColumn("n_chars", F.col("n_chars") + 5000)
+    v = mon.version
+    mon.process_batch(shifted, mon.last_batch_id + 1)
+    assert mon.history[-1][2] and mon.history[-1][1] > 1.0
+    assert mon.version == v + 1  # and it still folded in
+
+    # psi_between of a histogram against itself is exactly 0
+    h = length_hist(docs)
+    assert psi_between(h, h) == 0.0

@@ -129,6 +129,26 @@ def test_hard_negatives_is_partition_local_topk(spark, sf_dir):
         assert bad not in plan, plan
 
 
+def test_top_event_paths_single_window_pass_and_takeordered(spark, sf_dir):
+    """Both lag columns must ride ONE user_id window (a single
+    user_id shuffle feeds one Window node computing e1 and e2); the
+    global cut must be TakeOrderedAndProject, never a full sort; the
+    rank window only ever sees the 20 surviving rows."""
+    from sleep_edf_data_pipeline_spark.queries import behavior_analytics as ba
+
+    plan = (
+        ba.QUERIES["top_event_paths"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("windowspecdefinition(user_id") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    for bad in ("SortMergeJoin", "CartesianProduct", "BatchEvalPython"):
+        assert bad not in plan, plan
+
+
 def test_cdc_and_entropy_are_join_free(spark, sf_dir):
     """cdc_chunks (window explode + islands) and
     token_entropy_by_source (two-level histogram agg) must stay
