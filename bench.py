@@ -130,6 +130,8 @@ HEADLINE = [
     "image_dhash_neardups",
     # r06 session-3 debut: order-2 sequential path mining over events
     "top_event_paths",
+    # r06 session-3 debut: skip-gram PMI association mining
+    "pmi_cooccurrence",
 ]
 
 

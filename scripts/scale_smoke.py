@@ -125,6 +125,7 @@ SMOKE = [
     "image_dhash_neardups",
     # r06 session-3 debut
     "top_event_paths",
+    "pmi_cooccurrence",
 ]
 
 

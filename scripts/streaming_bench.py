@@ -309,6 +309,56 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Streaming drift monitor (r6): score each micro-batch's length
+    # histogram against the accumulated reference BEFORE folding it in.
+    # The fold is algebraic, so the final reference must equal the
+    # one-shot batch histogram exactly — checked, not assumed.
+    from sleep_edf_data_pipeline_spark.queries.drift_stats import psi_between
+    from sleep_edf_data_pipeline_spark.streaming.drift import (
+        StreamingDriftMonitor,
+        length_hist,
+    )
+
+    docs_full = table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    docs_full.repartition(N_FILES).write.parquet(f"{STAGE}/docs_full")
+    n_docs = docs_full.count()
+    mon = StreamingDriftMonitor(f"{STAGE}/drift_ref")
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema(docs_full.schema)
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .parquet(f"{STAGE}/docs_full")
+        .writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", f"{STAGE}/_ckpt_drift")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(f"streaming drift monitor failed: {exc}")
+    wall = time.perf_counter() - t0
+    got = sorted(map(tuple, mon.reference(spark).collect()))
+    want = sorted(map(tuple, length_hist(docs_full).collect()))
+    if got != want:
+        raise RuntimeError("folded drift reference != batch histogram")
+    results["streaming_drift_monitor"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": n_docs,
+        "rows_per_sec": round(n_docs / wall) if wall else None,
+        "micro_batches": len(mon.history),
+        "alerts": sum(1 for _, _, a in mon.history if a),
+        "max_batch_psi": max(
+            (p for _, p, _ in mon.history if p is not None), default=None
+        ),
+        "reference_exact": True,
+    }
+    print(
+        f"# streaming_drift_monitor: {results['streaming_drift_monitor']}",
+        file=sys.stderr,
+    )
+
     with open(out_path, "w") as f:
         json.dump(
             {

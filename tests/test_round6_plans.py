@@ -149,6 +149,29 @@ def test_top_event_paths_single_window_pass_and_takeordered(spark, sf_dir):
         assert bad not in plan, plan
 
 
+def test_pmi_runs_on_cached_pair_vocab_not_corpus(spark, sf_dir):
+    """The corpus is tokenized ONCE into the persisted pair-count
+    table; marginals, N, and the scored frame all read caches
+    (InMemoryTableScan ×≥4 — pair table ×2 consumers + marginal table
+    ×2 endpoint joins).  Marginal attach is broadcast; the only
+    nested-loop join is the 1-row N attach; the global cut is
+    TakeOrderedAndProject."""
+    from sleep_edf_data_pipeline_spark.queries import assoc_mining as am
+
+    plan = (
+        am.QUERIES["pmi_cooccurrence"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    for bad in ("SortMergeJoin", "CartesianProduct", "BatchEvalPython"):
+        assert bad not in plan, plan
+
+
 def test_cdc_and_entropy_are_join_free(spark, sf_dir):
     """cdc_chunks (window explode + islands) and
     token_entropy_by_source (two-level histogram agg) must stay
