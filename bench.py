@@ -132,6 +132,11 @@ HEADLINE = [
     "top_event_paths",
     # r06 session-3 debut: skip-gram PMI association mining
     "pmi_cooccurrence",
+    # r06 session-4 debuts: OLS trend, ACF, storage-format roundtrips
+    "revenue_trend_ols",
+    "acf_user_value",
+    "orc_roundtrip_agg",
+    "csv_roundtrip_agg",
 ]
 
 

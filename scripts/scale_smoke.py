@@ -126,6 +126,13 @@ SMOKE = [
     # r06 session-3 debut
     "top_event_paths",
     "pmi_cooccurrence",
+    # r06 session-4 debuts: OLS moments (fact join + map-side fold),
+    # the single-walk ACF, and the two staged-format roundtrips whose
+    # wall is dominated by the write — expect ~linear in fact bytes.
+    "revenue_trend_ols",
+    "acf_user_value",
+    "orc_roundtrip_agg",
+    "csv_roundtrip_agg",
 ]
 
 

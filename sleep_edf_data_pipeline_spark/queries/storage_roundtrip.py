@@ -1,0 +1,174 @@
+"""Storage-format roundtrips: ORC and CSV staging sinks + sources.
+
+The reference stages every intermediate as parquet (ingest/pipeline.py
+staging writes) and bulk-loads a warehouse from those files; a Spark
+warehouse additionally has to interoperate with ORC (the other
+columnar Hadoop format) and CSV (the lowest-common-denominator
+interchange format).  Each query here writes a staged copy of a fact
+slice in the target format, reads it back, and aggregates the
+read-back — so the DuckDB oracle (which aggregates the original
+parquet directly) verifies END-TO-END roundtrip fidelity: any loss in
+the write path (type mapping, timestamp encoding, decimal/double
+formatting) breaks the value hash.
+
+Determinism and fidelity notes:
+
+* ORC is typed — BIGINT/DOUBLE/VARCHAR/TIMESTAMP map 1:1, so the
+  roundtrip is bit-exact by construction.
+* CSV is text — doubles are written with Java's shortest
+  round-trippable repr and parsed back to the identical bit pattern;
+  timestamps are pinned to an explicit microsecond pattern on both
+  write and read (defaults would truncate); the aggregate routes
+  through DECIMAL so even a lossy repr would be caught, not masked.
+
+Scale notes: the staging write is an ordinary distributed sink (one
+file per partition, rename-free task commit v2 semantics at cluster
+scale); nothing is collected.  The read-back scan benefits from the
+same pushdown/pruning as parquet (ORC: predicate + column; CSV:
+column pruning only — exactly why the sibling formats exist and why
+staging defaults to columnar).  Local staging lands under /tmp; on a
+cluster the same code takes any Hadoop-FS URI.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import table, table_fingerprint
+
+#: Columns staged through the interchange formats (one of each base
+#: type: int keys, double measure, string dim, timestamp).
+_STAGE_COLS = (
+    "l_orderkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+)
+
+#: Microsecond-precision timestamp pattern for the CSV text roundtrip
+#: (the default pattern drops sub-second precision on write).
+_CSV_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _stage_path(sf_dir: str, fmt: str) -> str:
+    """Deterministic per-(corpus, format) staging dir under /tmp.
+
+    Keyed on the lineitem content fingerprint, so a rewritten corpus
+    never reuses a stale staged copy, and repeated runs at the same
+    SF overwrite one directory instead of accreting new ones.
+    """
+    fp = hashlib.md5(
+        repr(table_fingerprint(sf_dir, "lineitem")).encode()
+    ).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"sleep_edf_stage_{fmt}_{fp}"
+    )
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    """Flag/status rollup over the read-back staged slice.
+
+    Quantities and prices fold through DECIMAL(18,2) (order-free,
+    exact) so any text-format precision loss changes the hash instead
+    of disappearing into float noise; the timestamp column is probed
+    by min/max (cast to DATE — whole-day, format-agnostic bounds).
+    """
+    return (
+        df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
+            F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+        )
+    )
+
+
+_ORACLE_AGG = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    count(*) AS n_rows,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+    CAST(min(l_shipdate) AS DATE) AS first_ship,
+    CAST(max(l_shipdate) AS DATE) AS last_ship
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage lineitem to ORC (zstd), read it back, roll up by flag/status.
+
+    Exercises the ORC sink + source end to end against the parquet
+    oracle: type mapping (BIGINT/DOUBLE/VARCHAR/TIMESTAMP), compressed
+    stripe encode/decode, and read-back column pruning (only the agg
+    columns are decoded — ORC carries per-column streams like parquet).
+    """
+    path = _stage_path(sf_dir, "orc")
+    li = table(spark, sf_dir, "lineitem").select(*_STAGE_COLS)
+    li.write.mode("overwrite").option("compression", "zstd").orc(path)
+    return _roundtrip_agg(spark.read.orc(path))
+
+
+def q_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage lineitem to gzip CSV, read back with a pinned schema, roll up.
+
+    The text-format gauntlet: doubles survive via shortest-roundtrip
+    repr, timestamps via the explicit microsecond pattern (write and
+    read pinned to the same format), and the read applies the staged
+    slice's explicit schema — header-only inference would re-derive
+    types from text and is both slow (extra pass) and unstable.
+    """
+    path = _stage_path(sf_dir, "csv")
+    li = table(spark, sf_dir, "lineitem").select(*_STAGE_COLS)
+    (
+        li.write.mode("overwrite")
+        .option("header", "true")
+        .option("compression", "gzip")
+        .option("timestampNTZFormat", _CSV_TS_FMT)
+        .option("timestampFormat", _CSV_TS_FMT)
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(li.schema)
+        .option("header", "true")
+        .option("timestampNTZFormat", _CSV_TS_FMT)
+        .option("timestampFormat", _CSV_TS_FMT)
+        .csv(path)
+    )
+    return _roundtrip_agg(back)
+
+
+QUERIES = {
+    "orc_roundtrip_agg": q_orc_roundtrip_agg,
+    "csv_roundtrip_agg": q_csv_roundtrip_agg,
+}
+
+ORACLES = {
+    "orc_roundtrip_agg": _ORACLE_AGG,
+    "csv_roundtrip_agg": _ORACLE_AGG,
+}

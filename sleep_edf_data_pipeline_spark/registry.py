@@ -56,6 +56,8 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.engine_extras",
     "sleep_edf_data_pipeline_spark.queries.drift_stats",
     "sleep_edf_data_pipeline_spark.queries.assoc_mining",
+    "sleep_edf_data_pipeline_spark.queries.trend_stats",
+    "sleep_edf_data_pipeline_spark.queries.storage_roundtrip",
 ]
 
 # ROUND-7 WINDOW PLAN (execute at the START of round 7, never
@@ -67,7 +69,9 @@ _MODULES = [
 #    label_propagation_communities, incremental_customer_summary,
 #    temperature_mixture_weights, normalize_text_nfc,
 #    community_quality, psi_drift_by_source, ks_two_sample,
-#    image_dhash_neardups, top_event_paths, pmi_cooccurrence);
+#    image_dhash_neardups, top_event_paths, pmi_cooccurrence,
+#    revenue_trend_ols, acf_user_value, orc_roundtrip_agg,
+#    csv_roundtrip_agg);
 # 2) any query whose implementation round 6 REWROTE after its last
 #    driver row (candidates: bloom_decontaminate if the auto-switch
 #    lands, heavy_hitters_cms if the executor-side probe lands after
