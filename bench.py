@@ -137,6 +137,8 @@ HEADLINE = [
     "acf_user_value",
     "orc_roundtrip_agg",
     "csv_roundtrip_agg",
+    # r06 session-4 debut: train/val/test near-dup leakage audit
+    "cross_split_leakage",
 ]
 
 

@@ -429,8 +429,71 @@ WHERE s.src = 1
 """
 
 
+def _split_of(doc_id_col):
+    """train/val/test bucket of a doc id (same md5 rule as
+    dataset_split_stats — a pure projection, never a join)."""
+    h = F.substring(F.md5(doc_id_col.cast("string")), 1, 1)
+    return (
+        F.when(h <= "b", "train")
+        .when(h.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+
+
+def q_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs that STRADDLE a train/val/test boundary.
+
+    The pre-training leakage audit: a validation document with a ≥0.6
+    Jaccard twin in train contaminates the eval.  Pairs come from the
+    same banded MinHash-LSH pass as ``minhash_lsh_neardups`` (never
+    all-pairs); the split of each side is a pure md5 projection of the
+    doc id — identical to ``dataset_split_stats``'s assignment — so
+    the leakage check costs exactly the LSH pass plus a filter: ZERO
+    additional joins or shuffles at any scale.
+    """
+    pairs = minhash_lsh_dedup(
+        spread(table(spark, sf_dir, "documents"), "doc_id"),
+        "doc_id",
+        "text",
+        k=16,
+        shingle_n=1,
+        bands=4,
+        rows_per_band=4,
+        threshold=0.6,
+    )
+    return (
+        pairs.withColumn("split_a", _split_of(F.col("id_a")))
+        .withColumn("split_b", _split_of(F.col("id_b")))
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )
+
+
+_SPLIT_SQL = """CASE
+            WHEN substring(md5(CAST({c} AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+            WHEN substring(md5(CAST({c} AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+            ELSE 'test'
+        END"""
+
+# The LSH pair generation is the verified ORACLE_MINHASH_LSH_NEARDUPS
+# text verbatim; leakage is the cross-split filter over its output.
+ORACLE_CROSS_SPLIT_LEAKAGE = f"""
+WITH pairs AS ({ORACLE_MINHASH_LSH_NEARDUPS}),
+labeled AS (
+    SELECT id_a, id_b, jaccard,
+        {_SPLIT_SQL.format(c="id_a")} AS split_a,
+        {_SPLIT_SQL.format(c="id_b")} AS split_b
+    FROM pairs
+)
+SELECT id_a, id_b, jaccard, split_a, split_b
+FROM labeled
+WHERE split_a <> split_b
+"""
+
+
 QUERIES = {
     "incremental_dedup": q_incremental_dedup,
+    "cross_split_leakage": q_cross_split_leakage,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
     "minhash_signatures": q_minhash_signatures,
@@ -442,6 +505,7 @@ QUERIES = {
 
 ORACLES = {
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+    "cross_split_leakage": ORACLE_CROSS_SPLIT_LEAKAGE,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "minhash_signatures": ORACLE_MINHASH_SIGNATURES,

@@ -152,3 +152,40 @@ def test_replicated_join_equals_plain(spark, how):
         for r in replicated_join(probe, build, ["k"], n_salts=8, how=how).collect()
     )
     assert salted == plain
+
+
+def test_cross_split_leakage_is_lsh_pairs_restricted(spark, sf_dir):
+    """The leakage audit must be EXACTLY the LSH near-dup pairs whose
+    md5-bucket splits differ — no pair invented, none lost, and the
+    split labels must match the pure-projection rule used by
+    dataset_split_stats (same assignment, same audit)."""
+    import hashlib
+
+    from sleep_edf_data_pipeline_spark.queries.dedup_queries import (
+        q_cross_split_leakage,
+        q_minhash_lsh_neardups,
+    )
+
+    def split_of(doc_id: int) -> str:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+        if h <= "b":
+            return "train"
+        if h in ("c", "d"):
+            return "val"
+        return "test"
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in q_minhash_lsh_neardups(spark, sf_dir).collect()
+    }
+    expected = {
+        (a, b): j
+        for (a, b), j in pairs.items()
+        if split_of(a) != split_of(b)
+    }
+    audited = {}
+    for r in q_cross_split_leakage(spark, sf_dir).collect():
+        assert r["split_a"] == split_of(r["id_a"])
+        assert r["split_b"] == split_of(r["id_b"])
+        audited[(r["id_a"], r["id_b"])] = r["jaccard"]
+    assert audited == expected
