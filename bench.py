@@ -139,6 +139,8 @@ HEADLINE = [
     "csv_roundtrip_agg",
     # r06 session-4 debut: train/val/test near-dup leakage audit
     "cross_split_leakage",
+    # r06 session-4 debut: inverted-index posting-list build
+    "inverted_index_postings",
 ]
 
 

@@ -136,6 +136,9 @@ SMOKE = [
     # r06 session-4: the leakage audit rides the LSH pass — its decade
     # row should track minhash_lsh_neardups' (pair-output-bound).
     "cross_split_leakage",
+    # r06 session-4: inverted index — one tokenize pass + one term
+    # shuffle; posting truncation is pre-collect, state ≤8 per term.
+    "inverted_index_postings",
 ]
 
 

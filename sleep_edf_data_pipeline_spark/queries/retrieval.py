@@ -38,7 +38,7 @@ the oracle hash-gate is bit-exact, not because retrieval needs it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import table
@@ -131,5 +131,109 @@ LIMIT {BM25_K}
 """
 
 
-QUERIES = {"bm25_topk": q_bm25_topk}
-ORACLES = {"bm25_topk": ORACLE_BM25_TOPK}
+#: Posting list truncation (docs kept per term) and vocabulary cut
+#: (terms kept, by document frequency).
+POSTINGS_PER_TERM = 8
+INDEX_TERMS = 100
+
+
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the inverted index: top-100 terms with truncated postings.
+
+    The retrieval-infrastructure twin of `bm25_topk`: one tokenize
+    pass → (term, doc) tf counts → per-term df / total_tf / top-8
+    posting list "doc:tf" (ranked tf DESC, doc_id ASC), vocabulary cut
+    to the 100 highest-df terms.
+
+    Bounded-state discipline: the posting truncation happens BEFORE
+    any collect — a row_number over the term partition keeps only 8
+    rows per term, so the collect_list state is ≤8 structs per group
+    no matter how common the term is ("the" at 100 TB appears in every
+    document; an agg-then-truncate would buffer them all).  df and
+    total_tf ride the same window pass, so the whole index is ONE
+    term-key shuffle; the vocabulary cut compiles to TakeOrdered (no
+    global sort).  Postings serialize as a comma-joined string —
+    engine-portable and hash-stable.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    w = Window.partitionBy("term")
+    ranked = tf.select(
+        "term",
+        "doc_id",
+        "tf",
+        F.row_number()
+        .over(w.orderBy(F.desc("tf"), F.asc("doc_id")))
+        .alias("r"),
+        F.count("*").over(w).cast("bigint").alias("df"),
+        F.sum("tf").over(w).cast("bigint").alias("total_tf"),
+    ).filter(F.col("r") <= POSTINGS_PER_TERM)
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.max("df").alias("df"),
+            F.max("total_tf").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("r"), F.col("doc_id"), F.col("tf")))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s.doc_id.cast("string"), s.tf.cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(INDEX_TERMS)
+    )
+
+
+ORACLE_INVERTED_INDEX_POSTINGS = f"""
+WITH tf AS (
+    SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+        FROM documents
+    )
+    WHERE term <> ''
+    GROUP BY term, doc_id
+),
+ranked AS (
+    SELECT term, doc_id, tf,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY tf DESC, doc_id ASC) AS r,
+           CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+           CAST(sum(tf) OVER (PARTITION BY term) AS BIGINT) AS total_tf
+    FROM tf
+)
+SELECT term,
+       max(df) AS df,
+       max(total_tf) AS total_tf,
+       string_agg(doc_id || ':' || tf, ',' ORDER BY r) AS postings
+FROM ranked
+WHERE r <= {POSTINGS_PER_TERM}
+GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT {INDEX_TERMS}
+"""
+
+
+QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "inverted_index_postings": q_inverted_index_postings,
+}
+ORACLES = {
+    "bm25_topk": ORACLE_BM25_TOPK,
+    "inverted_index_postings": ORACLE_INVERTED_INDEX_POSTINGS,
+}

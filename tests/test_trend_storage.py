@@ -135,3 +135,25 @@ def test_stage_path_is_content_keyed_and_stable(sf_dir):
     assert p1 == p2
     assert sr._stage_path(sf_dir, "csv") != p1
     assert sr._stage_path("/root/testdata/sf0.01", "orc") != p1
+
+
+def test_inverted_index_bounded_state_and_takeordered(spark, sf_dir):
+    """The index build must be two exchanges max ((term,doc) tf agg +
+    the term window; the final term rollup reuses the window's
+    partitioning) and the vocabulary cut must compile to TakeOrdered,
+    never a global sort.  The truncation-before-collect contract is
+    structural: the collect_list consumes the post-filter (r<=8)
+    frame, so no plan node buffers an unbounded group."""
+    from sleep_edf_data_pipeline_spark.queries.retrieval import (
+        POSTINGS_PER_TERM,
+        q_inverted_index_postings,
+    )
+
+    df = q_inverted_index_postings(spark, sf_dir)
+    plan = _plan(df)
+    assert _n_shuffles(plan) <= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    for r in df.collect():
+        n_postings = len(r["postings"].split(","))
+        assert 1 <= n_postings <= POSTINGS_PER_TERM, r
+        assert r["df"] >= n_postings, r
