@@ -141,6 +141,8 @@ HEADLINE = [
     "cross_split_leakage",
     # r06 session-4 debut: inverted-index posting-list build
     "inverted_index_postings",
+    # r06 session-4 debut: BFS hop distances from the co-purchase hub
+    "bfs_distances",
 ]
 
 

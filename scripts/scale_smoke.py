@@ -139,6 +139,9 @@ SMOKE = [
     # r06 session-4: inverted index — one tokenize pass + one term
     # shuffle; posting truncation is pre-collect, state ≤8 per term.
     "inverted_index_postings",
+    # r06 session-4: BFS — per-round frontier⋈edges shuffle over the
+    # persisted edge list; expect the kcore/LPA fixed-round profile.
+    "bfs_distances",
 ]
 
 

@@ -590,7 +590,85 @@ def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
     )
 
 
+#: BFS rounds — distances 0..BFS_ROUNDS from the hub are emitted.
+BFS_ROUNDS = 4
+
+
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from the co-purchase hub (fixed 4 rounds).
+
+    The graph-traversal primitive next to PageRank/LPA/k-core: seed at
+    the highest-degree node (ties → min key, a TakeOrdered — never a
+    collect), then 4 synchronous relaxation rounds of
+    ``dist_r(v) = min(dist_{r-1}(v), min over in-neighbors + 1)``.
+    Entirely integer arithmetic — no float anywhere — so the oracle
+    (the same 4 rounds unrolled as CTEs) is exact by construction.
+
+    Scale shape: per round ONE shuffle (the frontier⋈edges key) plus a
+    min-agg; the frontier frame is persisted+materialized per round so
+    the lazy subtree never multiplies (the k-core lesson —
+    operators/components.py documents the 10× wall cliff).  At 100 TB
+    the distance frame is node-scale (small side), the edge list is
+    the big side and is read from its persisted form each round.
+    """
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    seed = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("src"))
+        .limit(1)
+        .select(F.col("src").alias("node"), F.lit(0).cast("int").alias("dist"))
+    )
+    dist = seed.persist()
+    dist.count()
+    for _ in range(BFS_ROUNDS):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .unionByName(dist.select("node", "dist"))
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+        )
+        prev = dist
+        dist = relaxed.persist()
+        dist.count()
+        prev.unpersist()
+    return dist.select(F.col("node").cast("bigint").alias("node"), "dist")
+
+
+def _bfs_oracle(rounds: int = BFS_ROUNDS) -> str:
+    ctes = [
+        """edges AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+)""",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "d0 AS (SELECT src AS node, 0 AS dist FROM deg"
+        " ORDER BY deg DESC, src LIMIT 1)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS (
+    SELECT node, min(dist) AS dist FROM (
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM d{r - 1} d JOIN edges e ON d.node = e.src
+        UNION ALL
+        SELECT node, dist FROM d{r - 1}
+    ) GROUP BY node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(node AS BIGINT) AS node,"
+        f" CAST(dist AS INT) AS dist FROM d{rounds}"
+    )
+
+
 QUERIES = {
+    "bfs_distances": q_bfs_distances,
     "kcore_membership": q_kcore_membership,
     "triangle_counts": q_triangle_counts,
     "pagerank_copurchase": q_pagerank_copurchase,
@@ -600,6 +678,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bfs_distances": _bfs_oracle(),
     "kcore_membership": _kcore_oracle(),
     "triangle_counts": ORACLE_TRIANGLE_COUNTS,
     "pagerank_copurchase": _pagerank_oracle(),

@@ -157,3 +157,32 @@ def test_inverted_index_bounded_state_and_takeordered(spark, sf_dir):
         n_postings = len(r["postings"].split(","))
         assert 1 <= n_postings <= POSTINGS_PER_TERM, r
         assert r["df"] >= n_postings, r
+
+
+def test_bfs_distances_invariants(spark, sf_dir):
+    """Exactly one seed at dist 0; every distance in [0, BFS_ROUNDS];
+    and BFS monotonicity — every node at dist d+1 is adjacent to some
+    node at dist d (spot-checked via the edge list); the iterative
+    frame must execute from its persisted form (InMemoryTableScan),
+    not re-derive the subtree per round."""
+    from sleep_edf_data_pipeline_spark.queries.graph_stats import (
+        BFS_ROUNDS,
+        _copurchase_edges,
+        q_bfs_distances,
+    )
+
+    df = q_bfs_distances(spark, sf_dir)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan
+
+    rows = {r["node"]: r["dist"] for r in df.collect()}
+    assert sorted(rows.values())[0] == 0
+    assert sum(1 for d in rows.values() if d == 0) == 1
+    assert all(0 <= d <= BFS_ROUNDS for d in rows.values())
+
+    adj = {}
+    for e in _copurchase_edges(spark, sf_dir).collect():
+        adj.setdefault(e["dst"], set()).add(e["src"])
+    for node, d in rows.items():
+        if d > 0:
+            assert any(rows.get(p) == d - 1 for p in adj.get(node, ())), node
