@@ -143,6 +143,8 @@ HEADLINE = [
     "inverted_index_postings",
     # r06 session-4 debut: BFS hop distances from the co-purchase hub
     "bfs_distances",
+    # r06 session-4 debut: SCD2 dimension-history intervals
+    "scd2_customer_priority",
 ]
 
 

@@ -142,6 +142,8 @@ SMOKE = [
     # r06 session-4: BFS — per-round frontier⋈edges shuffle over the
     # persisted edge list; expect the kcore/LPA fixed-round profile.
     "bfs_distances",
+    # r06 session-4: SCD2 — one customer shuffle, window-chain reuse.
+    "scd2_customer_priority",
 ]
 
 

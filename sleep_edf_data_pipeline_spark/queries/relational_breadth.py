@@ -152,7 +152,79 @@ WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
 """
 
 
+def q_scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history: customer priority-state validity intervals.
+
+    The dimension-history build every warehouse runs: treat each
+    customer's order stream as a change log of their priority state,
+    collapse CONSECUTIVE same-priority orders into one interval
+    (gaps-and-islands via the two-row_number difference — a pure
+    integer group key), and emit [valid_from, valid_to) ranges where
+    valid_to is the next interval's start (NULL = current row).
+
+    One customer-key shuffle; both row_numbers and the interval bounds
+    ride the same partitioning (the window chain shares one exchange —
+    the pinned pattern from operators/islands.py).  Interval bounds
+    are raw timestamps selected by min/max — no arithmetic, exact.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    runs = orders.withColumn(
+        "run_id", F.row_number().over(wc) - F.row_number().over(wp)
+    )
+    spans = runs.groupBy("o_custkey", "o_orderpriority", "run_id").agg(
+        F.min("o_orderdate").alias("valid_from"),
+        # Unique per span (orderkeys are unique): the tiebreaker that
+        # keeps the lead() order total when two spans share a date.
+        F.min("o_orderkey").alias("first_key"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    wn = Window.partitionBy("o_custkey").orderBy("valid_from", "first_key")
+    return spans.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from",
+        F.lead("valid_from").over(wn).alias("valid_to"),
+        "n_orders",
+        (F.lead("valid_from").over(wn).isNull()).alias("is_current"),
+    )
+
+
+ORACLE_SCD2_CUSTOMER_PRIORITY = """
+WITH runs AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey)
+           - row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+                                ORDER BY o_orderdate, o_orderkey) AS run_id
+    FROM orders
+),
+spans AS (
+    SELECT o_custkey, o_orderpriority, run_id,
+           min(o_orderdate) AS valid_from,
+           min(o_orderkey) AS first_key,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM runs
+    GROUP BY o_custkey, o_orderpriority, run_id
+)
+SELECT o_custkey AS custkey,
+       o_orderpriority AS priority,
+       valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       n_orders,
+       (lead(valid_from) OVER w IS NULL) AS is_current
+FROM spans
+WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from, first_key)
+"""
+
+
 QUERIES = {
+    "scd2_customer_priority": q_scd2_customer_priority,
     "window_function_suite": q_window_function_suite,
     "fuzzy_name_dedup": q_fuzzy_name_dedup,
     "part_attributes_unpivot": q_part_attributes_unpivot,
@@ -160,6 +232,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scd2_customer_priority": ORACLE_SCD2_CUSTOMER_PRIORITY,
     "window_function_suite": ORACLE_WINDOW_FUNCTION_SUITE,
     "fuzzy_name_dedup": ORACLE_FUZZY_NAME_DEDUP,
     "part_attributes_unpivot": ORACLE_PART_ATTRIBUTES_UNPIVOT,
