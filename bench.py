@@ -145,6 +145,8 @@ HEADLINE = [
     "bfs_distances",
     # r06 session-4 debut: SCD2 dimension-history intervals
     "scd2_customer_priority",
+    # r06 session-4 debut: popularity-biased link-prediction negatives
+    "link_negative_sampling",
 ]
 
 

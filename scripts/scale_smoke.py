@@ -144,6 +144,9 @@ SMOKE = [
     "bfs_distances",
     # r06 session-4: SCD2 — one customer shuffle, window-chain reuse.
     "scd2_customer_priority",
+    # r06 session-4: negative sampling — candidates are nodes×64
+    # (linear in nodes), one anti-join shuffle against the edge list.
+    "link_negative_sampling",
 ]
 
 

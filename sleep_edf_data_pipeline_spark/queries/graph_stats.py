@@ -21,7 +21,7 @@ never ships, each with the distributed plan a 100 TB graph/fact needs:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import table
@@ -667,8 +667,105 @@ def _bfs_oracle(rounds: int = BFS_ROUNDS) -> str:
     )
 
 
+#: Negative-sampling knobs: candidate pool (the most-popular nodes)
+#: and negatives kept per node.
+NEG_POOL = 64
+NEG_PER_NODE = 5
+
+
+def q_link_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popularity-biased negative sampling for link prediction.
+
+    The training-data op for edge-prediction models: for every node,
+    emit NEG_PER_NODE deterministic non-edges drawn from the NEG_POOL
+    most-popular nodes (the textbook popularity-biased scheme — easy
+    negatives come from the head of the degree distribution).  The
+    pick is md5-ranked so the sample is reproducible and
+    oracle-checkable, not an RNG.
+
+    Scale shape: the candidate frame is nodes × 64 (linear in nodes —
+    never nodes², the all-pairs trap); the popular pool is a
+    TakeOrdered + broadcast (64 rows), the true-edge removal is ONE
+    left-anti shuffle on the pair key, and the per-node top-5 is a
+    window over ≤64 rows per node.
+    """
+    # Three consumers (degree pass, node list, anti-join) — persist so
+    # the order⋈order edge derivation runs once, not three times.
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    popular = (
+        deg.orderBy(F.desc("deg"), F.asc("src"))
+        .limit(NEG_POOL)
+        .select(F.col("src").alias("cand"))
+    )
+    nodes = deg.select(F.col("src").alias("node"))
+    cands = (
+        nodes.crossJoin(F.broadcast(popular))
+        .filter(F.col("node") != F.col("cand"))
+    )
+    negs = cands.join(
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("cand")),
+        ["node", "cand"],
+        "left_anti",
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.md5(
+            F.concat_ws(":", F.col("node").cast("string"), F.col("cand").cast("string"))
+        ),
+        F.asc("cand"),
+    )
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= NEG_PER_NODE)
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("cand").cast("bigint").alias("negative"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+ORACLE_LINK_NEGATIVE_SAMPLING = f"""
+WITH edges AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+popular AS (
+    SELECT src AS cand FROM deg ORDER BY deg DESC, src LIMIT {NEG_POOL}
+),
+cands AS (
+    SELECT d.src AS node, p.cand
+    FROM deg d CROSS JOIN popular p
+    WHERE d.src != p.cand
+),
+negs AS (
+    SELECT c.node, c.cand
+    FROM cands c
+    ANTI JOIN edges e ON c.node = e.src AND c.cand = e.dst
+),
+ranked AS (
+    SELECT node, cand,
+           row_number() OVER (
+               PARTITION BY node
+               ORDER BY md5(CAST(node AS VARCHAR) || ':'
+                            || CAST(cand AS VARCHAR)), cand
+           ) AS rank
+    FROM negs
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(cand AS BIGINT) AS negative,
+       CAST(rank AS INT) AS rank
+FROM ranked
+WHERE rank <= {NEG_PER_NODE}
+"""
+
+
 QUERIES = {
     "bfs_distances": q_bfs_distances,
+    "link_negative_sampling": q_link_negative_sampling,
     "kcore_membership": q_kcore_membership,
     "triangle_counts": q_triangle_counts,
     "pagerank_copurchase": q_pagerank_copurchase,
@@ -679,6 +776,7 @@ QUERIES = {
 
 ORACLES = {
     "bfs_distances": _bfs_oracle(),
+    "link_negative_sampling": ORACLE_LINK_NEGATIVE_SAMPLING,
     "kcore_membership": _kcore_oracle(),
     "triangle_counts": ORACLE_TRIANGLE_COUNTS,
     "pagerank_copurchase": _pagerank_oracle(),

@@ -186,3 +186,40 @@ def test_bfs_distances_invariants(spark, sf_dir):
     for node, d in rows.items():
         if d > 0:
             assert any(rows.get(p) == d - 1 for p in adj.get(node, ())), node
+
+
+def test_link_negatives_are_nonedges_from_popular_pool(spark, sf_dir):
+    """Every sampled negative must be a genuine non-edge, drawn from
+    the top-NEG_POOL popularity pool, with ≤NEG_PER_NODE per node and
+    dense ranks starting at 1."""
+    from sleep_edf_data_pipeline_spark.queries.graph_stats import (
+        NEG_PER_NODE,
+        NEG_POOL,
+        _copurchase_edges,
+        q_link_negative_sampling,
+    )
+
+    df = q_link_negative_sampling(spark, sf_dir)
+    # The edge subtree has three consumers — it must execute from its
+    # persisted form, not re-derive the order⋈order join per consumer.
+    assert "InMemoryTableScan" in _plan(df), _plan(df)
+
+    edges = {
+        (e["src"], e["dst"]) for e in _copurchase_edges(spark, sf_dir).collect()
+    }
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    pool = {
+        n for n, _ in sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[:NEG_POOL]
+    }
+
+    by_node = {}
+    for r in df.collect():
+        assert (r["node"], r["negative"]) not in edges, r
+        assert r["negative"] in pool, r
+        assert r["node"] != r["negative"], r
+        by_node.setdefault(r["node"], []).append(r["rank"])
+    for node, ranks in by_node.items():
+        assert len(ranks) <= NEG_PER_NODE
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), node
