@@ -147,6 +147,8 @@ HEADLINE = [
     "scd2_customer_priority",
     # r06 session-4 debut: popularity-biased link-prediction negatives
     "link_negative_sampling",
+    # r06 session-4 debut: classifier reliability bands vs Gopher rules
+    "classifier_calibration",
 ]
 
 

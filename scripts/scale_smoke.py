@@ -147,6 +147,9 @@ SMOKE = [
     # r06 session-4: negative sampling — candidates are nodes×64
     # (linear in nodes), one anti-join shuffle against the edge list.
     "link_negative_sampling",
+    # r06 session-4: calibration — two doc projections, one
+    # co-partition join, band rollup to ~10 rows.
+    "classifier_calibration",
 ]
 
 

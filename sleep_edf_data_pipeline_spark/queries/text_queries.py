@@ -338,8 +338,83 @@ FROM ({ORACLE_QUALITY_SCORES})
 """
 
 
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bands: classifier logit vs the Gopher heuristic.
+
+    The model-eval op every filtering pipeline runs before trusting a
+    classifier at scale: bucket documents into 0.25-wide logit bands
+    (``floor(quality_logit · 4)`` — the logit doubles are bit-identical
+    cross-engine and ×4 is exact power-of-two scaling, so the floor
+    is engine-identical too) and measure, per band, how
+    often the independent rule-based Gopher filter agrees.  A
+    well-calibrated model shows pass-rate rising monotonically with
+    the band.
+
+    Plan: two document projections joined on doc_id (one co-partition
+    shuffle; at 100 TB both sides hash the same key so AQE co-locates
+    them) and one tiny band rollup.  The mean logit per band folds the
+    exact tenth-micro BIGINT (recovered via round(logit·1e7) — the
+    established micros pattern), so every aggregate is order-free.
+    """
+    from .corpus_filters import q_gopher_quality_flags
+
+    cls = q_quality_classifier(spark, sf_dir).select("doc_id", "quality_logit")
+    gof = q_gopher_quality_flags(spark, sf_dir).select("doc_id", "passes")
+    logit_tm = F.round(F.col("quality_logit") * F.lit(1e7)).cast("bigint")
+    return (
+        cls.join(gof, "doc_id")
+        .select(
+            F.floor(F.col("quality_logit") * F.lit(4.0)).cast("int").alias("band"),
+            logit_tm.alias("tm"),
+            F.col("passes").cast("int").alias("p"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("p").cast("bigint").alias("n_gopher_pass"),
+            F.sum("tm").cast("bigint").alias("_stm"),
+        )
+        .select(
+            "band",
+            "n_docs",
+            "n_gopher_pass",
+            (
+                F.col("n_gopher_pass").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("gopher_pass_rate"),
+            (
+                F.col("_stm").cast("double")
+                / (F.col("n_docs").cast("double") * F.lit(1e7))
+            ).alias("mean_logit"),
+        )
+    )
+
+
+def _calibration_oracle() -> str:
+    from .corpus_filters import ORACLE_GOPHER_QUALITY_FLAGS
+
+    return f"""
+WITH cls AS ({ORACLE_QUALITY_CLASSIFIER}),
+gof AS ({ORACLE_GOPHER_QUALITY_FLAGS}),
+j AS (
+    SELECT CAST(floor(c.quality_logit * 4.0) AS INT) AS band,
+           CAST(round(c.quality_logit * 1e7) AS BIGINT) AS tm,
+           CASE WHEN g.passes THEN 1 ELSE 0 END AS p
+    FROM cls c JOIN gof g ON c.doc_id = g.doc_id
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p) AS BIGINT) AS n_gopher_pass,
+       CAST(sum(p) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gopher_pass_rate,
+       CAST(sum(tm) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e7) AS mean_logit
+FROM j
+GROUP BY band
+"""
+
+
 QUERIES = {
     "quality_classifier": q_quality_classifier,
+    "classifier_calibration": q_classifier_calibration,
     "token_stats": q_token_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_top_tokens": q_vocab_top_tokens,
@@ -350,6 +425,7 @@ QUERIES = {
 
 ORACLES = {
     "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
+    "classifier_calibration": _calibration_oracle(),
     "token_stats": ORACLE_TOKEN_STATS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "vocab_top_tokens": ORACLE_VOCAB_TOP_TOKENS,
