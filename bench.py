@@ -149,6 +149,8 @@ HEADLINE = [
     "link_negative_sampling",
     # r06 session-4 debut: classifier reliability bands vs Gopher rules
     "classifier_calibration",
+    # r06 session-4 debut: CUSUM sequential change-point per event type
+    "cusum_changepoint",
 ]
 
 

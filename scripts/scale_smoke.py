@@ -150,6 +150,9 @@ SMOKE = [
     # r06 session-4: calibration — two doc projections, one
     # co-partition join, band rollup to ~10 rows.
     "classifier_calibration",
+    # r06 session-4: CUSUM — one event_type window chain (shared
+    # exchange), argmax row_number; linear in events per type.
+    "cusum_changepoint",
 ]
 
 
@@ -485,6 +488,40 @@ def events100(spark, out_path: str) -> None:
         ),
     }
     print(f"# coverage: {coverage}", file=sys.stderr)
+
+    # The windowed per-key family under the SAME injected skew: each
+    # hot key is one window partition (~70k rows in one task at 135×
+    # events) — this measures whether the per-key sequential walks
+    # survive a Zipf head, the skew mode salting can't fix (the
+    # sequence itself is the semantics).  Rows-only walls.
+    from sleep_edf_data_pipeline_spark.queries.drift_stats import (
+        q_cusum_changepoint,
+    )
+    from sleep_edf_data_pipeline_spark.queries.timeseries_extra import (
+        q_ewma_user_value,
+    )
+    from sleep_edf_data_pipeline_spark.queries.trend_stats import (
+        q_acf_user_value,
+    )
+
+    for name, fn in (
+        ("ewma_user_value", q_ewma_user_value),
+        ("acf_user_value", q_acf_user_value),
+        ("cusum_changepoint", q_cusum_changepoint),
+    ):
+        t = {}
+        for label, d in (("sf0.1", BASE), ("events100", EVENTS100)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            t[label] = round(best, 3)
+            spark.catalog.clearCache()
+        t["x100"] = round(t["events100"] / t["sf0.1"], 2)
+        results[name] = t
+        print(f"# {name}: {t}", file=sys.stderr)
+
     with open(out_path, "w") as f:
         json.dump({"base": BASE, "queries": results, "coverage": coverage}, f, indent=1)
         f.write("\n")

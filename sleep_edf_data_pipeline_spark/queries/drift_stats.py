@@ -364,12 +364,129 @@ GROUP BY na, nb
 """
 
 
+#: Fixed-point scale for CUSUM value quantization (2^20).
+CUSUM_SCALE = 1 << 20
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event type — SEQUENTIAL drift detection.
+
+    The third drift test next to PSI/KS: those compare distributions;
+    CUSUM finds WHEN a series shifted.  Per event type, the classic
+    statistic is ``S_i = Σ_{j≤i}(x_j − μ)`` with the change point at
+    ``argmax |S_i|``.  Multiplying through by n removes the division:
+    ``S'_i = n·cum_i − i·total`` — every term an exact integer on the
+    2^20-quantized values, carried in DECIMAL(38,0) so n·cum cannot
+    overflow at web scale.  The peak is reported normalized
+    (|S'|/(n²·2^20), the mean-shift magnitude in value units) — one
+    double division of exact integers.
+
+    Plan: ONE event_type window walk produces the running cumsum,
+    running row index, and the per-type totals (same partition key, so
+    the whole chain shares one exchange); the argmax is a row_number
+    over (|S'| desc, ts, event_id) — a total order, engine-identical.
+    """
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * F.lit(CUSUM_SCALE)).cast("bigint").alias("q"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("ts", "event_id")
+    frame = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    _d = "decimal(38,0)"
+    cur = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("q").over(frame).cast(_d).alias("cum"),
+        F.row_number().over(wo).cast(_d).alias("i"),
+        F.count("*").over(wt).cast(_d).alias("n"),
+        F.sum("q").over(wt).cast(_d).alias("total"),
+    ).select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n",
+        (F.col("n") * F.col("cum") - F.col("i") * F.col("total"))
+        .cast(_d)
+        .alias("s"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        cur.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("ts").alias("changepoint_ts"),
+            (
+                F.abs(F.col("s")).cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n").cast("double")
+                    * F.lit(float(CUSUM_SCALE))
+                )
+            ).alias("peak_shift"),
+        )
+    )
+
+
+ORACLE_CUSUM_CHANGEPOINT = f"""
+WITH q AS (
+    SELECT event_type, ts, event_id,
+           CAST(floor(value * {CUSUM_SCALE}) AS BIGINT) AS q
+    FROM events
+    WHERE value IS NOT NULL
+),
+cur AS (
+    SELECT event_type, ts, event_id,
+           CAST(sum(q) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+               AS cum,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) AS HUGEINT) AS i,
+           CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) AS n,
+           CAST(sum(q) OVER (PARTITION BY event_type) AS HUGEINT) AS total
+    FROM q
+),
+s AS (
+    SELECT event_type, ts, event_id, n,
+           CAST(n * cum - i * total AS HUGEINT) AS s
+    FROM cur
+),
+ranked AS (
+    SELECT event_type, ts, n, s,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY abs(s) DESC, ts, event_id) AS r
+    FROM s
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       ts AS changepoint_ts,
+       CAST(abs(s) AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * {float(CUSUM_SCALE)})
+           AS peak_shift
+FROM ranked
+WHERE r = 1
+"""
+
+
 QUERIES = {
     "psi_drift_by_source": q_psi_drift_by_source,
     "ks_two_sample": q_ks_two_sample,
+    "cusum_changepoint": q_cusum_changepoint,
 }
 
 ORACLES = {
     "psi_drift_by_source": ORACLE_PSI_DRIFT_BY_SOURCE,
     "ks_two_sample": ORACLE_KS_TWO_SAMPLE,
+    "cusum_changepoint": ORACLE_CUSUM_CHANGEPOINT,
 }

@@ -74,7 +74,7 @@ _MODULES = [
 #    csv_roundtrip_agg, cross_split_leakage,
 #    inverted_index_postings, bfs_distances,
 #    scd2_customer_priority, link_negative_sampling,
-#    classifier_calibration);
+#    classifier_calibration, cusum_changepoint);
 # 2) any query whose implementation round 6 REWROTE after its last
 #    driver row (candidates: bloom_decontaminate if the auto-switch
 #    lands, heavy_hitters_cms if the executor-side probe lands after

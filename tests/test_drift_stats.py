@@ -167,3 +167,47 @@ def test_streaming_drift_monitor_folds_and_alerts(spark, tmp_path):
     # psi_between of a histogram against itself is exactly 0
     h = length_hist(docs)
     assert psi_between(h, h) == 0.0
+
+
+def test_cusum_finds_injected_shift(spark):
+    """A series with a deliberate level shift must put the change
+    point at the shift boundary, and the normalized peak must equal
+    the closed form |S_k|/n² = k·(n−k)·Δ/n² at that boundary."""
+    import pyspark.sql.functions as F
+
+    from sleep_edf_data_pipeline_spark.queries import drift_stats as ds
+
+    n, k, lo, hi = 64, 40, 1.0, 5.0
+    rows = [
+        (i, i, "t", float(lo if i < k else hi))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, tsn long, event_type string, value double"
+    )
+    df = df.select(
+        "event_id",
+        F.timestamp_micros(F.col("tsn") * 1_000_000).cast("timestamp_ntz").alias("ts"),
+        "event_type",
+        "value",
+    )
+
+    import sleep_edf_data_pipeline_spark.tables as tables
+
+    orig = tables.table
+    try:
+        tables_table = lambda spark_, sf_dir_, name_: df  # noqa: E731
+        ds.table = tables_table
+        out = ds.q_cusum_changepoint(spark, "/unused").collect()
+    finally:
+        ds.table = orig
+
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == n
+    # Max |S| for a step series sits at the last pre-shift row (k-1
+    # 0-indexed → the k-th event).
+    assert r["changepoint_ts"].timestamp() == float(k - 1)
+    q_lo, q_hi = int(lo * ds.CUSUM_SCALE), int(hi * ds.CUSUM_SCALE)
+    expected = k * (n - k) * (q_hi - q_lo) / (n * n * ds.CUSUM_SCALE)
+    assert abs(r["peak_shift"] - expected) < 1e-9
