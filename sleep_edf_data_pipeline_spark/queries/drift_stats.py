@@ -381,47 +381,90 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|S'|/(n²·2^20), the mean-shift magnitude in value units) — one
     double division of exact integers.
 
-    Plan: ONE event_type window walk produces the running cumsum,
-    running row index, and the per-type totals (same partition key, so
-    the whole chain shares one exchange); the argmax is a row_number
-    over (|S'| desc, ts, event_id) — a total order, engine-identical.
+    Plan — the distributed prefix-scan decomposition.  event_type has
+    a HANDFUL of values, so a naive per-type ordered window puts one
+    type's entire stream (billions of rows at 100 TB) in one sorted
+    task — exactly the skew mode the 135× events measurement exposed
+    (26.8× wall).  Instead the series is segmented by calendar day:
+
+    1. one map-side-combinable groupBy(type, day) → per-bucket
+       (Σq, count) partials,
+    2. per-bucket OFFSETS (prefix sums over buckets-before) via a
+       window over the tiny (type, day) domain, broadcast back,
+    3. the within-bucket cumsum/rownum windows partition on
+       (type, day) — thousands of parallel partitions, each a
+       bounded slice of one day,
+    4. the global argmax = per-bucket argmax (same partitioning, no
+       new exchange) → per-type argmax over the ~bucket-count rows,
+       all under the single total order (|S'| desc, ts, event_id).
+
+    Every quantity stays an exact integer (int128 carriers), so the
+    decomposition is bit-identical to the single-walk form the oracle
+    runs — the segmentation changes the PLAN, never the values.
     """
+    _d = "decimal(38,0)"
     ev = (
         table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select(
             "event_type",
+            F.to_date("ts").alias("day"),
             "ts",
             "event_id",
             F.floor(F.col("value") * F.lit(CUSUM_SCALE)).cast("bigint").alias("q"),
         )
     )
-    wt = Window.partitionBy("event_type")
-    wo = wt.orderBy("ts", "event_id")
-    frame = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    _d = "decimal(38,0)"
-    cur = ev.select(
+    buckets = ev.groupBy("event_type", "day").agg(
+        F.sum(F.col("q").cast(_d)).cast(_d).alias("bsum"),
+        F.count("*").cast(_d).alias("bcnt"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    before = wt.rowsBetween(Window.unboundedPreceding, -1)
+    whole = Window.partitionBy("event_type")
+    offsets = buckets.select(
         "event_type",
+        "day",
+        F.coalesce(F.sum("bsum").over(before), F.lit(0)).cast(_d).alias("cum0"),
+        F.coalesce(F.sum("bcnt").over(before), F.lit(0)).cast(_d).alias("i0"),
+        F.sum("bsum").over(whole).cast(_d).alias("total"),
+        F.sum("bcnt").over(whole).cast(_d).alias("n"),
+    )
+    wb = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    frame = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = ev.select(
+        "event_type",
+        "day",
         "ts",
         "event_id",
-        F.sum("q").over(frame).cast(_d).alias("cum"),
-        F.row_number().over(wo).cast(_d).alias("i"),
-        F.count("*").over(wt).cast(_d).alias("n"),
-        F.sum("q").over(wt).cast(_d).alias("total"),
-    ).select(
+        F.sum(F.col("q").cast(_d)).over(frame).cast(_d).alias("lcum"),
+        F.row_number().over(wb).cast(_d).alias("li"),
+    )
+    cur = local.join(F.broadcast(offsets), ["event_type", "day"]).select(
         "event_type",
+        "day",
         "ts",
         "event_id",
         "n",
-        (F.col("n") * F.col("cum") - F.col("i") * F.col("total"))
+        (
+            F.col("n") * (F.col("cum0") + F.col("lcum"))
+            - (F.col("i0") + F.col("li")) * F.col("total")
+        )
         .cast(_d)
         .alias("s"),
+    )
+    # Per-bucket argmax shares the (type, day) partitioning — no new
+    # exchange; the cross-bucket argmax then ranks ~one row per day.
+    wrb = Window.partitionBy("event_type", "day").orderBy(
+        F.abs(F.col("s")).desc(), F.asc("ts"), F.asc("event_id")
+    )
+    per_bucket = cur.withColumn("rb", F.row_number().over(wrb)).filter(
+        F.col("rb") == 1
     )
     wr = Window.partitionBy("event_type").orderBy(
         F.abs(F.col("s")).desc(), F.asc("ts"), F.asc("event_id")
     )
     return (
-        cur.withColumn("r", F.row_number().over(wr))
+        per_bucket.withColumn("r", F.row_number().over(wr))
         .filter(F.col("r") == 1)
         .select(
             "event_type",
