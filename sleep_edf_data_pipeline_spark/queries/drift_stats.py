@@ -368,6 +368,77 @@ GROUP BY na, nb
 CUSUM_SCALE = 1 << 20
 
 
+def quantize_events(events: DataFrame) -> DataFrame:
+    """(event_type, day, ts, event_id, q): the exact CUSUM input."""
+    return events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(CUSUM_SCALE)).cast("bigint").alias("q"),
+    )
+
+
+def cusum_day_partials(qev: DataFrame) -> DataFrame:
+    """(event_type, day, bsum, bcnt) — the ALGEBRAIC partial the batch
+    decomposition and the streaming fold both run on: summing partials
+    over any split of the data gives bit-identical buckets."""
+    _d = "decimal(38,0)"
+    return qev.groupBy("event_type", "day").agg(
+        F.sum(F.col("q").cast(_d)).cast(_d).alias("bsum"),
+        F.count("*").cast(_d).alias("bcnt"),
+    )
+
+
+def cusum_day_changepoint(buckets: DataFrame) -> DataFrame:
+    """Day-resolution CUSUM change point from accumulated partials.
+
+    ``S'_d = n·cum_d − i_d·total`` over whole-day prefixes — what a
+    streaming monitor can answer exactly from its folded state (the
+    within-day row order is not reconstructable from partials, so the
+    streaming twin reports at day granularity by design).
+    """
+    _d = "decimal(38,0)"
+    wt = Window.partitionBy("event_type").orderBy("day")
+    pre = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    whole = Window.partitionBy("event_type")
+    cur = buckets.select(
+        "event_type",
+        "day",
+        F.sum("bsum").over(pre).cast(_d).alias("cum"),
+        F.sum("bcnt").over(pre).cast(_d).alias("i"),
+        F.sum("bsum").over(whole).cast(_d).alias("total"),
+        F.sum("bcnt").over(whole).cast(_d).alias("n"),
+    ).select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n") * F.col("cum") - F.col("i") * F.col("total"))
+        .cast(_d)
+        .alias("s"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.asc("day")
+    )
+    return (
+        cur.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("day").alias("changepoint_day"),
+            (
+                F.abs(F.col("s")).cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n").cast("double")
+                    * F.lit(float(CUSUM_SCALE))
+                )
+            ).alias("peak_shift"),
+        )
+    )
+
+
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point per event type — SEQUENTIAL drift detection.
 
@@ -403,21 +474,8 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs — the segmentation changes the PLAN, never the values.
     """
     _d = "decimal(38,0)"
-    ev = (
-        table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
-        .select(
-            "event_type",
-            F.to_date("ts").alias("day"),
-            "ts",
-            "event_id",
-            F.floor(F.col("value") * F.lit(CUSUM_SCALE)).cast("bigint").alias("q"),
-        )
-    )
-    buckets = ev.groupBy("event_type", "day").agg(
-        F.sum(F.col("q").cast(_d)).cast(_d).alias("bsum"),
-        F.count("*").cast(_d).alias("bcnt"),
-    )
+    ev = quantize_events(table(spark, sf_dir, "events"))
+    buckets = cusum_day_partials(ev)
     wt = Window.partitionBy("event_type").orderBy("day")
     before = wt.rowsBetween(Window.unboundedPreceding, -1)
     whole = Window.partitionBy("event_type")

@@ -239,3 +239,59 @@ def test_cusum_windows_partition_by_day_buckets(spark, sf_dir):
     assert fact_specs, specs
     for s in fact_specs:
         assert "day#" in s, (s, plan)
+
+
+def test_streaming_cusum_matches_batch_partials(spark, tmp_path):
+    """Replaying the events table through the foreachBatch CUSUM
+    monitor in multiple micro-batches must fold to the EXACT batch
+    day-partials (algebraic exactness), and the day-resolution change
+    point from the folded state must equal the batch recomputation.
+    Re-delivered batches must not double-count."""
+    from sleep_edf_data_pipeline_spark.queries.drift_stats import (
+        cusum_day_changepoint,
+        cusum_day_partials,
+        quantize_events,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.cusum import (
+        StreamingCusumMonitor,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    ev = table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_stream")
+    ev.repartition(4).write.parquet(src)
+    mon = StreamingCusumMonitor(str(tmp_path / "cusum_state"))
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert mon.last_batch_id is not None and mon.last_batch_id >= 1
+
+    got = sorted(map(tuple, mon.partials(spark).collect()))
+    want = sorted(
+        map(tuple, cusum_day_partials(quantize_events(ev)).collect())
+    )
+    assert got == want
+
+    got_cp = sorted(map(tuple, mon.changepoint(spark).collect()))
+    want_cp = sorted(
+        map(
+            tuple,
+            cusum_day_changepoint(
+                cusum_day_partials(quantize_events(ev))
+            ).collect(),
+        )
+    )
+    assert got_cp == want_cp
+
+    # at-least-once re-delivery: same batch id again is a no-op
+    v = mon.version
+    mon.process_batch(ev, mon.last_batch_id)
+    assert mon.version == v
+    assert sorted(map(tuple, mon.partials(spark).collect())) == want
