@@ -359,6 +359,57 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Streaming CUSUM monitor (r6 session 4): fold each micro-batch's
+    # (type, day) int128 partials, then answer the day-resolution
+    # change point from the folded state.  Fold exactness checked.
+    from sleep_edf_data_pipeline_spark.queries.drift_stats import (
+        cusum_day_partials,
+        quantize_events,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.cusum import (
+        StreamingCusumMonitor,
+    )
+
+    ev_full = table(spark, SF_DIR, "events")
+    ev_full.repartition(N_FILES).write.parquet(f"{STAGE}/events_ntz")
+    n_ev = ev_full.count()
+    cmon = StreamingCusumMonitor(f"{STAGE}/cusum_state")
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema(ev_full.schema)
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .parquet(f"{STAGE}/events_ntz")
+        .writeStream.foreachBatch(cmon.process_batch)
+        .option("checkpointLocation", f"{STAGE}/_ckpt_cusum")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(f"streaming cusum monitor failed: {exc}")
+    cps = cmon.changepoint(spark).collect()
+    wall = time.perf_counter() - t0
+    got = sorted(map(tuple, cmon.partials(spark).collect()))
+    want = sorted(
+        map(tuple, cusum_day_partials(quantize_events(ev_full)).collect())
+    )
+    if got != want:
+        raise RuntimeError("folded cusum partials != batch partials")
+    results["streaming_cusum_monitor"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": n_ev,
+        "rows_per_sec": round(n_ev / wall) if wall else None,
+        "micro_batches": (cmon.last_batch_id or 0) + 1,
+        "types_with_changepoint": len(cps),
+        "partials_exact": True,
+    }
+    print(
+        f"# streaming_cusum_monitor: {results['streaming_cusum_monitor']}",
+        file=sys.stderr,
+    )
+
     with open(out_path, "w") as f:
         json.dump(
             {
