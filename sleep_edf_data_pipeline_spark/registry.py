@@ -60,109 +60,89 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.storage_roundtrip",
 ]
 
-# ROUND-7 WINDOW PLAN (execute at the START of round 7, never
+# ROUND-8 WINDOW PLAN (execute at the START of round 8, never
 # mid-round — the driver grades the window as committed at round end):
-# 1) any round-6 debut with only local verification (as of the second
-#    r6 session that is: decontaminate_auto, bpe_merge_pairs,
-#    bigram_lm_surprisal, hard_negatives, hard_negatives_lsh,
-#    cdc_chunks, token_entropy_by_source, plus the engine_extras four —
-#    label_propagation_communities, incremental_customer_summary,
-#    temperature_mixture_weights, normalize_text_nfc,
-#    community_quality, psi_drift_by_source, ks_two_sample,
-#    image_dhash_neardups, top_event_paths, pmi_cooccurrence,
-#    revenue_trend_ols, acf_user_value, orc_roundtrip_agg,
-#    csv_roundtrip_agg, cross_split_leakage,
-#    inverted_index_postings, bfs_distances,
-#    scd2_customer_priority, link_negative_sampling,
-#    classifier_calibration, cusum_changepoint);
-# 2) any query whose implementation round 6 REWROTE after its last
-#    driver row (candidates: bloom_decontaminate if the auto-switch
-#    lands, heavy_hitters_cms if the executor-side probe lands after
-#    its r6 row);
-# 3) the 8 sleep-spine names deliberately deferred from the r06
-#    window (staging_cast, moving_average, transition_flag,
-#    gaps_islands, episode_detection, episode_ranking, episode_bounds,
-#    sleep_metrics) plus the 2 rows-only sketches left stale at r03
-#    (approx_distinct_parts, approx_quantiles_price);
-# 4) backfill with the next-stalest driver rows (after the r06 window
-#    lands, the stalest remaining pool is the r04 set — compare
-#    CORRECTNESS_r04.json names against the r05/r06 windows).
+# 1) any round-7 debut with only local verification (new queries
+#    registered this round — check the modules appended at the end of
+#    _MODULES with an "r07 debuts" comment);
+# 2) any query whose implementation round 7 REWROTE after its last
+#    driver row;
+# 3) backfill with the next-stalest driver rows: after the r07 window
+#    lands, the stalest pool is the remaining 34 r04-rowed names
+#    (CORRECTNESS_r04.json names minus the r05/r06/r07 windows — e.g.
+#    cosine_topk_ivf, data_quality_checks, dedup_clusters,
+#    minhash_lsh_neardups, multimodal_*, pii_scrub, quality_classifier,
+#    stratified_sample, ...), then the r05 set.
 # Update tests/test_registry_window.py's pin in the same commit.
 
 #: The driver-verification window: collect() hoists these 50 names to
 #: the front, in this order.  Every name must exist in some module.
 #:
-#: ROUND-6 WINDOW (executing the round-5 rotation plan): the four
-#: round-5 debuts that have never had a driver row (audio_features,
-#: heavy_hitters_exact, and the rows-only heavy_hitters_cms /
-#: mad_outliers_approx — the driver records the weaker rows-only
-#: check for those two); the two queries round 5 rewrote after their
-#: then-latest driver row (dsir_importance_weights — histogram
-#: rewrite after its r04 row; volume_shipping — nation-pair pushdown,
-#: re-verified green in the r05 window but re-windowed per the
-#: round-5 verdict); the four r02-stale input stages
-#: (document_chunks_udtf, simhash_fingerprints, minhash_signatures,
-#: lsh_buckets); then 40 of the 48 oracle-backed queries whose latest
-#: driver row is r03.  The 8 r03-stale names deferred to round 7 are
-#: the shallow sleep-pipeline spine — the in-window downstream
-#: composites sleep_summary / sleep_features consume every spine
-#: stage, so the spine re-verifies transitively, and each stage also
-#: holds dedicated pytest goldens.
+#: ROUND-7 WINDOW (executing the round-6 rotation plan): the 28
+#: round-6 debuts that have never had a driver row (local driver_sim
+#: green at 3 SFs in round 6; this converts them to hard signal); the
+#: 8 sleep-pipeline-spine names deferred from the r06 window plus the
+#: 2 rows-only sketches stale since r03 (approx_distinct_parts /
+#: approx_quantiles_price — the driver records the weaker rows-only
+#: check for those two); and 12 backfill entries from the r04-stale
+#: pool, chosen to re-verify the round-6 verdict's one `weak` item
+#: (the full PQ/IVF-PQ search family) plus the highest-value dedup /
+#: clustering / graph queries.
 _WINDOW = [
-    # -- round-5 debuts, never driver-rowed (4; last 2 rows-only) -----
-    "audio_features",
-    "heavy_hitters_exact",
-    "heavy_hitters_cms",
-    "mad_outliers_approx",
-    # -- rewritten in round 5 after their then-latest driver row (2) --
-    "dsir_importance_weights",
-    "volume_shipping",
-    # -- r02-stale input stages (4) -----------------------------------
-    "document_chunks_udtf",
-    "simhash_fingerprints",
-    "minhash_signatures",
-    "lsh_buckets",
-    # -- latest driver row is r03 (40 of 48 oracle-backed) ------------
-    "above_average_orders",
-    "asof_last_order",
-    "correlated_above_cust_avg",
-    "customers_with_urgent_orders",
-    "customers_without_orders",
-    "distinct_counts",
-    "event_type_pivot",
-    "events_near_orders",
-    "full_outer_reconciliation",
-    "fuzzy_name_dedup",
-    "hourly_densified",
-    "hourly_event_agg",
-    "json_props_agg",
-    "linear_interpolation",
-    "lineitem_rollup",
-    "locf_gap_fill",
-    "modern_agg_suite",
-    "nation_set_ops",
-    "orders_cube",
-    "orders_per_customer",
-    "part_attributes_unpivot",
-    "pricing_summary",
-    "priority_set_ops_all",
-    "product_profit",
-    "quantity_band_agg",
-    "quantity_quantiles",
-    "range_frame_spend",
-    "regional_revenue",
-    "scalar_functions",
-    "session_window_agg",
-    "ship_latency_percentiles",
-    "shipping_grouping_sets",
-    "sleep_features",
-    "sleep_summary",
-    "sliding_window_agg",
-    "top_orders_per_customer",
-    "top_revenue_orders",
-    "value_outliers",
-    "weighted_discount_udaf",
-    "window_function_suite",
+    # -- round-6 debuts, never driver-rowed (28) ----------------------
+    "acf_user_value",
+    "bfs_distances",
+    "bigram_lm_surprisal",
+    "bpe_merge_pairs",
+    "cdc_chunks",
+    "classifier_calibration",
+    "community_quality",
+    "cross_split_leakage",
+    "csv_roundtrip_agg",
+    "cusum_changepoint",
+    "decontaminate_auto",
+    "hard_negatives",
+    "hard_negatives_lsh",
+    "image_dhash_neardups",
+    "incremental_customer_summary",
+    "inverted_index_postings",
+    "ks_two_sample",
+    "label_propagation_communities",
+    "link_negative_sampling",
+    "normalize_text_nfc",
+    "orc_roundtrip_agg",
+    "pmi_cooccurrence",
+    "psi_drift_by_source",
+    "revenue_trend_ols",
+    "scd2_customer_priority",
+    "temperature_mixture_weights",
+    "token_entropy_by_source",
+    "top_event_paths",
+    # -- r03-stale: sleep-pipeline spine (8) + rows-only sketches (2) -
+    "staging_cast",
+    "moving_average",
+    "transition_flag",
+    "gaps_islands",
+    "episode_detection",
+    "episode_ranking",
+    "episode_bounds",
+    "sleep_metrics",
+    "approx_distinct_parts",
+    "approx_quantiles_price",
+    # -- r04-stale backfill (12): PQ family (verdict weak item) + ----
+    # -- high-value dedup/clustering/graph ----------------------------
+    "ivfpq_residual_topk",
+    "pq_topk_adc",
+    "pq_topk_refined",
+    "ivfpq_topk",
+    "pq_codes",
+    "pq_recall_eval",
+    "bloom_decontaminate",
+    "incremental_dedup",
+    "dedup_exact",
+    "semdedup_prune",
+    "kmeans_clusters",
+    "triangle_counts",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

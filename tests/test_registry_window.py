@@ -5,51 +5,49 @@ The external driver hash-verifies only the first 50 entries of
 queries would silently change WHICH queries get driver rows.  This pin
 makes any window change an explicit, reviewed edit.
 
-Round-6 window = the 4 round-5 debuts that have never had a driver row
-(2 of them rows-only sketches), the 2 queries round 5 rewrote after
-their then-latest driver row, the 4 r02-stale input stages, and 40 of
-the 48 oracle-backed queries whose latest driver row is r03 (the 8
-deferred names are the sleep-pipeline spine, transitively re-verified
-via the in-window sleep_summary / sleep_features composites).  See the
-rotation rationale in registry.py.
+Round-7 window = the 28 round-6 debuts that have never had a driver
+row, the 8 sleep-pipeline-spine names deferred from the round-6 window
+plus the 2 rows-only sketches stale since r03, and 12 backfill entries
+from the r04-stale pool (the full PQ search family — the round-6
+verdict's one `weak` item — plus the highest-value dedup / clustering /
+graph queries).  See the rotation rationale in registry.py.
 """
 
 from sleep_edf_data_pipeline_spark import registry
 
-ROUND6_WINDOW = [
-    "audio_features", "heavy_hitters_exact", "heavy_hitters_cms",
-    "mad_outliers_approx",
-    "dsir_importance_weights", "volume_shipping",
-    "document_chunks_udtf", "simhash_fingerprints", "minhash_signatures",
-    "lsh_buckets",
-    "above_average_orders", "asof_last_order", "correlated_above_cust_avg",
-    "customers_with_urgent_orders", "customers_without_orders",
-    "distinct_counts", "event_type_pivot", "events_near_orders",
-    "full_outer_reconciliation", "fuzzy_name_dedup", "hourly_densified",
-    "hourly_event_agg", "json_props_agg", "linear_interpolation",
-    "lineitem_rollup", "locf_gap_fill", "modern_agg_suite",
-    "nation_set_ops", "orders_cube", "orders_per_customer",
-    "part_attributes_unpivot", "pricing_summary", "priority_set_ops_all",
-    "product_profit", "quantity_band_agg", "quantity_quantiles",
-    "range_frame_spend", "regional_revenue", "scalar_functions",
-    "session_window_agg", "ship_latency_percentiles",
-    "shipping_grouping_sets", "sleep_features", "sleep_summary",
-    "sliding_window_agg", "top_orders_per_customer", "top_revenue_orders",
-    "value_outliers", "weighted_discount_udaf", "window_function_suite",
+ROUND7_WINDOW = [
+    "acf_user_value", "bfs_distances", "bigram_lm_surprisal",
+    "bpe_merge_pairs", "cdc_chunks", "classifier_calibration",
+    "community_quality", "cross_split_leakage", "csv_roundtrip_agg",
+    "cusum_changepoint", "decontaminate_auto", "hard_negatives",
+    "hard_negatives_lsh", "image_dhash_neardups",
+    "incremental_customer_summary", "inverted_index_postings",
+    "ks_two_sample", "label_propagation_communities",
+    "link_negative_sampling", "normalize_text_nfc", "orc_roundtrip_agg",
+    "pmi_cooccurrence", "psi_drift_by_source", "revenue_trend_ols",
+    "scd2_customer_priority", "temperature_mixture_weights",
+    "token_entropy_by_source", "top_event_paths",
+    "staging_cast", "moving_average", "transition_flag", "gaps_islands",
+    "episode_detection", "episode_ranking", "episode_bounds",
+    "sleep_metrics", "approx_distinct_parts", "approx_quantiles_price",
+    "ivfpq_residual_topk", "pq_topk_adc", "pq_topk_refined",
+    "ivfpq_topk", "pq_codes", "pq_recall_eval", "bloom_decontaminate",
+    "incremental_dedup", "dedup_exact", "semdedup_prune",
+    "kmeans_clusters", "triangle_counts",
 ]
 
 #: Window entries that are by-design rows-only sketches (no DuckDB
 #: oracle can express them); the driver records the weaker rows-only
 #: check for these two and the judge sees which.
-ROWS_ONLY_IN_WINDOW = {"heavy_hitters_cms", "mad_outliers_approx"}
+ROWS_ONLY_IN_WINDOW = {"approx_distinct_parts", "approx_quantiles_price"}
 
 
 def test_driver_window_is_exactly_the_planned_50():
     queries, oracles = registry.collect()
-    assert list(queries)[:50] == ROUND6_WINDOW
+    assert list(queries)[:50] == ROUND7_WINDOW
     # every window entry except the two by-design rows-only sketches
     # is oracle-backed
-    no_oracle = [n for n in ROUND6_WINDOW if n not in oracles]
+    no_oracle = [n for n in ROUND7_WINDOW if n not in oracles]
     assert sorted(no_oracle) == sorted(ROWS_ONLY_IN_WINDOW)
 
 
