@@ -1,10 +1,16 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.  The LAST
+stdout line is ONE compact JSON summary::
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "n_queries": K,
+     "sf": ..., "queries_file": "bench_queries.json"}
+
+The per-query timing map goes to stderr and ``bench_queries.json`` —
+NOT the final stdout line: the external driver keeps only the last
+~2,000 chars of stdout, and the 82-entry map amputated the round-6
+JSON record.
 
 Each query is timed end-to-end (plan + execute + collect-to-count) after
 one warm-up pass of the smallest query to amortize JVM/session startup.
@@ -219,17 +225,34 @@ def main() -> None:
         # pressure distorts later queries.
         spark.catalog.clearCache()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    # The external driver keeps only the last ~2,000 chars of stdout;
+    # the 82-entry per-query map outgrew that in round 6 and amputated
+    # the JSON (BENCH_r06 "parsed": null).  So: the full per-query map
+    # goes to stderr and to bench_queries.json, and the LAST stdout
+    # line is a compact summary guaranteed to fit the tail buffer.
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(full), file=sys.stderr)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_queries.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    summary = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "n_queries": len(timings),
+            "sf": sf,
+            "queries_file": "bench_queries.json",
+        }
     )
+    assert len(summary) < 1500, "final bench line must fit the driver tail"
+    print(summary)
 
 
 if __name__ == "__main__":

@@ -10,7 +10,7 @@ sliding (overlapping) time windows, modern aggregate functions
 
 Determinism notes (the driver hash-compares at sf0.01):
 - All float sums route through DECIMAL or int64 so partial-aggregation
-  merge order cannot perturb low bits (see .claude/skills/verify).
+  merge order cannot perturb low bits.
 - Rounding to basis points uses ``floor(x + 0.5)`` on BOTH engines —
   numpy ``round`` is half-to-even while DuckDB ``round`` is
   half-away-from-zero, so neither built-in is portable at ties.

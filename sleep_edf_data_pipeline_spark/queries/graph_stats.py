@@ -633,6 +633,11 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = relaxed.persist()
         dist.count()
         prev.unpersist()
+    # The final dist frame is node-scale (tiny, stays cached for the
+    # consumer); the edge frame is lineitem-scale — release it so a
+    # 183-query sweep doesn't pin big caches across query boundaries
+    # (same discipline as q_kcore_membership above).
+    edges.unpersist()
     return dist.select(F.col("node").cast("bigint").alias("node"), "dist")
 
 
@@ -714,7 +719,7 @@ def q_link_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.asc("cand"),
     )
-    return (
+    out = (
         negs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= NEG_PER_NODE)
         .select(
@@ -722,7 +727,14 @@ def q_link_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cand").cast("bigint").alias("negative"),
             F.col("rank").cast("int").alias("rank"),
         )
+        .persist()
     )
+    # Materialize the (nodes x 5)-row result, then release the
+    # lineitem-scale edge cache — nothing O(edges) outlives the call
+    # (same discipline as q_kcore_membership).
+    out.count()
+    edges.unpersist()
+    return out
 
 
 ORACLE_LINK_NEGATIVE_SAMPLING = f"""

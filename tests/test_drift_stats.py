@@ -207,7 +207,11 @@ def test_cusum_finds_injected_shift(spark):
     assert r["n_events"] == n
     # Max |S| for a step series sits at the last pre-shift row (k-1
     # 0-indexed → the k-th event).
-    assert r["changepoint_ts"].timestamp() == float(k - 1)
+    # Timezone-independent compare: .timestamp() on a naive datetime
+    # applies the HOST'S local zone, so the test would fail off-UTC.
+    from datetime import datetime, timedelta
+
+    assert r["changepoint_ts"] == datetime(1970, 1, 1) + timedelta(seconds=k - 1)
     q_lo, q_hi = int(lo * ds.CUSUM_SCALE), int(hi * ds.CUSUM_SCALE)
     expected = k * (n - k) * (q_hi - q_lo) / (n * n * ds.CUSUM_SCALE)
     assert abs(r["peak_shift"] - expected) < 1e-9

@@ -67,32 +67,37 @@ def test_acf_in_valid_range(spark, sf_dir):
 
 def test_acf_perfect_correlation_on_linear_series(spark):
     """A strictly linear series has lag-k ACF exactly +1 up to float
-    rounding — end-to-end check of the moment algebra."""
+    rounding — run the synthetic series through the PRODUCTION
+    q_acf_user_value (table() monkeypatched, same pattern as
+    test_cusum_finds_injected_shift) so the moment algebra is checked
+    end to end, not re-derived in the test."""
     import pyspark.sql.functions as F
 
-    from sleep_edf_data_pipeline_spark.queries.trend_stats import (
-        ACF_LAGS,
-        ACF_SCALE,
+    n = 64
+    rows = [(1, i, i, float(i)) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, tsn long, value double"
+    ).select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros(F.col("tsn") * 1_000_000)
+        .cast("timestamp_ntz")
+        .alias("ts"),
+        "value",
     )
 
-    # Reuse the production pipeline on a synthetic frame by writing it
-    # through the same code path: monkeypatching table() would hide the
-    # real scan, so instead verify the algebra directly.
-    n = 64
-    rows = [(1, i, float(i)) for i in range(n)]
-    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
-    qs = [math.floor(v * ACF_SCALE) for _, _, v in rows]
-    for k in ACF_LAGS:
-        a = qs[k:]
-        b = qs[:-k]
-        m = len(a)
-        num = m * sum(x * y for x, y in zip(a, b)) - sum(a) * sum(b)
-        den = math.sqrt(
-            (m * sum(x * x for x in a) - sum(a) ** 2)
-            * (m * sum(y * y for y in b) - sum(b) ** 2)
-        )
-        assert abs(num / den - 1.0) < 1e-12
-    assert df.count() == n  # frame itself unused beyond sanity
+    orig = ts.table
+    try:
+        ts.table = lambda spark_, sf_dir_, name_: df  # noqa: E731
+        out = ts.q_acf_user_value(spark, "/unused").collect()
+    finally:
+        ts.table = orig
+
+    assert {r["lag"] for r in out} == set(ts.ACF_LAGS)
+    for r in out:
+        assert r["user_id"] == 1
+        assert r["n_pairs"] == n - r["lag"]
+        assert abs(r["acf"] - 1.0) < 1e-9, r
 
 
 def _as_key(rows):
