@@ -18,9 +18,12 @@ distribution drifted?  Two classic tests, both made hash-exact:
 
 Scale shape: ONE corpus pass builds the per-(source, length) histogram
 (map-side combinable, persisted); every cumulative/threshold step runs
-over the VALUE DOMAIN (distinct lengths — bounded by document length,
-hundreds of rows), so the single-partition cumulative windows are
-bounded by construction, not by data volume.
+over the VALUE DOMAIN (distinct lengths).  That domain is bounded by
+the MAX document length — not O(10) — so the prefix sums run through
+``_bucketed_cumsum`` (digit-length buckets + broadcast offsets, the
+``key_skew_report`` decomposition), never an unpartitioned ordered
+window: even a corpus with millions of distinct lengths keeps every
+window partitioned.
 
 Reference parity: no drift surface exists in the reference; extends
 SURVEY §2.7's training-data operators.
@@ -47,6 +50,73 @@ def _length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("c"))
 
 
+def _bucketed_cumsum(df: DataFrame, key: str, cols: list[str]) -> DataFrame:
+    """Inclusive prefix sums of ``cols`` over ascending ``key`` — with
+    NO unpartitioned ordered window.
+
+    The round-6 CUSUM lesson generalized (see the skew study in
+    SCALING.md): an ``ORDER BY len`` cumulative over the value domain
+    is "bounded by the distinct-length domain", but that bound is the
+    MAX DOCUMENT LENGTH, not O(10) — at web scale with unclamped
+    lengths it is one task sorting up to millions of tiny rows.  The
+    decomposition is the same one ``key_skew_report`` uses: bucket the
+    non-negative integer key by decimal digit LENGTH (total-order
+    preserving, ≤19 buckets, data-independent), run the cumulative as
+    a PARTITIONED window inside each bucket, and add the exclusive
+    bucket offsets from a ≤19-row broadcast theta-join.  Global totals
+    ride the same ≤19-row frame, so no ``Window.partitionBy()`` global
+    window is needed either.
+
+    Returns ``df``'s columns plus ``cum_<c>`` (inclusive prefix sum)
+    and ``tot_<c>`` (global total) for each requested column — all
+    exact BIGINTs, so the rewrite is value-identical to the naive
+    ordered window the oracles still use.
+    """
+    d = df.withColumn("_bkt", F.length(F.col(key).cast("string")))
+    wb = (
+        Window.partitionBy("_bkt")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = d.select(
+        "*",
+        *[F.sum(c).over(wb).cast("bigint").alias(f"_in_{c}") for c in cols],
+    )
+    btot = d.groupBy("_bkt").agg(
+        *[F.sum(c).cast("bigint").alias(f"_bm_{c}") for c in cols]
+    )
+    boff = (
+        btot.alias("a")
+        .join(F.broadcast(btot.alias("b")), F.col("b._bkt") < F.col("a._bkt"), "left")
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b._bm_{c}"), F.lit(0))
+                .cast("bigint")
+                .alias(f"_off_{c}")
+                for c in cols
+            ]
+        )
+    )
+    tots = btot.agg(
+        *[F.sum(f"_bm_{c}").cast("bigint").alias(f"tot_{c}") for c in cols]
+    )
+    return (
+        intra.join(F.broadcast(boff), "_bkt")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            *df.columns,
+            *[
+                (F.col(f"_in_{c}") + F.col(f"_off_{c}"))
+                .cast("bigint")
+                .alias(f"cum_{c}")
+                for c in cols
+            ],
+            *[f"tot_{c}" for c in cols],
+        )
+    )
+
+
 def q_psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist WITHOUT an eager materialization job: all three consumers
     # (global hist, binning, source grid) run inside the terminal job,
@@ -55,12 +125,11 @@ def q_psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = _length_hist(spark, sf_dir).persist()
 
     glob = hist.groupBy("len").agg(F.sum("c").cast("bigint").alias("gc"))
-    # cumulative over the ordered VALUE DOMAIN (|distinct lengths|
-    # rows — bounded by the length domain, safe single partition)
-    wcum = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = glob.withColumn("cum", F.sum("gc").over(wcum)).withColumn(
-        "n", F.sum("gc").over(wall)
+    # cumulative over the ordered VALUE DOMAIN via the digit-bucketed
+    # decomposition — never an unpartitioned ordered window (the
+    # length domain is bounded by MAX length, not O(10))
+    cum = _bucketed_cumsum(glob, "len", ["gc"]).select(
+        "len", F.col("cum_gc").alias("cum"), F.col("tot_gc").alias("n")
     )
     deciles = spark.range(1, PSI_BINS).select(F.col("id").alias("i"))
     # threshold i = smallest len with cum ≥ ceil(i·N/B), as integers:
@@ -92,10 +161,13 @@ def q_psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(glob_bins), "bin", "left")
         .withColumn("gb", F.coalesce(F.col("gb"), F.lit(0)).cast("bigint"))
     )
+    # global doc total from the 10-row bin rollup (broadcast scalar) —
+    # not a Window.partitionBy() global window over the source grid
+    glob_tot = glob_bins.agg(F.sum("gb").cast("bigint").alias("n"))
     wsrc = Window.partitionBy("source")
     grid = (
         grid.withColumn("ns", F.sum("sc").over(wsrc))
-        .withColumn("n", F.sum("sc").over(wall))
+        .crossJoin(F.broadcast(glob_tot))
         .withColumn("ap", F.col("sc") + 1)          # Laplace-smoothed
         .withColumn("aq", F.col("ns") + PSI_BINS)
         .withColumn("ep", F.col("gb") + 1)
@@ -224,10 +296,12 @@ def psi_between(ref_hist: DataFrame, probe_hist: DataFrame) -> float:
     probe = probe_hist.groupBy("len").agg(
         F.sum("c").cast("bigint").alias("pc")
     )
-    wcum = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    # same digit-bucketed decomposition as the registered query — the
+    # streaming monitor's reference histogram grows with the stream's
+    # length domain too
     wall = Window.partitionBy()
-    cum = ref.withColumn("cum", F.sum("rc").over(wcum)).withColumn(
-        "n", F.sum("rc").over(wall)
+    cum = _bucketed_cumsum(ref, "len", ["rc"]).select(
+        "len", "rc", F.col("cum_rc").alias("cum"), F.col("tot_rc").alias("n")
     )
     spark = ref_hist.sparkSession
     deciles = spark.range(1, PSI_BINS).select(F.col("id").alias("i"))
@@ -303,13 +377,13 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cb"),
         )
     )
-    wcum = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = (
-        pair.withColumn("cuma", F.sum("ca").over(wcum))
-        .withColumn("cumb", F.sum("cb").over(wcum))
-        .withColumn("na", F.sum("ca").over(wall))
-        .withColumn("nb", F.sum("cb").over(wall))
+    # both cumulatives and both totals ride ONE bucketed prefix scan —
+    # no unpartitioned ordered window over the length domain
+    cum = _bucketed_cumsum(pair, "len", ["ca", "cb"]).select(
+        F.col("cum_ca").alias("cuma"),
+        F.col("cum_cb").alias("cumb"),
+        F.col("tot_ca").alias("na"),
+        F.col("tot_cb").alias("nb"),
     )
     diff = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
     return (

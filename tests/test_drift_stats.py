@@ -98,9 +98,13 @@ def test_psi_plan_one_corpus_pass_no_sort_merge(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_ks_plan_is_join_free(spark):
+def test_ks_plan_broadcast_only_joins(spark):
     plan = _plan(q_ks_two_sample(spark, SF_DIR))
-    assert "Join" not in plan
+    # the digit-bucketed cumulative adds ≤19-row broadcast joins
+    # (bucket offsets + totals) — never a fact-scale join
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
     # source pair filter reaches the parquet scan
     assert "PushedFilters: [In(source" in plan or "src0" in plan
 
@@ -299,3 +303,24 @@ def test_streaming_cusum_matches_batch_partials(spark, tmp_path):
     mon.process_batch(ev, mon.last_batch_id)
     assert mon.version == v
     assert sorted(map(tuple, mon.partials(spark).collect())) == want
+
+
+def test_psi_ks_have_no_unpartitioned_ordered_window(spark, sf_dir):
+    """PSI/KS cumulative prefix sums must ride the digit-bucketed
+    decomposition: an ``ORDER BY len`` window with no partition spec
+    puts the whole distinct-length domain (bounded by MAX length, not
+    O(10)) in one sorted task.  Every ordered windowspecdefinition in
+    both plans must carry a partition column (the _bkt digit bucket or
+    the source key)."""
+    import re
+
+    from sleep_edf_data_pipeline_spark.queries import drift_stats as ds
+
+    for q in (ds.q_psi_drift_by_source, ds.q_ks_two_sample):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, plan
+        for s in specs:
+            # an unpartitioned ordered spec STARTS with "<col> ASC" —
+            # a partitioned one starts with the bare partition column
+            assert not re.match(r"\s*\w+#\d+L? ASC", s), (s, plan)
