@@ -153,6 +153,15 @@ SMOKE = [
     # r06 session-4: CUSUM — one event_type window chain (shared
     # exchange), argmax row_number; linear in events per type.
     "cusum_changepoint",
+    # r07: the PQ search trio — the round-6 verdict's one `weak` item
+    # was precisely that these were "scale-safe by reading" with no
+    # decade measurement (ivfpq_topk has one; these three did not).
+    # Expected shape: training collects are scale-free, the ADC tables
+    # broadcast per (query, cell), the corpus side is one coded-probe
+    # join — wall should track the embedding-corpus decade ~linearly.
+    "pq_topk_adc",
+    "pq_topk_refined",
+    "ivfpq_residual_topk",
 ]
 
 

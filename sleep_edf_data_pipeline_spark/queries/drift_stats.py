@@ -51,8 +51,8 @@ def _length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucketed_cumsum(df: DataFrame, key: str, cols: list[str]) -> DataFrame:
-    """Inclusive prefix sums of ``cols`` over ascending ``key`` — with
-    NO unpartitioned ordered window.
+    """Inclusive prefix sums of non-negative ``cols`` over ascending
+    ``key`` — with no ordered window over an UNBOUNDED domain.
 
     The round-6 CUSUM lesson generalized (see the skew study in
     SCALING.md): an ``ORDER BY len`` cumulative over the value domain
@@ -62,10 +62,19 @@ def _bucketed_cumsum(df: DataFrame, key: str, cols: list[str]) -> DataFrame:
     decomposition is the same one ``key_skew_report`` uses: bucket the
     non-negative integer key by decimal digit LENGTH (total-order
     preserving, ≤19 buckets, data-independent), run the cumulative as
-    a PARTITIONED window inside each bucket, and add the exclusive
-    bucket offsets from a ≤19-row broadcast theta-join.  Global totals
-    ride the same ≤19-row frame, so no ``Window.partitionBy()`` global
-    window is needed either.
+    a PARTITIONED window inside each bucket, then add exclusive bucket
+    offsets.
+
+    The offsets side is deliberately cheap: per-bucket totals are read
+    BACK OFF the intra-bucket cumulative (``max`` of an inclusive
+    prefix sum of non-negative values is the bucket total — that's the
+    one exchange the window already paid for, reused), and the ≤19-row
+    totals frame takes its exclusive prefix and grand total from an
+    unpartitioned ordered window that is bounded BY CONSTRUCTION
+    (decimal digit-length of a bigint has ≤19 values, data-independent
+    — unlike the length-domain window this helper exists to replace).
+    One broadcast join replaces the earlier theta-join + three
+    broadcast exchanges; same values, ~half the jobs.
 
     Returns ``df``'s columns plus ``cum_<c>`` (inclusive prefix sum)
     and ``tot_<c>`` (global total) for each requested column — all
@@ -82,38 +91,35 @@ def _bucketed_cumsum(df: DataFrame, key: str, cols: list[str]) -> DataFrame:
         "*",
         *[F.sum(c).over(wb).cast("bigint").alias(f"_in_{c}") for c in cols],
     )
-    btot = d.groupBy("_bkt").agg(
-        *[F.sum(c).cast("bigint").alias(f"_bm_{c}") for c in cols]
+    btot = intra.groupBy("_bkt").agg(
+        *[F.max(f"_in_{c}").alias(f"_bm_{c}") for c in cols]
     )
-    boff = (
-        btot.alias("a")
-        .join(F.broadcast(btot.alias("b")), F.col("b._bkt") < F.col("a._bkt"), "left")
-        .groupBy(F.col("a._bkt").alias("_bkt"))
-        .agg(
-            *[
-                F.coalesce(F.sum(f"b._bm_{c}"), F.lit(0))
-                .cast("bigint")
-                .alias(f"_off_{c}")
-                for c in cols
-            ]
-        )
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    tots = btot.agg(
-        *[F.sum(f"_bm_{c}").cast("bigint").alias(f"tot_{c}") for c in cols]
+    boff = btot.select(
+        "_bkt",
+        *[
+            F.coalesce(F.sum(f"_bm_{c}").over(w_off), F.lit(0))
+            .cast("bigint")
+            .alias(f"_off_{c}")
+            for c in cols
+        ],
+        *[
+            F.sum(f"_bm_{c}").over(w_tot).cast("bigint").alias(f"tot_{c}")
+            for c in cols
+        ],
     )
-    return (
-        intra.join(F.broadcast(boff), "_bkt")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            *df.columns,
-            *[
-                (F.col(f"_in_{c}") + F.col(f"_off_{c}"))
-                .cast("bigint")
-                .alias(f"cum_{c}")
-                for c in cols
-            ],
-            *[f"tot_{c}" for c in cols],
-        )
+    return intra.join(F.broadcast(boff), "_bkt").select(
+        *df.columns,
+        *[
+            (F.col(f"_in_{c}") + F.col(f"_off_{c}"))
+            .cast("bigint")
+            .alias(f"cum_{c}")
+            for c in cols
+        ],
+        *[f"tot_{c}" for c in cols],
     )
 
 
