@@ -121,6 +121,8 @@ HEADLINE = [
     "bpe_merge_pairs",
     "bigram_lm_surprisal",
     "hard_negatives",
+    # r07 debut: the BPE APPLY half (greedy vocabulary encode)
+    "bpe_encode_stats",
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",

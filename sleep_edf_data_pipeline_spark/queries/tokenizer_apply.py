@@ -1,0 +1,203 @@
+"""Round-7 LLM-data operator: BPE-apply — encode the corpus with the
+trained merge table.
+
+``bpe_merge_pairs`` (lm_data_extras) is the TRAINING half of a
+byte-pair tokenizer: it learns the top-64 adjacent character pairs.
+``bpe_encode_stats`` is the APPLY half: greedy left-to-right encode of
+every corpus token against the learned merge vocabulary — at each
+character position, if the 2-char substring is a learned merge emit it
+and advance 2, else emit the single character and advance 1 — then
+per-source token statistics (token counts, merged-pair share, chars
+per token).  Train→apply now pairs the way dedup and drift already
+pair batch→stream.
+
+Scale shape (the 100 TB discipline):
+
+- the corpus collapses to its distinct (source, token) VOCABULARY in
+  one map-side-combinable pass — the sequential greedy scan runs once
+  per distinct word, weighted by its frequency, never once per corpus
+  occurrence;
+- the merge table is a 64-row bounded frame carried as ONE broadcast
+  array column (``collect_list`` inside an aggregate — no driver
+  collect), probed with ``array_contains`` inside a JVM-side
+  ``aggregate()`` fold — no Python in the loop;
+- the per-position fold is `O(len(token))` with a data-independent
+  64-element membership probe — whole-stage-codegen-free higher-order
+  function, but over the vocabulary only;
+- all statistics are exact BIGINT sums (order-free), divided once in
+  DOUBLE (bit-stable cross-engine — the engine's standard float
+  discipline).
+
+Reference parity: no tokenizer surface exists in the reference
+(`/root/reference` stops at SQL aggregates over sleep epochs); this
+extends SURVEY §2.7's training-data operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import tokens
+from ..tables import spread, table
+from .lm_data_extras import BPE_TOP, q_bpe_merge_pairs
+
+#: The greedy encode fold: one pass over the token's character
+#: positions carrying (next unconsumed position, tokens emitted,
+#: merged-pair tokens emitted).  Positions already consumed by a
+#: 2-char merge are skipped (`i < acc.pos`); `substring(tok, i, 2)` at
+#: the final position yields a 1-char string, which can never match a
+#: 2-char merge, so the last character always falls through to the
+#: single-char branch.
+_ENCODE_FOLD = """
+aggregate(
+  sequence(1, length(tok)),
+  named_struct('pos', 1, 'n_tok', CAST(0 AS BIGINT),
+               'n_pair', CAST(0 AS BIGINT)),
+  (acc, i) -> CASE
+    WHEN i < acc.pos THEN acc
+    WHEN array_contains(merges, substring(tok, i, 2)) THEN named_struct(
+      'pos', i + 2, 'n_tok', acc.n_tok + CAST(1 AS BIGINT),
+      'n_pair', acc.n_pair + CAST(1 AS BIGINT))
+    ELSE named_struct(
+      'pos', i + 1, 'n_tok', acc.n_tok + CAST(1 AS BIGINT),
+      'n_pair', acc.n_pair)
+  END
+)
+"""
+
+
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source BPE-encode statistics under the trained merge table.
+
+    Output per source: distinct vocabulary size, total word
+    occurrences, total characters, emitted BPE tokens, emitted
+    merged-pair tokens, and chars-per-token compression.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    vocab = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        # split() on \\s+ emits an empty leading token when text starts
+        # with whitespace; sequence(1, 0) would DESCEND in Spark, so
+        # empties are dropped on both engines.
+        .filter(F.length("tok") >= 1)
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    # the trained merge table as one bounded 64-element array column;
+    # sort_array only for determinism of the intermediate (membership
+    # probes are order-insensitive)
+    merge_arr = q_bpe_merge_pairs(spark, sf_dir).agg(
+        F.sort_array(F.collect_list("pair")).alias("merges")
+    )
+    enc = vocab.crossJoin(F.broadcast(merge_arr)).select(
+        "source",
+        "freq",
+        F.length("tok").cast("bigint").alias("len"),
+        F.expr(_ENCODE_FOLD).alias("st"),
+    )
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("vocab_size"),
+            F.sum("freq").cast("bigint").alias("n_words"),
+            F.sum(F.col("freq") * F.col("len")).cast("bigint").alias("n_chars"),
+            F.sum(F.col("freq") * F.col("st.n_tok"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.sum(F.col("freq") * F.col("st.n_pair"))
+            .cast("bigint")
+            .alias("n_pair_tokens"),
+        )
+        .select(
+            "source",
+            "vocab_size",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            "n_pair_tokens",
+            # one division of two exact BIGINTs — bit-stable
+            (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("chars_per_token"),
+        )
+    )
+
+
+#: The oracle replays the training CTE (identical to
+#: ORACLE_BPE_MERGE_PAIRS) and then the greedy scan as a recursive CTE
+#: over the per-source vocabulary: one recursion step per character
+#: position, advancing 2 on a merge hit, 1 otherwise — the exact fold
+#: the Spark `aggregate()` runs.
+ORACLE_BPE_ENCODE_STATS = f"""
+WITH RECURSIVE
+gvocab AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS freq
+    FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM documents
+    )
+    WHERE length(tok) >= 2
+    GROUP BY tok
+),
+gpairs AS (
+    SELECT unnest([substr(tok, i, 2) for i in range(1, length(tok))]) AS pair,
+           freq
+    FROM gvocab
+),
+merges AS (
+    SELECT pair FROM (
+        SELECT pair,
+               row_number() OVER (ORDER BY sum(freq) DESC, pair ASC) AS rank
+        FROM gpairs GROUP BY pair
+    ) WHERE rank <= {BPE_TOP}
+),
+vocab AS (
+    SELECT source, tok, CAST(count(*) AS BIGINT) AS freq
+    FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM documents
+    )
+    WHERE length(tok) >= 1
+    GROUP BY source, tok
+),
+enc AS (
+    SELECT source, tok, freq, 1 AS pos,
+           CAST(0 AS BIGINT) AS n_tok, CAST(0 AS BIGINT) AS n_pair
+    FROM vocab
+    UNION ALL
+    SELECT source, tok, freq,
+           pos + CASE WHEN hit THEN 2 ELSE 1 END,
+           n_tok + 1,
+           n_pair + CASE WHEN hit THEN 1 ELSE 0 END
+    FROM (
+        SELECT e.*,
+               EXISTS (SELECT 1 FROM merges m
+                       WHERE m.pair = substr(e.tok, e.pos, 2)) AS hit
+        FROM enc e
+        WHERE e.pos <= length(e.tok)
+    )
+),
+done AS (
+    SELECT * FROM enc WHERE pos > length(tok)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(freq) AS BIGINT) AS n_words,
+       CAST(sum(freq * length(tok)) AS BIGINT) AS n_chars,
+       CAST(sum(freq * n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(freq * n_pair) AS BIGINT) AS n_pair_tokens,
+       CAST(sum(freq * length(tok)) AS DOUBLE)
+           / CAST(sum(freq * n_tok) AS DOUBLE) AS chars_per_token
+FROM done
+GROUP BY source
+"""
+
+
+QUERIES = {
+    "bpe_encode_stats": q_bpe_encode_stats,
+}
+
+ORACLES = {
+    "bpe_encode_stats": ORACLE_BPE_ENCODE_STATS,
+}

@@ -58,6 +58,9 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.assoc_mining",
     "sleep_edf_data_pipeline_spark.queries.trend_stats",
     "sleep_edf_data_pipeline_spark.queries.storage_roundtrip",
+    # r07 debuts — appended at the END so the pinned round-7 window is
+    # untouched; rotate into the window in round 8 (see plan above).
+    "sleep_edf_data_pipeline_spark.queries.tokenizer_apply",
 ]
 
 # ROUND-8 WINDOW PLAN (execute at the START of round 8, never
