@@ -415,6 +415,55 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Streaming KS monitor (r7): fold each micro-batch's two-source
+    # (len, ca, cb) histogram partial, then answer the exact KS
+    # statistic from the folded state.  Fold exactness checked against
+    # the batch query (same shared tail).
+    from sleep_edf_data_pipeline_spark.queries.drift_stats import (
+        q_ks_two_sample,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.ks import StreamingKSMonitor
+
+    docs_src = table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    docs_src.repartition(N_FILES).write.parquet(f"{STAGE}/docs_src")
+    kmon = StreamingKSMonitor(f"{STAGE}/ks_state")
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema(docs_src.schema)
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .parquet(f"{STAGE}/docs_src")
+        .writeStream.foreachBatch(kmon.process_batch)
+        .option("checkpointLocation", f"{STAGE}/_ckpt_ks")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(f"streaming ks monitor failed: {exc}")
+    wall = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    got_ks = sorted(map(tuple, kmon.ks(spark).collect()))
+    ks_query_s = time.perf_counter() - t1
+    want_ks = sorted(map(tuple, q_ks_two_sample(spark, SF_DIR).collect()))
+    if got_ks != want_ks:
+        raise RuntimeError("streaming KS from state != batch KS")
+    results["streaming_ks_monitor"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": n_docs,
+        "rows_per_sec": round(n_docs / wall) if wall else None,
+        "micro_batches": (kmon.last_batch_id or 0) + 1,
+        "ks_query_s": round(ks_query_s, 3),
+        "ks_exact_vs_batch": True,
+    }
+    print(
+        f"# streaming_ks_monitor: {results['streaming_ks_monitor']}",
+        file=sys.stderr,
+    )
+
     with open(out_path, "w") as f:
         json.dump(
             {

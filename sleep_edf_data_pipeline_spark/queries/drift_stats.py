@@ -368,21 +368,30 @@ def psi_between(ref_hist: DataFrame, probe_hist: DataFrame) -> float:
     return float(row[0]["psi"]) if row else 0.0
 
 
-def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact KS statistic between two sources' length distributions."""
-    hist = _length_hist(spark, sf_dir)
-    pair = (
-        hist.filter(F.col("source").isin(KS_A, KS_B))
+def pair_hist(hist: DataFrame, a: str = KS_A, b: str = KS_B) -> DataFrame:
+    """(len, ca, cb) two-source histogram from a (source, len, c) one.
+
+    Algebraic in ``c`` (a sum), so partial histograms folded across
+    micro-batches produce the identical pair table — the property the
+    streaming twin (streaming/ks.py) relies on.
+    """
+    return (
+        hist.filter(F.col("source").isin(a, b))
         .groupBy("len")
         .agg(
-            F.sum(F.when(F.col("source") == KS_A, F.col("c")).otherwise(0))
+            F.sum(F.when(F.col("source") == a, F.col("c")).otherwise(0))
             .cast("bigint")
             .alias("ca"),
-            F.sum(F.when(F.col("source") == KS_B, F.col("c")).otherwise(0))
+            F.sum(F.when(F.col("source") == b, F.col("c")).otherwise(0))
             .cast("bigint")
             .alias("cb"),
         )
     )
+
+
+def ks_from_pair(pair: DataFrame) -> DataFrame:
+    """Exact KS statistic from a (len, ca, cb) pair histogram —
+    the shared tail of the batch query and the streaming monitor."""
     # both cumulatives and both totals ride ONE bucketed prefix scan —
     # no unpartitioned ordered window over the length domain
     cum = _bucketed_cumsum(pair, "len", ["ca", "cb"]).select(
@@ -406,6 +415,11 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
     )
+
+
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KS statistic between two sources' length distributions."""
+    return ks_from_pair(pair_hist(_length_hist(spark, sf_dir)))
 
 
 ORACLE_KS_TWO_SAMPLE = f"""

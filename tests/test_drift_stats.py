@@ -331,3 +331,49 @@ def test_psi_ks_have_no_unpartitioned_ordered_window(spark, sf_dir):
             if re.match(r"\s*_bkt#\d+L? ASC", s):
                 continue
             assert not re.match(r"\s*\w+#\d+L? ASC", s), (s, plan)
+
+
+def test_streaming_ks_matches_batch(spark, tmp_path):
+    """Replaying the documents table through the foreachBatch KS
+    monitor in multiple micro-batches must fold to the EXACT batch
+    pair histogram (algebraic exactness), and the KS statistic from
+    the folded state must equal the batch query row for row.
+    Re-delivered batches must not double-count."""
+    from sleep_edf_data_pipeline_spark.queries.drift_stats import (
+        q_ks_two_sample,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.ks import (
+        StreamingKSMonitor,
+        pair_hist_partial,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(src)
+    mon = StreamingKSMonitor(str(tmp_path / "ks_state"))
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert mon.last_batch_id is not None and mon.last_batch_id >= 1
+
+    got_pair = sorted(map(tuple, mon.pair(spark).collect()))
+    want_pair = sorted(map(tuple, pair_hist_partial(docs).collect()))
+    assert got_pair == want_pair
+
+    got_ks = sorted(map(tuple, mon.ks(spark).collect()))
+    want_ks = sorted(map(tuple, q_ks_two_sample(spark, SF_DIR).collect()))
+    assert got_ks == want_ks
+
+    # at-least-once re-delivery: same batch id again is a no-op
+    v = mon.version
+    mon.process_batch(docs, mon.last_batch_id)
+    assert mon.version == v
+    assert sorted(map(tuple, mon.pair(spark).collect())) == got_pair
