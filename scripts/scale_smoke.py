@@ -109,6 +109,9 @@ SMOKE = [
     "decontaminate_auto",
     # r06 debuts: each arrives with its decade row
     "bpe_merge_pairs",
+    # r07 debut: the BPE APPLY half — encode fold over the per-source
+    # vocabulary; wall should track the vocabulary, not the corpus
+    "bpe_encode_stats",
     "bigram_lm_surprisal",
     "hard_negatives",
     "cdc_chunks",
@@ -432,6 +435,39 @@ def generate_events100_skew(spark) -> None:
     skewed.repartition(64).write.mode("overwrite").parquet(
         f"{EVENTS100}/events.parquet"
     )
+    generate_orders100_skew(spark)
+
+
+def generate_orders100_skew(spark) -> None:
+    """100x orders with fixed customer dimension + injected whale
+    customers — the SCD2/per-customer-window skew mode.
+
+    Facts grow 100x while o_custkey stays UNCHANGED (the scale10
+    construction pushed one decade further), and 1-in-HOT_MOD orders
+    are remapped onto N_HOT_KEYS negative "whale" custkeys (~75k
+    orders each at 15M rows): a per-customer ordered window must walk
+    one whale's whole history in one task — the same sequential-walk
+    stress the events hot keys put on user_id windows.
+    """
+    base = spark.read.parquet(f"{BASE}/orders.parquet")
+    okey = 100_000_000
+    parts = [
+        base.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * okey))
+        for i in range(100)
+    ]
+    out = parts[0]
+    for piece in parts[1:]:
+        out = out.unionByName(piece)
+    skewed = out.withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % HOT_MOD == 0,
+            -1 - (F.floor(F.col("o_orderkey") / HOT_MOD) % N_HOT_KEYS),
+        ).otherwise(F.col("o_custkey")),
+    )
+    skewed.repartition(64).write.mode("overwrite").parquet(
+        f"{EVENTS100}/orders.parquet"
+    )
 
 
 def events100(spark, out_path: str) -> None:
@@ -503,20 +539,44 @@ def events100(spark, out_path: str) -> None:
     # events) — this measures whether the per-key sequential walks
     # survive a Zipf head, the skew mode salting can't fix (the
     # sequence itself is the semantics).  Rows-only walls.
+    from sleep_edf_data_pipeline_spark.queries.behavior_analytics import (
+        q_top_event_paths,
+    )
     from sleep_edf_data_pipeline_spark.queries.drift_stats import (
         q_cusum_changepoint,
     )
+    from sleep_edf_data_pipeline_spark.queries.event_windows import (
+        q_session_window_agg,
+    )
+    from sleep_edf_data_pipeline_spark.queries.relational_breadth import (
+        q_scd2_customer_priority,
+    )
     from sleep_edf_data_pipeline_spark.queries.timeseries_extra import (
         q_ewma_user_value,
+        q_ohlc_bars,
     )
     from sleep_edf_data_pipeline_spark.queries.trend_stats import (
         q_acf_user_value,
     )
 
+    if not os.path.isdir(f"{EVENTS100}/orders.parquet"):
+        generate_orders100_skew(spark)
+
     for name, fn in (
         ("ewma_user_value", q_ewma_user_value),
         ("acf_user_value", q_acf_user_value),
         ("cusum_changepoint", q_cusum_changepoint),
+        # r07 (verdict item 5): the rest of the ordered-window family.
+        # ohlc_bars partitions on (event_type, hour) — the 100x corpus
+        # repeats the SAME time range, so every bar cell holds 100x
+        # rows; session_window_agg and top_event_paths partition on
+        # user_id and hit the injected ~70k-row hot keys;
+        # scd2_customer_priority partitions on o_custkey and hits the
+        # whale customers of the 100x orders twin.
+        ("ohlc_bars", q_ohlc_bars),
+        ("session_window_agg", q_session_window_agg),
+        ("top_event_paths", q_top_event_paths),
+        ("scd2_customer_priority", q_scd2_customer_priority),
     ):
         t = {}
         for label, d in (("sf0.1", BASE), ("events100", EVENTS100)):
