@@ -121,8 +121,10 @@ HEADLINE = [
     "bpe_merge_pairs",
     "bigram_lm_surprisal",
     "hard_negatives",
-    # r07 debut: the BPE APPLY half (greedy vocabulary encode)
+    # r07 debuts: the BPE APPLY half (greedy vocabulary encode) and
+    # embedding-space drift (exact fixed-point centroid cosine)
     "bpe_encode_stats",
+    "embedding_drift_by_label",
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",

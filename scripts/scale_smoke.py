@@ -112,6 +112,9 @@ SMOKE = [
     # r07 debut: the BPE APPLY half — encode fold over the per-source
     # vocabulary; wall should track the vocabulary, not the corpus
     "bpe_encode_stats",
+    # r07 debut: embedding drift — one posexplode pass reduced to the
+    # labels×dims grid; wall should track the vector corpus linearly
+    "embedding_drift_by_label",
     "bigram_lm_surprisal",
     "hard_negatives",
     "cdc_chunks",

@@ -1,0 +1,128 @@
+"""Round-7: drift in EMBEDDING space — per-label centroid shift.
+
+Completes the drift-monitoring family along its third axis: PSI/KS
+watch the text-length distribution, CUSUM watches a value series in
+time, and this watches the embedding distribution — "has one label's
+(or source's) region of embedding space moved away from the corpus?",
+the check a training-data pipeline runs before trusting a new batch of
+encoder outputs.
+
+The statistic is the cosine between each label's centroid and the
+global centroid.  Cosine is scale-invariant, so the vector counts
+cancel and the whole computation runs on EXACT integer component sums:
+each component is quantized once to micro-units
+(``round(x·1e6)`` → BIGINT — the engine's standard float discipline),
+per-(label, dim) sums are order-free BIGINTs, and the three cross
+products Σ s_l·g, Σ s_l², Σ g² run in DECIMAL(38,0) (int128 — HUGEINT
+in the oracle): at web scale a component sum reaches ~1e18
+(1e12 vectors × 1e6 micro-units), so a product is ~1e36 — past BIGINT,
+inside int128.  One double division + two sqrt at the end, identical
+expression shape on both engines → bit-stable.
+
+Scale shape: ONE corpus pass (posexplode + map-side-combinable sum)
+reduces 100 TB of vectors to |labels|×|dims| rows; everything after
+runs on that grid (the global sums aggregate FROM it — no second
+corpus pass; the per-dim global frame is a broadcast join).
+
+Reference parity: no embedding surface exists in the reference;
+extends SURVEY §2.7's training-data operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+#: int128 for the cross products (HUGEINT in the oracle).
+_D = "decimal(38,0)"
+
+
+def q_embedding_drift_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("x").cast("double") * 1e6).cast("bigint").alias("xm"),
+    )
+    # persisted: the |labels|×|dims| grid feeds BOTH the per-label side
+    # and the global rollup — without the cache the corpus pass runs
+    # twice (plan-pinned via InMemoryTableScan).  Lazy persist: both
+    # consumers run inside the terminal job, the cache fills at first
+    # use (same pattern as q_psi_drift_by_source's hist).
+    per = (
+        comp.groupBy("label", "dim")
+        .agg(
+            F.sum("xm").cast("bigint").alias("s"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .persist()
+    )
+    glob = per.groupBy("dim").agg(F.sum("s").cast("bigint").alias("g"))
+    return (
+        per.join(F.broadcast(glob), "dim")
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sum(F.col("s").cast(_D) * F.col("g").cast(_D)).alias("num"),
+            F.sum(F.col("s").cast(_D) * F.col("s").cast(_D)).alias("a2"),
+            F.sum(F.col("g").cast(_D) * F.col("g").cast(_D)).alias("g2"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            (
+                F.col("num").cast("double")
+                / (
+                    F.sqrt(F.col("a2").cast("double"))
+                    * F.sqrt(F.col("g2").cast("double"))
+                )
+            ).alias("cos_to_global"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_DRIFT_BY_LABEL = """
+WITH comp AS (
+    SELECT label, dim - 1 AS dim,
+           CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS xm
+    FROM (
+        SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    )
+),
+per AS (
+    SELECT label, dim, CAST(sum(xm) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM comp GROUP BY label, dim
+),
+gsum AS (
+    SELECT dim, CAST(sum(s) AS BIGINT) AS g FROM per GROUP BY dim
+)
+SELECT CAST(p.label AS INT) AS label,
+       CAST(max(p.n) AS BIGINT) AS n_vecs,
+       CAST(sum(CAST(p.s AS HUGEINT) * CAST(gl.g AS HUGEINT)) AS DOUBLE)
+           / (sqrt(CAST(sum(CAST(p.s AS HUGEINT) * CAST(p.s AS HUGEINT))
+                        AS DOUBLE))
+              * sqrt(CAST(sum(CAST(gl.g AS HUGEINT) * CAST(gl.g AS HUGEINT))
+                          AS DOUBLE)))
+           AS cos_to_global
+FROM per p JOIN gsum gl USING (dim)
+GROUP BY p.label
+"""
+
+
+QUERIES = {
+    "embedding_drift_by_label": q_embedding_drift_by_label,
+}
+
+ORACLES = {
+    "embedding_drift_by_label": ORACLE_EMBEDDING_DRIFT_BY_LABEL,
+}

@@ -61,6 +61,7 @@ _MODULES = [
     # r07 debuts — appended at the END so the pinned round-7 window is
     # untouched; rotate into the window in round 8 (see plan above).
     "sleep_edf_data_pipeline_spark.queries.tokenizer_apply",
+    "sleep_edf_data_pipeline_spark.queries.embedding_drift",
 ]
 
 # ROUND-8 WINDOW PLAN (execute at the START of round 8, never
