@@ -464,6 +464,59 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Streaming embedding-drift monitor (r7): fold each micro-batch's
+    # (label, dim) centroid grid, then answer per-label centroid
+    # cosine from the folded state.  Fold exactness checked against
+    # the batch query (same shared tail).
+    from sleep_edf_data_pipeline_spark.queries.embedding_drift import (
+        q_embedding_drift_by_label,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.embedding_drift import (
+        StreamingEmbeddingDriftMonitor,
+    )
+
+    emb_full = table(spark, SF_DIR, "embeddings")
+    emb_full.repartition(N_FILES).write.parquet(f"{STAGE}/emb_full")
+    n_emb = emb_full.count()
+    emon = StreamingEmbeddingDriftMonitor(f"{STAGE}/emb_state")
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema(emb_full.schema)
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .parquet(f"{STAGE}/emb_full")
+        .writeStream.foreachBatch(emon.process_batch)
+        .option("checkpointLocation", f"{STAGE}/_ckpt_emb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(f"streaming embedding drift monitor failed: {exc}")
+    wall = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    got_drift = sorted(map(tuple, emon.drift(spark).collect()))
+    drift_query_s = time.perf_counter() - t1
+    want_drift = sorted(
+        map(tuple, q_embedding_drift_by_label(spark, SF_DIR).collect())
+    )
+    if got_drift != want_drift:
+        raise RuntimeError("streaming embedding drift from state != batch")
+    results["streaming_embedding_drift_monitor"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": n_emb,
+        "rows_per_sec": round(n_emb / wall) if wall else None,
+        "micro_batches": (emon.last_batch_id or 0) + 1,
+        "drift_query_s": round(drift_query_s, 3),
+        "drift_exact_vs_batch": True,
+    }
+    print(
+        "# streaming_embedding_drift_monitor: "
+        f"{results['streaming_embedding_drift_monitor']}",
+        file=sys.stderr,
+    )
+
     with open(out_path, "w") as f:
         json.dump(
             {

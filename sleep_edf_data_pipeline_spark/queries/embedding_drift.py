@@ -39,10 +39,10 @@ from ..tables import table
 _D = "decimal(38,0)"
 
 
-def q_embedding_drift_by_label(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+def centroid_grid(emb: DataFrame) -> DataFrame:
+    """(label, dim, s, n) micro-quantized component-sum grid — the
+    algebraic partial the streaming twin (streaming/embedding_drift.py)
+    folds across micro-batches."""
     comp = emb.select(
         "label",
         F.posexplode("embedding").alias("dim", "x"),
@@ -51,19 +51,22 @@ def q_embedding_drift_by_label(
         "dim",
         F.round(F.col("x").cast("double") * 1e6).cast("bigint").alias("xm"),
     )
+    return comp.groupBy("label", "dim").agg(
+        F.sum("xm").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+def drift_from_grid(grid: DataFrame) -> DataFrame:
+    """Per-label centroid cosine vs global from a (label, dim, s, n)
+    grid — the shared tail of the batch query and the streaming
+    monitor."""
     # persisted: the |labels|×|dims| grid feeds BOTH the per-label side
-    # and the global rollup — without the cache the corpus pass runs
+    # and the global rollup — without the cache the upstream pass runs
     # twice (plan-pinned via InMemoryTableScan).  Lazy persist: both
     # consumers run inside the terminal job, the cache fills at first
     # use (same pattern as q_psi_drift_by_source's hist).
-    per = (
-        comp.groupBy("label", "dim")
-        .agg(
-            F.sum("xm").cast("bigint").alias("s"),
-            F.count("*").cast("bigint").alias("n"),
-        )
-        .persist()
-    )
+    per = grid.persist()
     glob = per.groupBy("dim").agg(F.sum("s").cast("bigint").alias("g"))
     return (
         per.join(F.broadcast(glob), "dim")
@@ -86,6 +89,12 @@ def q_embedding_drift_by_label(
             ).alias("cos_to_global"),
         )
     )
+
+
+def q_embedding_drift_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return drift_from_grid(centroid_grid(table(spark, sf_dir, "embeddings")))
 
 
 ORACLE_EMBEDDING_DRIFT_BY_LABEL = """

@@ -66,11 +66,13 @@ _MODULES = [
 
 # ROUND-8 WINDOW PLAN (execute at the START of round 8, never
 # mid-round — the driver grades the window as committed at round end):
-# 1) any round-7 debut with only local verification (new queries
-#    registered this round — check the modules appended at the end of
-#    _MODULES with an "r07 debuts" comment);
+# 1) the round-7 debuts with only local verification:
+#    bpe_encode_stats, embedding_drift_by_label (both local
+#    driver_sim hash-green at 3 SFs in round 7);
 # 2) any query whose implementation round 7 REWROTE after its last
-#    driver row;
+#    driver row (none as of round-7 close: the psi/ks cumulative and
+#    the ks refactor landed BEFORE the round-7 driver run, so their
+#    r07 rows already attest the current code);
 # 3) backfill with the next-stalest driver rows: after the r07 window
 #    lands, the stalest pool is the remaining 34 r04-rowed names
 #    (CORRECTNESS_r04.json names minus the r05/r06/r07 windows — e.g.

@@ -139,7 +139,14 @@ def test_streaming_drift_monitor_folds_and_alerts(spark, tmp_path):
     docs = table(spark, SF_DIR, "documents")
     src = str(tmp_path / "docs_stream")
     docs.repartition(4).write.parquet(src)
-    mon = StreamingDriftMonitor(str(tmp_path / "ref"))
+    # alert threshold calibrated to the tiny test batches: at ~125
+    # docs per micro-batch the Laplace-smoothed PSI of a SAME-
+    # distribution split has sampling noise ~2·B/n ≈ 0.16 and its tail
+    # depends on which random split lands first (file listing order is
+    # not deterministic), so the production 0.25 default intermittently
+    # false-alarms here.  0.6 keeps the assertion meaningful: genuine
+    # drift below asserts psi > 1.0.
+    mon = StreamingDriftMonitor(str(tmp_path / "ref"), alert_threshold=0.6)
     q = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)

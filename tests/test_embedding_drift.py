@@ -65,3 +65,50 @@ def test_plan_one_corpus_pass_broadcast_only(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_streaming_embedding_drift_matches_batch(spark, tmp_path):
+    """Replaying the embeddings table through the foreachBatch monitor
+    in multiple micro-batches must fold to the EXACT batch grid
+    (algebraic exactness), and the drift from the folded state must
+    equal the batch query row for row.  Re-delivered batches must not
+    double-count."""
+    from sleep_edf_data_pipeline_spark.queries.embedding_drift import (
+        centroid_grid,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.embedding_drift import (
+        StreamingEmbeddingDriftMonitor,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    src = str(tmp_path / "emb_stream")
+    emb.repartition(4).write.parquet(src)
+    mon = StreamingEmbeddingDriftMonitor(str(tmp_path / "emb_state"))
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert mon.last_batch_id is not None and mon.last_batch_id >= 1
+
+    got_grid = sorted(map(tuple, mon.grid(spark).collect()))
+    want_grid = sorted(map(tuple, centroid_grid(emb).collect()))
+    assert got_grid == want_grid
+
+    got = sorted(map(tuple, mon.drift(spark).collect()))
+    want = sorted(
+        map(tuple, q_embedding_drift_by_label(spark, SF_DIR).collect())
+    )
+    assert got == want
+
+    # at-least-once re-delivery: same batch id again is a no-op
+    v = mon.version
+    mon.process_batch(emb, mon.last_batch_id)
+    assert mon.version == v
+    assert sorted(map(tuple, mon.grid(spark).collect())) == got_grid
