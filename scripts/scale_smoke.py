@@ -268,6 +268,10 @@ SELECT100 = [
     # r06 gram-heavy debuts: second decade for the LM-scoring pair
     "bigram_lm_surprisal",
     "cdc_chunks",
+    # r07: second decade for the BPE APPLY pass — the encode fold runs
+    # over the vocabulary, so its wall should stay sublinear even as
+    # the doc corpus grows 100x
+    "bpe_encode_stats",
 ]
 
 
