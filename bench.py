@@ -125,6 +125,9 @@ HEADLINE = [
     # embedding-space drift (exact fixed-point centroid cosine)
     "bpe_encode_stats",
     "embedding_drift_by_label",
+    # r07 debut: skew-safe sessionization (same oracle as the native
+    # session_window_agg — the decomposition must not change values)
+    "session_window_agg_bucketed",
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",

@@ -115,6 +115,8 @@ SMOKE = [
     # r07 debut: embedding drift — one posexplode pass reduced to the
     # labels×dims grid; wall should track the vector corpus linearly
     "embedding_drift_by_label",
+    # r07 debut: the skew-safe sessionization twin
+    "session_window_agg_bucketed",
     "bigram_lm_surprisal",
     "hard_negatives",
     "cdc_chunks",
@@ -554,6 +556,7 @@ def events100(spark, out_path: str) -> None:
     )
     from sleep_edf_data_pipeline_spark.queries.event_windows import (
         q_session_window_agg,
+        q_session_window_agg_bucketed,
     )
     from sleep_edf_data_pipeline_spark.queries.relational_breadth import (
         q_scd2_customer_priority,
@@ -582,6 +585,7 @@ def events100(spark, out_path: str) -> None:
         # whale customers of the 100x orders twin.
         ("ohlc_bars", q_ohlc_bars),
         ("session_window_agg", q_session_window_agg),
+        ("session_window_agg_bucketed", q_session_window_agg_bucketed),
         ("top_event_paths", q_top_event_paths),
         ("scd2_customer_priority", q_scd2_customer_priority),
     ):

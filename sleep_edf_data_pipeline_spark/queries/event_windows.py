@@ -13,7 +13,7 @@ sessionization), proving the native operator's equivalence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import table
@@ -75,6 +75,90 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("session_window.start").alias("session_start"),
             F.col("session_window.end").alias("session_end"),
             "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_session_window_agg_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skew-safe sessionization: the (user, day) bucket decomposition.
+
+    ``q_session_window_agg``'s native operator partitions by user_id —
+    under a Zipf head one hot user's whole event stream is a single
+    merge task (measured 5.14× at the 135× skewed decade, the one
+    events100 row AT the bar; SCALING.md round 7).  This variant is
+    the CUSUM-style decomposition applied to sessionization:
+
+    1. sessionize WITHIN (user_id, day) buckets — the hot key's walk
+       splits across days, so per-task rows are bounded by a day's
+       traffic, not the stream;
+    2. merge chains ACROSS bucket boundaries on SESSION rows (a
+       second gaps-and-islands: consecutive sessions of one user
+       closer than the gap collapse — transitive, so month-long
+       sessions spanning many midnights still merge);
+    3. re-aggregate the chain: bounds, counts, and the exact
+       DECIMAL(18,2) value sums are all algebraic, so the result is
+       value-identical to the native operator (same oracle).
+
+    Pass 2 partitions by user over SESSION rows — a reduction of the
+    stream everywhere except the degenerate all-isolated-events case,
+    where it equals the native cost (never exceeds it).  Gap
+    comparisons run on ``unix_micros`` (exact integer µs, matching the
+    oracle's INTERVAL comparison at timestamp precision).
+    """
+    gap_us = 30 * 60 * 1_000_000
+    # events.ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+    # session tz is pinned UTC, so the cast is value-preserving
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    d = ev.withColumn("day", F.to_date("ts"))
+    wb = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wb)
+    is_new = F.when(
+        prev.isNull()
+        | (us(F.col("ts")) - us(prev) >= gap_us),
+        1,
+    ).otherwise(0)
+    sid = F.sum(is_new).over(
+        wb.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        d.withColumn("sid", sid)
+        .groupBy("user_id", "day", "sid")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("val"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("s_start", "s_end")
+    prev_end = F.lag("s_end").over(w2)
+    new_chain = F.when(
+        prev_end.isNull()
+        | (us(F.col("s_start")) - us(prev_end) >= gap_us),
+        1,
+    ).otherwise(0)
+    chain = F.sum(new_chain).over(
+        w2.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spans.withColumn("chain", chain)
+        .groupBy("user_id", "chain")
+        .agg(
+            F.min("s_start").alias("session_start"),
+            (F.max("s_end") + F.expr(f"INTERVAL {SESSION_GAP}")).alias(
+                "session_end"
+            ),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("val").cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events",
             "total_value",
         )
     )
@@ -222,6 +306,7 @@ QUERIES = {
     "hourly_event_agg": q_hourly_event_agg,
     "hourly_densified": q_hourly_densified,
     "session_window_agg": q_session_window_agg,
+    "session_window_agg_bucketed": q_session_window_agg_bucketed,
     "json_props_agg": q_json_props_agg,
     "event_type_pivot": q_event_type_pivot,
 }
@@ -230,6 +315,7 @@ ORACLES = {
     "hourly_event_agg": ORACLE_HOURLY_EVENT_AGG,
     "hourly_densified": ORACLE_HOURLY_DENSIFIED,
     "session_window_agg": ORACLE_SESSION_WINDOW_AGG,
+    "session_window_agg_bucketed": ORACLE_SESSION_WINDOW_AGG,
     "json_props_agg": ORACLE_JSON_PROPS_AGG,
     "event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,
 }
