@@ -128,6 +128,8 @@ HEADLINE = [
     # r07 debut: skew-safe sessionization (same oracle as the native
     # session_window_agg — the decomposition must not change values)
     "session_window_agg_bucketed",
+    # r07 debut: sweep-line occupancy (interval analytics)
+    "peak_concurrent_sessions",
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",

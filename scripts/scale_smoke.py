@@ -117,6 +117,9 @@ SMOKE = [
     "embedding_drift_by_label",
     # r07 debut: the skew-safe sessionization twin
     "session_window_agg_bucketed",
+    # r07 debut: sweep-line occupancy — the calendar-decomposed global
+    # prefix; wall should track the session count linearly
+    "peak_concurrent_sessions",
     "bigram_lm_surprisal",
     "hard_negatives",
     "cdc_chunks",

@@ -50,3 +50,55 @@ def test_bucketed_fact_windows_carry_day_key(spark):
     # no unpartitioned ordered window anywhere
     for s in specs:
         assert not re.match(r"\s*\w+#\d+L? ASC", s), (s, plan)
+
+
+def test_occupancy_fact_windows_carry_hour_key(spark):
+    """The sweep-line global prefix must never put the delta stream in
+    one sorted task: fact-scale ordered walks (t ASC) carry (day,
+    hour); the only unpartitioned ordered spec is the day-offsets
+    frame (calendar-bounded, data-volume-independent)."""
+    import re
+
+    from sleep_edf_data_pipeline_spark.queries.occupancy import (
+        q_peak_concurrent_sessions,
+    )
+
+    plan = (
+        q_peak_concurrent_sessions(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    fact_specs = [s for s in specs if re.search(r"\bt#\d+ ASC", s)]
+    assert fact_specs, specs
+    for s in fact_specs:
+        assert "hour#" in s, (s, plan)
+    for s in specs:
+        if re.match(r"\s*day#\d+ ASC", s):
+            continue  # the calendar-bounded day-offsets frame
+        assert not re.match(r"\s*\w+#\d+L? ASC", s), (s, plan)
+
+
+def test_occupancy_conservation(spark):
+    """Peaks are positive wherever sessions exist and every +1 is
+    matched by a −1: summing the netted deltas over all hours is 0."""
+    from pyspark.sql import functions as F
+
+    from sleep_edf_data_pipeline_spark.queries.event_windows import (
+        q_session_window_agg,
+    )
+    from sleep_edf_data_pipeline_spark.queries.occupancy import (
+        q_peak_concurrent_sessions,
+    )
+
+    out = q_peak_concurrent_sessions(spark, SF_DIR)
+    rows = out.collect()
+    assert rows and all(r["peak_concurrent"] >= 1 for r in rows)
+    n_sessions = q_session_window_agg(spark, SF_DIR).count()
+    # every session contributes exactly two boundary events (netting
+    # can only merge coincident ones, never drop them)
+    assert sum(r["n_boundary_events"] for r in rows) <= 2 * n_sessions
+    # the global peak is bounded by concurrent users
+    assert max(r["peak_concurrent"] for r in rows) <= n_sessions
