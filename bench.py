@@ -130,6 +130,9 @@ HEADLINE = [
     "session_window_agg_bucketed",
     # r07 debut: sweep-line occupancy (interval analytics)
     "peak_concurrent_sessions",
+    # r07 debut: deletion-neighborhood edit-distance join (fuzzy
+    # dedup's equi-join scale path)
+    "fuzzy_name_dedup_symspell",
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",

@@ -120,6 +120,10 @@ SMOKE = [
     # r07 debut: sweep-line occupancy — the calendar-decomposed global
     # prefix; wall should track the session count linearly
     "peak_concurrent_sessions",
+    # r07 debut: symspell edit-distance join — variant explode is
+    # linear in vocabulary bytes; dims are fixed in the decade corpus,
+    # so the wall should be decade-flat
+    "fuzzy_name_dedup_symspell",
     "bigram_lm_surprisal",
     "hard_negatives",
     "cdc_chunks",
@@ -561,6 +565,9 @@ def events100(spark, out_path: str) -> None:
         q_session_window_agg,
         q_session_window_agg_bucketed,
     )
+    from sleep_edf_data_pipeline_spark.queries.occupancy import (
+        q_peak_concurrent_sessions,
+    )
     from sleep_edf_data_pipeline_spark.queries.relational_breadth import (
         q_scd2_customer_priority,
     )
@@ -589,6 +596,10 @@ def events100(spark, out_path: str) -> None:
         ("ohlc_bars", q_ohlc_bars),
         ("session_window_agg", q_session_window_agg),
         ("session_window_agg_bucketed", q_session_window_agg_bucketed),
+        # r07: sweep-line occupancy — the 100x corpus multiplies every
+        # (day, hour) delta cell 100x; hot USERS only multiply session
+        # counts, so the hour-partitioned walk is the stressed path
+        ("peak_concurrent_sessions", q_peak_concurrent_sessions),
         ("top_event_paths", q_top_event_paths),
         ("scd2_customer_priority", q_scd2_customer_priority),
     ):

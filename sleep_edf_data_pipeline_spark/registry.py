@@ -63,14 +63,16 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.tokenizer_apply",
     "sleep_edf_data_pipeline_spark.queries.embedding_drift",
     "sleep_edf_data_pipeline_spark.queries.occupancy",
+    "sleep_edf_data_pipeline_spark.queries.edit_distance",
 ]
 
 # ROUND-8 WINDOW PLAN (execute at the START of round 8, never
 # mid-round — the driver grades the window as committed at round end):
 # 1) the round-7 debuts with only local verification:
 #    bpe_encode_stats, embedding_drift_by_label,
-#    session_window_agg_bucketed, peak_concurrent_sessions (all local
-#    driver_sim hash-green at 3 SFs in round 7);
+#    session_window_agg_bucketed, peak_concurrent_sessions,
+#    fuzzy_name_dedup_symspell (all local driver_sim hash-green at
+#    3 SFs in round 7);
 # 2) any query whose implementation round 7 REWROTE after its last
 #    driver row (none as of round-7 close: the psi/ks cumulative and
 #    the ks refactor landed BEFORE the round-7 driver run, so their

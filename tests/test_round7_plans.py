@@ -102,3 +102,44 @@ def test_occupancy_conservation(spark):
     assert sum(r["n_boundary_events"] for r in rows) <= 2 * n_sessions
     # the global peak is bounded by concurrent users
     assert max(r["peak_concurrent"] for r in rows) <= n_sessions
+
+
+def test_symspell_matches_brute_at_distance_one(spark):
+    """Deletion-neighborhood candidates are COMPLETE for ed ≤ 1: the
+    equi-join path must reproduce the brute force length-blocked join
+    filtered to distance 1, pair for pair."""
+    from sleep_edf_data_pipeline_spark.queries.edit_distance import (
+        q_fuzzy_name_dedup_symspell,
+    )
+    from sleep_edf_data_pipeline_spark.queries.relational_breadth import (
+        q_fuzzy_name_dedup,
+    )
+
+    brute = sorted(
+        (r["name_a"], r["name_b"], r["edit_dist"])
+        for r in q_fuzzy_name_dedup(spark, SF_DIR).collect()
+        if r["edit_dist"] <= 1
+    )
+    sym = sorted(
+        map(tuple, q_fuzzy_name_dedup_symspell(spark, SF_DIR).collect())
+    )
+    assert sym == brute
+
+
+def test_symspell_plan_equi_join_no_broadcast_nlj(spark):
+    """The candidate join must be a hash equi-join on the variant —
+    never the brute path's BroadcastNestedLoopJoin, and no cartesian
+    product anywhere."""
+    from sleep_edf_data_pipeline_spark.queries.edit_distance import (
+        q_fuzzy_name_dedup_symspell,
+    )
+
+    plan = (
+        q_fuzzy_name_dedup_symspell(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan  # the exactness verify is in-plan
