@@ -517,6 +517,58 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Streaming tokenizer monitor (r7): fold each micro-batch's
+    # (source, tok) vocabulary grid, then answer train+apply (merge
+    # table + encode stats) from the folded state.  Exactness checked
+    # against the batch query (same shared tail).
+    from sleep_edf_data_pipeline_spark.queries.tokenizer_apply import (
+        q_bpe_encode_stats,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.bpe import (
+        StreamingVocabMonitor,
+    )
+
+    docs_txt = table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    )
+    docs_txt.repartition(N_FILES).write.parquet(f"{STAGE}/docs_txt")
+    n_txt = docs_txt.count()
+    vmon = StreamingVocabMonitor(f"{STAGE}/vocab_state")
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema(docs_txt.schema)
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .parquet(f"{STAGE}/docs_txt")
+        .writeStream.foreachBatch(vmon.process_batch)
+        .option("checkpointLocation", f"{STAGE}/_ckpt_vocab")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(f"streaming vocab monitor failed: {exc}")
+    wall = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    got_enc = sorted(map(tuple, vmon.encode_stats(spark).collect()))
+    enc_query_s = time.perf_counter() - t1
+    want_enc = sorted(map(tuple, q_bpe_encode_stats(spark, SF_DIR).collect()))
+    if got_enc != want_enc:
+        raise RuntimeError("streaming encode stats from state != batch")
+    results["streaming_vocab_monitor"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": n_txt,
+        "rows_per_sec": round(n_txt / wall) if wall else None,
+        "micro_batches": (vmon.last_batch_id or 0) + 1,
+        "encode_query_s": round(enc_query_s, 3),
+        "encode_exact_vs_batch": True,
+    }
+    print(
+        f"# streaming_vocab_monitor: {results['streaming_vocab_monitor']}",
+        file=sys.stderr,
+    )
+
     with open(out_path, "w") as f:
         json.dump(
             {

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import tokens
 from ..tables import spread, table
-from .lm_data_extras import BPE_TOP, q_bpe_merge_pairs
+from .lm_data_extras import BPE_TOP
 
 #: The greedy encode fold: one pass over the token's character
 #: positions carrying (next unconsumed position, tokens emitted,
@@ -67,15 +67,12 @@ aggregate(
 """
 
 
-def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source BPE-encode statistics under the trained merge table.
-
-    Output per source: distinct vocabulary size, total word
-    occurrences, total characters, emitted BPE tokens, emitted
-    merged-pair tokens, and chars-per-token compression.
-    """
-    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
-    vocab = (
+def source_vocab(docs: DataFrame) -> DataFrame:
+    """(source, tok, freq) vocabulary grid — the algebraic partial the
+    streaming twin (streaming/bpe.py) folds across micro-batches.
+    State is bounded by the VOCABULARY (Heaps-law sublinear in the
+    corpus), never the stream."""
+    return (
         docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
         # split() on \\s+ emits an empty leading token when text starts
         # with whitespace; sequence(1, 0) would DESCEND in Spark, so
@@ -84,12 +81,46 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "tok")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
+
+
+def encode_stats_from_vocab(vocab: DataFrame) -> DataFrame:
+    """Per-source encode statistics from a (source, tok, freq) grid —
+    the shared tail of the batch query and the streaming monitor.
+
+    The merge table is re-derived FROM the grid (summing per-source
+    frequencies reproduces the corpus-global token counts exactly, so
+    the trained top-64 is identical to ``q_bpe_merge_pairs``), which is
+    what lets a streaming deployment answer train AND apply from one
+    folded vocabulary state.
+    """
+    # persisted: the grid feeds BOTH the training side and the encode
+    # side — without the cache the corpus pass would run twice (same
+    # pattern as embedding_drift's grid)
+    vocab = vocab.persist()
+    gvocab = (
+        vocab.filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.sum("freq").cast("bigint").alias("freq"))
+    )
+    pairs = gvocab.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substr(tok, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(BPE_TOP)
+    )
     # the trained merge table as one bounded 64-element array column;
     # sort_array only for determinism of the intermediate (membership
     # probes are order-insensitive)
-    merge_arr = q_bpe_merge_pairs(spark, sf_dir).agg(
-        F.sort_array(F.collect_list("pair")).alias("merges")
-    )
+    merge_arr = top.agg(F.sort_array(F.collect_list("pair")).alias("merges"))
     enc = vocab.crossJoin(F.broadcast(merge_arr)).select(
         "source",
         "freq",
@@ -121,6 +152,17 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_per_token"),
         )
     )
+
+
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source BPE-encode statistics under the trained merge table.
+
+    Output per source: distinct vocabulary size, total word
+    occurrences, total characters, emitted BPE tokens, emitted
+    merged-pair tokens, and chars-per-token compression.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    return encode_stats_from_vocab(source_vocab(docs))
 
 
 #: The oracle replays the training CTE (identical to

@@ -83,7 +83,53 @@ def test_encode_plan_shape(spark, sf_dir):
     # the training cut stays TakeOrderedAndProject (no global sort of
     # the pair space)
     assert "TakeOrderedAndProject" in plan
-    # the greedy fold runs AFTER the vocabulary aggregate: exactly two
-    # corpus-source scans feed it (the per-source vocab pass and the
-    # training pass), no more
-    assert plan.count("Scan parquet") <= 2
+    # the (source, tok) grid is persisted and feeds BOTH the encode
+    # side and the training side: what executes downstream is the
+    # InMemoryTableScan, so the corpus is tokenized ONCE (plan text
+    # inlines the cached subtree per consumer — count the cache scan,
+    # not "Scan parquet")
+    assert "InMemoryTableScan" in plan
+
+
+def test_streaming_vocab_monitor_matches_batch(spark, sf_dir, tmp_path):
+    """Replaying the documents table through the foreachBatch vocab
+    monitor in multiple micro-batches must fold to the EXACT batch
+    vocabulary grid (algebraic exactness), and train+apply from the
+    folded state must equal the batch query row for row.  Re-delivered
+    batches must not double-count."""
+    from sleep_edf_data_pipeline_spark.streaming.bpe import (
+        StreamingVocabMonitor,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(src)
+    mon = StreamingVocabMonitor(str(tmp_path / "vocab_state"))
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert mon.last_batch_id is not None and mon.last_batch_id >= 1
+
+    got_grid = sorted(map(tuple, mon.vocab(spark).collect()))
+    want_grid = sorted(map(tuple, ta.source_vocab(docs).collect()))
+    assert got_grid == want_grid
+
+    got = sorted(map(tuple, mon.encode_stats(spark).collect()))
+    want = sorted(
+        map(tuple, ta.q_bpe_encode_stats(spark, sf_dir).collect())
+    )
+    assert got == want
+
+    # at-least-once re-delivery: same batch id again is a no-op
+    v = mon.version
+    mon.process_batch(docs, mon.last_batch_id)
+    assert mon.version == v
+    assert sorted(map(tuple, mon.vocab(spark).collect())) == got_grid
