@@ -77,12 +77,27 @@ _MODULES = [
 #    driver row (none as of round-7 close: the psi/ks cumulative and
 #    the ks refactor landed BEFORE the round-7 driver run, so their
 #    r07 rows already attest the current code);
-# 3) backfill with the next-stalest driver rows: after the r07 window
-#    lands, the stalest pool is the remaining 34 r04-rowed names
-#    (CORRECTNESS_r04.json names minus the r05/r06/r07 windows — e.g.
-#    cosine_topk_ivf, data_quality_checks, dedup_clusters,
-#    minhash_lsh_neardups, multimodal_*, pii_scrub, quality_classifier,
-#    stratified_sample, ...), then the r05 set.
+# 3) backfill with the next-stalest driver rows — computed at round-7
+#    close, the exact r04-stale pool (green in CORRECTNESS_r04, in no
+#    window since) is these 34:
+#    cluster_size_histogram corpus_shuffle_order cosine_topk_ivf
+#    customer_distribution data_quality_checks decontaminate_overlap
+#    dedup_clusters diagnostics domain_mixture_weights
+#    dominant_small_part_suppliers duplicate_spans forecast_revenue
+#    frame_sampling importance_resample important_stock
+#    json_props_stats kcore_membership length_bucket_packing
+#    minhash_lsh_neardups multimodal_features multimodal_resize
+#    ngram_jaccard_neardups part_supplier_diversity pii_scrub
+#    priority_order_counts promo_revenue_share quality_classifier
+#    ranking_suite repetition_stats returned_item_customers
+#    shipping_priority_buckets stratified_sample
+#    unigram_logprob_scores waiting_suppliers
+#    Suggested round-8 window = the 5 r07 debuts (item 1) + 34 r04-stale
+#    + 11 from the 49-name r05-stale pool (prefer the LLM-data ops:
+#    ann_recall_eval, bm25_topk, cosine_topk_bruteforce,
+#    dedup_canonical_docs, doc_fingerprints, document_chunks,
+#    embedding_neardups, gopher_quality_flags, language_id,
+#    tfidf_top_terms, vocab_top_tokens) = exactly 50.
 # Update tests/test_registry_window.py's pin in the same commit.
 
 #: The driver-verification window: collect() hoists these 50 names to
