@@ -133,6 +133,8 @@ HEADLINE = [
     # r07 debut: deletion-neighborhood edit-distance join (fuzzy
     # dedup's equi-join scale path)
     "fuzzy_name_dedup_symspell",
+    # r07 debut: Heaps-law vocabulary growth curve
+    "vocab_growth_curve",
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",

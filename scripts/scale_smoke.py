@@ -124,6 +124,8 @@ SMOKE = [
     # linear in vocabulary bytes; dims are fixed in the decade corpus,
     # so the wall should be decade-flat
     "fuzzy_name_dedup_symspell",
+    # r07 debut: vocabulary growth — one gram pass to first-seen
+    "vocab_growth_curve",
     "bigram_lm_surprisal",
     "hard_negatives",
     "cdc_chunks",

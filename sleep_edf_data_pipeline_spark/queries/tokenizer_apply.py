@@ -35,7 +35,7 @@ extends SURVEY §2.7's training-data operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import tokens
@@ -243,3 +243,107 @@ QUERIES = {
 ORACLES = {
     "bpe_encode_stats": ORACLE_BPE_ENCODE_STATS,
 }
+
+
+# --------------------------------------------------------------------------
+# vocab_growth_curve
+# --------------------------------------------------------------------------
+
+#: Growth-curve resolution (doc-id-range deciles).
+GROWTH_BUCKETS = 10
+
+
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: distinct tokens seen after each
+    doc-id decile of the corpus.
+
+    The tokenizer-planning metric ("how fast does the vocabulary still
+    grow?") computed WITHOUT any fact-scale ordered scan: each token
+    reduces to its FIRST-SEEN doc id (min — one map-side-combinable
+    gram pass), docs and first-seens bucket into GROWTH_BUCKETS
+    equal-width doc-id ranges (min/max ride a broadcast scalar frame),
+    and the cumulative curve is an ordered window over exactly
+    GROWTH_BUCKETS rows — bounded by construction.  All integers.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"),
+        (F.max("doc_id") - F.min("doc_id") + 1).alias("span"),
+    )
+    # floor-division on BOTH engines: a bare double division cast to
+    # BIGINT truncates in Spark but rounds in DuckDB (verify gotcha)
+    bucket = lambda c: F.floor(  # noqa: E731
+        (F.lit(GROWTH_BUCKETS) * (F.col(c) - F.col("lo"))) / F.col("span")
+    ).cast("bigint")
+    first_seen = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= 1)
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    new_toks = (
+        first_seen.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket("first_doc").alias("decile"))
+        .agg(F.count("*").cast("bigint").alias("new_tokens"))
+    )
+    doc_counts = (
+        docs.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket("doc_id").alias("decile"))
+        .agg(F.count("*").cast("bigint").alias("n_docs_bucket"))
+    )
+    # ordered windows over ≤GROWTH_BUCKETS rows — bounded by construction
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        doc_counts.join(new_toks, "decile", "full")
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.coalesce("n_docs_bucket", F.lit(0)).alias("_d"),
+            F.coalesce("new_tokens", F.lit(0)).alias("_t"),
+        )
+        .select(
+            "decile",
+            F.sum("_d").over(wc).cast("bigint").alias("docs_through"),
+            F.sum("_t").over(wc).cast("bigint").alias("vocab_size"),
+        )
+    )
+
+
+ORACLE_VOCAB_GROWTH_CURVE = f"""
+WITH bounds AS (
+    SELECT min(doc_id) AS lo, max(doc_id) - min(doc_id) + 1 AS span
+    FROM documents
+),
+first_seen AS (
+    SELECT tok, min(doc_id) AS first_doc
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM documents
+    )
+    WHERE length(tok) >= 1
+    GROUP BY tok
+),
+new_toks AS (
+    SELECT CAST(floor(({GROWTH_BUCKETS} * (first_doc - lo)) / span)
+               AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS new_tokens
+    FROM first_seen, bounds GROUP BY 1
+),
+doc_counts AS (
+    SELECT CAST(floor(({GROWTH_BUCKETS} * (doc_id - lo)) / span)
+               AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs_bucket
+    FROM documents, bounds GROUP BY 1
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(sum(COALESCE(n_docs_bucket, 0)) OVER w AS BIGINT)
+           AS docs_through,
+       CAST(sum(COALESCE(new_tokens, 0)) OVER w AS BIGINT) AS vocab_size
+FROM doc_counts FULL JOIN new_toks USING (decile)
+WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+
+QUERIES["vocab_growth_curve"] = q_vocab_growth_curve
+ORACLES["vocab_growth_curve"] = ORACLE_VOCAB_GROWTH_CURVE

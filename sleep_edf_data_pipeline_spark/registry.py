@@ -71,8 +71,8 @@ _MODULES = [
 # 1) the round-7 debuts with only local verification:
 #    bpe_encode_stats, embedding_drift_by_label,
 #    session_window_agg_bucketed, peak_concurrent_sessions,
-#    fuzzy_name_dedup_symspell (all local driver_sim hash-green at
-#    3 SFs in round 7);
+#    fuzzy_name_dedup_symspell, vocab_growth_curve (all local
+#    driver_sim hash-green at 3 SFs in round 7);
 # 2) any query whose implementation round 7 REWROTE after its last
 #    driver row (none as of round-7 close: the psi/ks cumulative and
 #    the ks refactor landed BEFORE the round-7 driver run, so their
@@ -92,12 +92,12 @@ _MODULES = [
 #    ranking_suite repetition_stats returned_item_customers
 #    shipping_priority_buckets stratified_sample
 #    unigram_logprob_scores waiting_suppliers
-#    Suggested round-8 window = the 5 r07 debuts (item 1) + 34 r04-stale
-#    + 11 from the 49-name r05-stale pool (prefer the LLM-data ops:
+#    Suggested round-8 window = the 6 r07 debuts (item 1) + 34 r04-stale
+#    + 10 from the 49-name r05-stale pool (prefer the LLM-data ops:
 #    ann_recall_eval, bm25_topk, cosine_topk_bruteforce,
 #    dedup_canonical_docs, doc_fingerprints, document_chunks,
 #    embedding_neardups, gopher_quality_flags, language_id,
-#    tfidf_top_terms, vocab_top_tokens) = exactly 50.
+#    tfidf_top_terms) = exactly 50.
 # Update tests/test_registry_window.py's pin in the same commit.
 
 #: The driver-verification window: collect() hoists these 50 names to
