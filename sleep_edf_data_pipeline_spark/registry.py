@@ -66,108 +66,78 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.edit_distance",
 ]
 
-# ROUND-8 WINDOW PLAN (execute at the START of round 8, never
+# ROUND-9 WINDOW PLAN (execute at the START of round 9, never
 # mid-round — the driver grades the window as committed at round end):
-# 1) the round-7 debuts with only local verification:
-#    bpe_encode_stats, embedding_drift_by_label,
-#    session_window_agg_bucketed, peak_concurrent_sessions,
-#    fuzzy_name_dedup_symspell, vocab_growth_curve (all local
-#    driver_sim hash-green at 3 SFs in round 7);
-# 2) any query whose implementation round 7 REWROTE after its last
-#    driver row (none as of round-7 close: the psi/ks cumulative and
-#    the ks refactor landed BEFORE the round-7 driver run, so their
-#    r07 rows already attest the current code);
-# 3) backfill with the next-stalest driver rows — computed at round-7
-#    close, the exact r04-stale pool (green in CORRECTNESS_r04, in no
-#    window since) is these 34:
-#    cluster_size_histogram corpus_shuffle_order cosine_topk_ivf
-#    customer_distribution data_quality_checks decontaminate_overlap
-#    dedup_clusters diagnostics domain_mixture_weights
-#    dominant_small_part_suppliers duplicate_spans forecast_revenue
-#    frame_sampling importance_resample important_stock
-#    json_props_stats kcore_membership length_bucket_packing
-#    minhash_lsh_neardups multimodal_features multimodal_resize
-#    ngram_jaccard_neardups part_supplier_diversity pii_scrub
-#    priority_order_counts promo_revenue_share quality_classifier
-#    ranking_suite repetition_stats returned_item_customers
-#    shipping_priority_buckets stratified_sample
-#    unigram_logprob_scores waiting_suppliers
-#    Suggested round-8 window = the 6 r07 debuts (item 1) + 34 r04-stale
-#    + 10 from the 49-name r05-stale pool (prefer the LLM-data ops:
-#    ann_recall_eval, bm25_topk, cosine_topk_bruteforce,
-#    dedup_canonical_docs, doc_fingerprints, document_chunks,
-#    embedding_neardups, gopher_quality_flags, language_id,
-#    tfidf_top_terms) = exactly 50.
-# Update tests/test_registry_window.py's pin in the same commit.
+# placeholder — the concrete 50-name list is written at round-8 close
+# once this round's debuts are known.  Composition rule as always:
+# (1) every round-8 debut with only local verification, (2) anything
+# REWRITTEN after its last driver row, (3) backfill from the stalest
+# pool (the r05-stale remainder, ~39 names).
 
 #: The driver-verification window: collect() hoists these 50 names to
 #: the front, in this order.  Every name must exist in some module.
 #:
-#: ROUND-7 WINDOW (executing the round-6 rotation plan): the 28
-#: round-6 debuts that have never had a driver row (local driver_sim
-#: green at 3 SFs in round 6; this converts them to hard signal); the
-#: 8 sleep-pipeline-spine names deferred from the r06 window plus the
-#: 2 rows-only sketches stale since r03 (approx_distinct_parts /
-#: approx_quantiles_price — the driver records the weaker rows-only
-#: check for those two); and 12 backfill entries from the r04-stale
-#: pool, chosen to re-verify the round-6 verdict's one `weak` item
-#: (the full PQ/IVF-PQ search family) plus the highest-value dedup /
-#: clustering / graph queries.
+#: ROUND-8 WINDOW (executing the round-7 rotation plan verbatim): the
+#: 6 round-7 debuts that have never had a driver row (all local
+#: driver_sim hash-green at 3 SFs in round 7); the full 34-name
+#: r04-stale pool (green in CORRECTNESS_r04, in no window since); and
+#: 10 LLM-data-ops names from the 49-name r05-stale pool.  No query
+#: was rewritten after its round-7 driver row, so there is no item-2
+#: component this round.
 _WINDOW = [
-    # -- round-6 debuts, never driver-rowed (28) ----------------------
-    "acf_user_value",
-    "bfs_distances",
-    "bigram_lm_surprisal",
-    "bpe_merge_pairs",
-    "cdc_chunks",
-    "classifier_calibration",
-    "community_quality",
-    "cross_split_leakage",
-    "csv_roundtrip_agg",
-    "cusum_changepoint",
-    "decontaminate_auto",
-    "hard_negatives",
-    "hard_negatives_lsh",
-    "image_dhash_neardups",
-    "incremental_customer_summary",
-    "inverted_index_postings",
-    "ks_two_sample",
-    "label_propagation_communities",
-    "link_negative_sampling",
-    "normalize_text_nfc",
-    "orc_roundtrip_agg",
-    "pmi_cooccurrence",
-    "psi_drift_by_source",
-    "revenue_trend_ols",
-    "scd2_customer_priority",
-    "temperature_mixture_weights",
-    "token_entropy_by_source",
-    "top_event_paths",
-    # -- r03-stale: sleep-pipeline spine (8) + rows-only sketches (2) -
-    "staging_cast",
-    "moving_average",
-    "transition_flag",
-    "gaps_islands",
-    "episode_detection",
-    "episode_ranking",
-    "episode_bounds",
-    "sleep_metrics",
-    "approx_distinct_parts",
-    "approx_quantiles_price",
-    # -- r04-stale backfill (12): PQ family (verdict weak item) + ----
-    # -- high-value dedup/clustering/graph ----------------------------
-    "ivfpq_residual_topk",
-    "pq_topk_adc",
-    "pq_topk_refined",
-    "ivfpq_topk",
-    "pq_codes",
-    "pq_recall_eval",
-    "bloom_decontaminate",
-    "incremental_dedup",
-    "dedup_exact",
-    "semdedup_prune",
-    "kmeans_clusters",
-    "triangle_counts",
+    # -- round-7 debuts, never driver-rowed (6) -----------------------
+    "bpe_encode_stats",
+    "embedding_drift_by_label",
+    "session_window_agg_bucketed",
+    "peak_concurrent_sessions",
+    "fuzzy_name_dedup_symspell",
+    "vocab_growth_curve",
+    # -- r04-stale backfill: the full 34-name pool --------------------
+    "cluster_size_histogram",
+    "corpus_shuffle_order",
+    "cosine_topk_ivf",
+    "customer_distribution",
+    "data_quality_checks",
+    "decontaminate_overlap",
+    "dedup_clusters",
+    "diagnostics",
+    "domain_mixture_weights",
+    "dominant_small_part_suppliers",
+    "duplicate_spans",
+    "forecast_revenue",
+    "frame_sampling",
+    "importance_resample",
+    "important_stock",
+    "json_props_stats",
+    "kcore_membership",
+    "length_bucket_packing",
+    "minhash_lsh_neardups",
+    "multimodal_features",
+    "multimodal_resize",
+    "ngram_jaccard_neardups",
+    "part_supplier_diversity",
+    "pii_scrub",
+    "priority_order_counts",
+    "promo_revenue_share",
+    "quality_classifier",
+    "ranking_suite",
+    "repetition_stats",
+    "returned_item_customers",
+    "shipping_priority_buckets",
+    "stratified_sample",
+    "unigram_logprob_scores",
+    "waiting_suppliers",
+    # -- r05-stale backfill (10): LLM-data ops ------------------------
+    "ann_recall_eval",
+    "bm25_topk",
+    "cosine_topk_bruteforce",
+    "dedup_canonical_docs",
+    "doc_fingerprints",
+    "document_chunks",
+    "embedding_neardups",
+    "gopher_quality_flags",
+    "language_id",
+    "tfidf_top_terms",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

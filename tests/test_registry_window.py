@@ -5,49 +5,53 @@ The external driver hash-verifies only the first 50 entries of
 queries would silently change WHICH queries get driver rows.  This pin
 makes any window change an explicit, reviewed edit.
 
-Round-7 window = the 28 round-6 debuts that have never had a driver
-row, the 8 sleep-pipeline-spine names deferred from the round-6 window
-plus the 2 rows-only sketches stale since r03, and 12 backfill entries
-from the r04-stale pool (the full PQ search family — the round-6
-verdict's one `weak` item — plus the highest-value dedup / clustering /
-graph queries).  See the rotation rationale in registry.py.
+Round-8 window = the round-7 rotation plan executed verbatim: the 6
+round-7 debuts that have never had a driver row, the full 34-name
+r04-stale pool (green in CORRECTNESS_r04, in no window since), and 10
+LLM-data-ops names from the r05-stale pool.  See the rotation
+rationale in registry.py.
 """
 
 from sleep_edf_data_pipeline_spark import registry
 
-ROUND7_WINDOW = [
-    "acf_user_value", "bfs_distances", "bigram_lm_surprisal",
-    "bpe_merge_pairs", "cdc_chunks", "classifier_calibration",
-    "community_quality", "cross_split_leakage", "csv_roundtrip_agg",
-    "cusum_changepoint", "decontaminate_auto", "hard_negatives",
-    "hard_negatives_lsh", "image_dhash_neardups",
-    "incremental_customer_summary", "inverted_index_postings",
-    "ks_two_sample", "label_propagation_communities",
-    "link_negative_sampling", "normalize_text_nfc", "orc_roundtrip_agg",
-    "pmi_cooccurrence", "psi_drift_by_source", "revenue_trend_ols",
-    "scd2_customer_priority", "temperature_mixture_weights",
-    "token_entropy_by_source", "top_event_paths",
-    "staging_cast", "moving_average", "transition_flag", "gaps_islands",
-    "episode_detection", "episode_ranking", "episode_bounds",
-    "sleep_metrics", "approx_distinct_parts", "approx_quantiles_price",
-    "ivfpq_residual_topk", "pq_topk_adc", "pq_topk_refined",
-    "ivfpq_topk", "pq_codes", "pq_recall_eval", "bloom_decontaminate",
-    "incremental_dedup", "dedup_exact", "semdedup_prune",
-    "kmeans_clusters", "triangle_counts",
+ROUND8_WINDOW = [
+    # round-7 debuts (6)
+    "bpe_encode_stats", "embedding_drift_by_label",
+    "session_window_agg_bucketed", "peak_concurrent_sessions",
+    "fuzzy_name_dedup_symspell", "vocab_growth_curve",
+    # r04-stale backfill (34)
+    "cluster_size_histogram", "corpus_shuffle_order", "cosine_topk_ivf",
+    "customer_distribution", "data_quality_checks",
+    "decontaminate_overlap", "dedup_clusters", "diagnostics",
+    "domain_mixture_weights", "dominant_small_part_suppliers",
+    "duplicate_spans", "forecast_revenue", "frame_sampling",
+    "importance_resample", "important_stock", "json_props_stats",
+    "kcore_membership", "length_bucket_packing", "minhash_lsh_neardups",
+    "multimodal_features", "multimodal_resize", "ngram_jaccard_neardups",
+    "part_supplier_diversity", "pii_scrub", "priority_order_counts",
+    "promo_revenue_share", "quality_classifier", "ranking_suite",
+    "repetition_stats", "returned_item_customers",
+    "shipping_priority_buckets", "stratified_sample",
+    "unigram_logprob_scores", "waiting_suppliers",
+    # r05-stale backfill (10): LLM-data ops
+    "ann_recall_eval", "bm25_topk", "cosine_topk_bruteforce",
+    "dedup_canonical_docs", "doc_fingerprints", "document_chunks",
+    "embedding_neardups", "gopher_quality_flags", "language_id",
+    "tfidf_top_terms",
 ]
 
-#: Window entries that are by-design rows-only sketches (no DuckDB
-#: oracle can express them); the driver records the weaker rows-only
-#: check for these two and the judge sees which.
-ROWS_ONLY_IN_WINDOW = {"approx_distinct_parts", "approx_quantiles_price"}
+#: Every round-8 window entry is oracle-backed (the two by-design
+#: rows-only sketches approx_distinct_parts / approx_quantiles_price
+#: got their driver rows in the round-7 window and rotate out).
+ROWS_ONLY_IN_WINDOW = set()
 
 
 def test_driver_window_is_exactly_the_planned_50():
     queries, oracles = registry.collect()
-    assert list(queries)[:50] == ROUND7_WINDOW
-    # every window entry except the two by-design rows-only sketches
-    # is oracle-backed
-    no_oracle = [n for n in ROUND7_WINDOW if n not in oracles]
+    assert list(queries)[:50] == ROUND8_WINDOW
+    # every window entry except the by-design rows-only sketches is
+    # oracle-backed
+    no_oracle = [n for n in ROUND8_WINDOW if n not in oracles]
     assert sorted(no_oracle) == sorted(ROWS_ONLY_IN_WINDOW)
 
 
