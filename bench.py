@@ -135,6 +135,11 @@ HEADLINE = [
     "fuzzy_name_dedup_symspell",
     # r07 debut: Heaps-law vocabulary growth curve
     "vocab_growth_curve",
+    # r08 debut: URL-canonicalization dedup (CCNet/RefinedWeb stage 1)
+    "url_canonical_dedup",
+    # r08 debut: value-level BPE encode sample (training pass is the
+    # corpus cost; the sample fold is bounded at 100 docs)
+    "bpe_encode_sample",
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",
@@ -198,6 +203,14 @@ def main() -> None:
         sf = float(base or "0.1")
     except ValueError:  # non-sfN dir (e.g. /tmp/scale10 smoke corpora)
         sf = base
+    # Host-load snapshot BEFORE the run: co-tenant load has inflated
+    # individual samples 2-3x in past rounds (r6 ivfpq, r7 bfs) and
+    # cost judge/builder cycles adjudicating by prose.  Recording
+    # loadavg + CPU count in the artifact makes each sample
+    # self-adjudicating: load1 >> 0 at start means the totals carry
+    # co-tenant noise.  (local[32] itself drives load to ~6-7 DURING
+    # the run, so only the start sample measures external load.)
+    load_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark(app_name="bench")
     queries, _ = registry.collect()
 
@@ -244,12 +257,18 @@ def main() -> None:
     # the JSON (BENCH_r06 "parsed": null).  So: the full per-query map
     # goes to stderr and to bench_queries.json, and the LAST stdout
     # line is a compact summary guaranteed to fit the tail buffer.
+    host = {
+        "load_start": load_start,
+        "load_end": [round(x, 2) for x in os.getloadavg()],
+        "cpus": os.cpu_count(),
+    }
     full = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "host": host,
     }
     print(json.dumps(full), file=sys.stderr)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -263,9 +282,17 @@ def main() -> None:
             "n_queries": len(timings),
             "sf": sf,
             "queries_file": "bench_queries.json",
+            "host": host,
         }
     )
-    assert len(summary) < 1500, "final bench line must fit the driver tail"
+    # Hard check, not `assert`: asserts compile out under `python -O`,
+    # which would silently reintroduce the round-6 truncated-JSON
+    # failure mode this guard exists to prevent.
+    if len(summary) >= 1500:
+        raise RuntimeError(
+            f"final bench line is {len(summary)} chars; must stay under "
+            "1500 to fit the external driver's ~2,000-char stdout tail"
+        )
     print(summary)
 
 

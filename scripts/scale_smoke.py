@@ -126,6 +126,12 @@ SMOKE = [
     "fuzzy_name_dedup_symspell",
     # r07 debut: vocabulary growth — one gram pass to first-seen
     "vocab_growth_curve",
+    # r08 debut: URL canonical dedup — map + hash-groupBy, the exact
+    # content-dedup shuffle shape; wall should track the corpus scan
+    "url_canonical_dedup",
+    # r08 debut: value-level BPE encode sample — training vocabulary
+    # pass scales with the corpus, the sample fold is fixed at 100 docs
+    "bpe_encode_sample",
     "bigram_lm_surprisal",
     "hard_negatives",
     "cdc_chunks",
@@ -283,6 +289,13 @@ SELECT100 = [
     # over the vocabulary, so its wall should stay sublinear even as
     # the doc corpus grows 100x
     "bpe_encode_stats",
+    # r08 (verdict item 4): second decade for embedding drift — the
+    # corpus pass reduces to a |labels|x|dims| grid, so the wall should
+    # track the scan, never the grid tail
+    "embedding_drift_by_label",
+    # r08: the value-level encode sample rides the same vocabulary
+    # training pass as bpe_encode_stats; sample side is bounded
+    "bpe_encode_sample",
 ]
 
 
@@ -314,6 +327,37 @@ def generate_docs100(spark) -> None:
         out = out.unionByName(p)
     out.repartition(64).write.mode("overwrite").parquet(
         f"{SCALED100}/documents.parquet"
+    )
+
+
+def generate_emb100(spark) -> None:
+    """100 copies of sf0.1 embeddings (same remap scheme as the 10x
+    corpus: vec_id offset + a per-copy dim-0 epsilon so copies are not
+    bit-identical vectors).  Labels are preserved, so every per-label
+    centroid accumulates 100x the vectors — the drift grid's row count
+    stays |labels|x|dims| while the corpus pass grows 100x."""
+    base = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    okey = 10_000_000
+    parts = []
+    for i in range(100):
+        eps = F.lit(float(i) * 1e-3)
+        parts.append(
+            base.withColumn("vec_id", F.col("vec_id") + F.lit(i * okey))
+            .withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda v, j: F.when(j == 0, v + eps)
+                    .otherwise(v)
+                    .cast("float"),
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{SCALED100}/embeddings.parquet"
     )
 
 
@@ -361,6 +405,8 @@ def select100(spark, out_path: str) -> None:
         generate(spark)
     if not os.path.isdir(f"{SCALED100}/documents.parquet"):
         generate_docs100(spark)
+    if not os.path.isdir(f"{SCALED100}/embeddings.parquet"):
+        generate_emb100(spark)
     queries, _ = registry.collect()
     names = list(SELECT100)
     prior = {}

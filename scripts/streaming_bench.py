@@ -569,6 +569,63 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Streaming occupancy monitor (r8): fold each micro-batch of
+    # CLOSED session rows into the netted (t, net) boundary-delta
+    # grid, then answer hourly peak concurrency from the folded state.
+    # Exactness checked against the batch query (same shared tail).
+    from sleep_edf_data_pipeline_spark.queries.event_windows import (
+        q_session_window_agg_bucketed,
+    )
+    from sleep_edf_data_pipeline_spark.queries.occupancy import (
+        q_peak_concurrent_sessions,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.occupancy import (
+        StreamingOccupancyMonitor,
+    )
+
+    sess_full = q_session_window_agg_bucketed(spark, SF_DIR)
+    sess_full.repartition(N_FILES).write.parquet(f"{STAGE}/sess_full")
+    n_sess = spark.read.parquet(f"{STAGE}/sess_full").count()
+    omon = StreamingOccupancyMonitor(f"{STAGE}/occ_state")
+    sess_schema = spark.read.parquet(f"{STAGE}/sess_full").schema
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema(sess_schema)
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .parquet(f"{STAGE}/sess_full")
+        .writeStream.foreachBatch(omon.process_batch)
+        .option("checkpointLocation", f"{STAGE}/_ckpt_occ")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(f"streaming occupancy monitor failed: {exc}")
+    wall = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    got_peaks = sorted(map(tuple, omon.peaks(spark).collect()))
+    peaks_query_s = time.perf_counter() - t1
+    want_peaks = sorted(
+        map(tuple, q_peak_concurrent_sessions(spark, SF_DIR).collect())
+    )
+    if got_peaks != want_peaks:
+        raise RuntimeError("streaming occupancy peaks from state != batch")
+    results["streaming_occupancy_monitor"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": n_sess,
+        "rows_per_sec": round(n_sess / wall) if wall else None,
+        "micro_batches": (omon.last_batch_id or 0) + 1,
+        "peaks_query_s": round(peaks_query_s, 3),
+        "exact_vs_batch": True,
+    }
+    print(
+        "# streaming_occupancy_monitor: "
+        f"{results['streaming_occupancy_monitor']}",
+        file=sys.stderr,
+    )
+
     with open(out_path, "w") as f:
         json.dump(
             {

@@ -14,10 +14,14 @@ each component is quantized once to micro-units
 (``round(x·1e6)`` → BIGINT — the engine's standard float discipline),
 per-(label, dim) sums are order-free BIGINTs, and the three cross
 products Σ s_l·g, Σ s_l², Σ g² run in DECIMAL(38,0) (int128 — HUGEINT
-in the oracle): at web scale a component sum reaches ~1e18
-(1e12 vectors × 1e6 micro-units), so a product is ~1e36 — past BIGINT,
-inside int128.  One double division + two sqrt at the end, identical
-expression shape on both engines → bit-stable.
+in the oracle).  Headroom bound (dim-aware: the SUM over D dims eats
+into the 38 digits too): safe while D · (max component sum)² < 1e38,
+i.e. component sums up to ~3e17 at D=1024 — about 3e11 vectors per
+label at 1e6 micro-units and |x|≤1.  Past ~300 G vectors/label,
+pre-divide the component sums by a fixed power of ten on BOTH engines
+(cosine is scale-invariant; identical integer truncation keeps the
+engines bit-equal).  One double division + two sqrt at the end,
+identical expression shape on both engines → bit-stable.
 
 Scale shape: ONE corpus pass (posexplode + map-side-combinable sum)
 reduces 100 TB of vectors to |labels|×|dims| rows; everything after

@@ -39,24 +39,62 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .event_windows import q_session_window_agg
+from .event_windows import q_session_window_agg_bucketed
 
 
-def q_peak_concurrent_sessions(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    sess = q_session_window_agg(spark, sf_dir)
+def net_grid(sess: DataFrame) -> DataFrame:
+    """(t, net, day, hour) netted boundary-delta grid from session
+    rows — the algebraic partial the streaming twin
+    (streaming/occupancy.py) folds across micro-batches (net sums are
+    order-free BIGINTs; state is bounded by distinct boundary
+    timestamps, i.e. by the CALENDAR at any fixed time resolution,
+    never by the stream)."""
+    # explode, not union: a union of two selects over `sess` would run
+    # the whole upstream sessionization twice; exploding a 2-slot
+    # array emits both deltas from ONE pass over the session rows.
     deltas = sess.select(
-        F.col("session_start").alias("t"), F.lit(1).alias("d")
-    ).unionByName(
-        sess.select(F.col("session_end").alias("t"), F.lit(-1).alias("d"))
-    )
-    net = (
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("session_start").alias("t"), F.lit(1).alias("d")
+                ),
+                F.struct(
+                    F.col("session_end").alias("t"), F.lit(-1).alias("d")
+                ),
+            )
+        ).alias("x")
+    ).select("x.t", "x.d")
+    return (
         deltas.groupBy("t")
         .agg(F.sum("d").cast("bigint").alias("net"))
         .withColumn("day", F.to_date("t"))
         .withColumn("hour", F.hour("t"))
     )
+
+
+def q_peak_concurrent_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # The deltas ride the skew-safe (user, day)-bucketed sessionizer,
+    # NOT the native per-user merge: under a Zipf user head the native
+    # operator funnels the hot user's whole stream into one merge task
+    # (5.14x at the 135x events decade), and this query inherited that
+    # task in round 7.  The bucketed twin emits value-identical session
+    # rows (same oracle), so only the plan changes.
+    sess = q_session_window_agg_bucketed(spark, sf_dir)
+    # persist WITHOUT an eager job (drift_stats pattern): three
+    # consumers (the within-hour walk, the hour offsets, the day
+    # offsets) all derive from `net` — uncached, the executed plan ran
+    # the whole sessionization 6x for one query.  The cache fills at
+    # first use; bench/driver clear the cache between queries.
+    net = net_grid(sess).persist()
+    return peak_from_net(net)
+
+
+def peak_from_net(net: DataFrame) -> DataFrame:
+    """Hourly peak concurrency from a (t, net, day, hour) grid — the
+    shared tail of the batch query and the streaming monitor
+    (calendar-decomposed global prefix; exact BIGINT)."""
     # fact-scale walk: one hour's deltas per task
     w1 = (
         Window.partitionBy("day", "hour")

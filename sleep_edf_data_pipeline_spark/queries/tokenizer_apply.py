@@ -83,20 +83,13 @@ def source_vocab(docs: DataFrame) -> DataFrame:
     )
 
 
-def encode_stats_from_vocab(vocab: DataFrame) -> DataFrame:
-    """Per-source encode statistics from a (source, tok, freq) grid —
-    the shared tail of the batch query and the streaming monitor.
-
-    The merge table is re-derived FROM the grid (summing per-source
-    frequencies reproduces the corpus-global token counts exactly, so
-    the trained top-64 is identical to ``q_bpe_merge_pairs``), which is
-    what lets a streaming deployment answer train AND apply from one
-    folded vocabulary state.
-    """
-    # persisted: the grid feeds BOTH the training side and the encode
-    # side — without the cache the corpus pass would run twice (same
-    # pattern as embedding_drift's grid)
-    vocab = vocab.persist()
+def merges_from_vocab(vocab: DataFrame) -> DataFrame:
+    """Replay the ``bpe_merge_pairs`` training from a (source, tok,
+    freq) grid: the trained top-``BPE_TOP`` merge table as ONE bounded
+    array column (collect_list inside an aggregate — no driver
+    collect).  Summing per-source frequencies reproduces the
+    corpus-global token counts exactly, so the result is identical to
+    training on the raw corpus."""
     gvocab = (
         vocab.filter(F.length("tok") >= 2)
         .groupBy("tok")
@@ -120,7 +113,24 @@ def encode_stats_from_vocab(vocab: DataFrame) -> DataFrame:
     # the trained merge table as one bounded 64-element array column;
     # sort_array only for determinism of the intermediate (membership
     # probes are order-insensitive)
-    merge_arr = top.agg(F.sort_array(F.collect_list("pair")).alias("merges"))
+    return top.agg(F.sort_array(F.collect_list("pair")).alias("merges"))
+
+
+def encode_stats_from_vocab(vocab: DataFrame) -> DataFrame:
+    """Per-source encode statistics from a (source, tok, freq) grid —
+    the shared tail of the batch query and the streaming monitor.
+
+    The merge table is re-derived FROM the grid (summing per-source
+    frequencies reproduces the corpus-global token counts exactly, so
+    the trained top-64 is identical to ``q_bpe_merge_pairs``), which is
+    what lets a streaming deployment answer train AND apply from one
+    folded vocabulary state.
+    """
+    # persisted: the grid feeds BOTH the training side and the encode
+    # side — without the cache the corpus pass would run twice (same
+    # pattern as embedding_drift's grid)
+    vocab = vocab.persist()
+    merge_arr = merges_from_vocab(vocab)
     enc = vocab.crossJoin(F.broadcast(merge_arr)).select(
         "source",
         "freq",
@@ -347,3 +357,142 @@ WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
 
 QUERIES["vocab_growth_curve"] = q_vocab_growth_curve
 ORACLES["vocab_growth_curve"] = ORACLE_VOCAB_GROWTH_CURVE
+
+
+# --------------------------------------------------------------------------
+# bpe_encode_sample — value-level encode check (round-8, VERDICT item 7)
+# --------------------------------------------------------------------------
+
+#: Deterministic doc sample size for the value-level check.
+SAMPLE_DOCS = 100
+
+#: The piece-EMITTING greedy fold: same walk as _ENCODE_FOLD, but the
+#: accumulator carries the emitted pieces themselves, so every token's
+#: encoding is checked per position, not just in the sums.
+_ENCODE_PIECES_FOLD = """
+aggregate(
+  sequence(1, length(tok)),
+  named_struct('pos', 1, 'pieces', CAST(array() AS ARRAY<STRING>)),
+  (acc, i) -> CASE
+    WHEN i < acc.pos THEN acc
+    WHEN array_contains(merges, substring(tok, i, 2)) THEN named_struct(
+      'pos', i + 2, 'pieces', array_append(acc.pieces, substring(tok, i, 2)))
+    ELSE named_struct(
+      'pos', i + 1, 'pieces', array_append(acc.pieces, substring(tok, i, 1)))
+  END
+).pieces
+"""
+
+
+def q_bpe_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual encoded piece sequences for a deterministic doc
+    sample — the value-level twin of ``bpe_encode_stats`` (which only
+    verifies aggregate sums).
+
+    The merge table trains on the FULL corpus (one vocabulary pass,
+    identical to ``bpe_merge_pairs``); the greedy fold then runs only
+    over the md5-ranked top-``SAMPLE_DOCS`` docs (TakeOrdered — a
+    bounded k, never a global sort), emitting one row per (doc, word
+    position, piece position, piece).  A fold bug that compensates in
+    the sums (e.g. advancing 2 but emitting the wrong substring)
+    cannot survive this check.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    merge_arr = merges_from_vocab(source_vocab(docs))
+    sample = (
+        docs.select("doc_id", "text")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(SAMPLE_DOCS)
+    )
+    words = (
+        sample.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "tok")
+        )
+        # keep the ORIGINAL index (1-based, matching DuckDB
+        # generate_subscripts) — filtering empties after enumeration
+        # preserves positions identically on both engines
+        .select("doc_id", (F.col("i") + 1).cast("bigint").alias("word_idx"),
+                "tok")
+        .filter(F.length("tok") >= 1)
+    )
+    return (
+        words.crossJoin(F.broadcast(merge_arr))
+        .select(
+            "doc_id", "word_idx",
+            F.posexplode(F.expr(_ENCODE_PIECES_FOLD)).alias("p", "piece"),
+        )
+        .select(
+            "doc_id", "word_idx",
+            (F.col("p") + 1).cast("bigint").alias("piece_idx"),
+            "piece",
+        )
+    )
+
+
+ORACLE_BPE_ENCODE_SAMPLE = f"""
+WITH RECURSIVE
+gvocab AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS freq
+    FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        FROM documents
+    )
+    WHERE length(tok) >= 2
+    GROUP BY tok
+),
+gpairs AS (
+    SELECT unnest([substr(tok, i, 2) for i in range(1, length(tok))]) AS pair,
+           freq
+    FROM gvocab
+),
+merges AS (
+    SELECT pair FROM (
+        SELECT pair,
+               row_number() OVER (ORDER BY sum(freq) DESC, pair ASC) AS rank
+        FROM gpairs GROUP BY pair
+    ) WHERE rank <= {BPE_TOP}
+),
+sample AS (
+    SELECT doc_id, text FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT {SAMPLE_DOCS}
+),
+words AS (
+    SELECT doc_id, CAST(idx AS BIGINT) AS word_idx, tok
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok,
+               generate_subscripts(
+                   regexp_split_to_array(lower(text), '\\s+'), 1) AS idx
+        FROM sample
+    )
+    WHERE length(tok) >= 1
+),
+enc AS (
+    SELECT doc_id, word_idx, tok, 1 AS pos,
+           CAST([] AS VARCHAR[]) AS pieces
+    FROM words
+    UNION ALL
+    SELECT doc_id, word_idx, tok,
+           pos + CASE WHEN hit THEN 2 ELSE 1 END,
+           pieces || [substr(tok, pos, CASE WHEN hit THEN 2 ELSE 1 END)]
+    FROM (
+        SELECT e.*,
+               EXISTS (SELECT 1 FROM merges m
+                       WHERE m.pair = substr(e.tok, e.pos, 2)) AS hit
+        FROM enc e
+        WHERE e.pos <= length(e.tok)
+    )
+),
+done AS (
+    SELECT * FROM enc WHERE pos > length(tok)
+)
+SELECT doc_id, word_idx,
+       CAST(generate_subscripts(pieces, 1) AS BIGINT) AS piece_idx,
+       unnest(pieces) AS piece
+FROM done
+"""
+
+
+QUERIES["bpe_encode_sample"] = q_bpe_encode_sample
+ORACLES["bpe_encode_sample"] = ORACLE_BPE_ENCODE_SAMPLE

@@ -64,6 +64,9 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.embedding_drift",
     "sleep_edf_data_pipeline_spark.queries.occupancy",
     "sleep_edf_data_pipeline_spark.queries.edit_distance",
+    # r08 debuts — appended at the END so the pinned round-8 window is
+    # untouched; rotate into the window in round 9 (see plan above).
+    "sleep_edf_data_pipeline_spark.queries.url_dedup",
 ]
 
 # ROUND-9 WINDOW PLAN (execute at the START of round 9, never
