@@ -140,6 +140,9 @@ HEADLINE = [
     # r08 debut: value-level BPE encode sample (training pass is the
     # corpus cost; the sample fold is bounded at 100 docs)
     "bpe_encode_sample",
+    # r08 debut: CDC-chunk cross-document duplicate spans (the
+    # scalable substring-dedup stand-in; hash bucket = candidate set)
+    "cdc_dedup_spans",
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",

@@ -132,6 +132,10 @@ SMOKE = [
     # r08 debut: value-level BPE encode sample — training vocabulary
     # pass scales with the corpus, the sample fold is fixed at 100 docs
     "bpe_encode_sample",
+    # r08 debut: CDC duplicate spans — one chunking pass + doc_id
+    # self-join + chunk-hash groupBy; within-copy dup structure is
+    # preserved by the decade corpus, so output and wall scale ~linear
+    "cdc_dedup_spans",
     "bigram_lm_surprisal",
     "hard_negatives",
     "cdc_chunks",

@@ -67,6 +67,7 @@ _MODULES = [
     # r08 debuts — appended at the END so the pinned round-8 window is
     # untouched; rotate into the window in round 9 (see plan above).
     "sleep_edf_data_pipeline_spark.queries.url_dedup",
+    "sleep_edf_data_pipeline_spark.queries.span_dedup",
 ]
 
 # ROUND-9 WINDOW PLAN (execute at the START of round 9, never

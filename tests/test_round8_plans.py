@@ -96,3 +96,49 @@ def test_occupancy_rides_bucketed_sessionizer_and_caches_net(spark):
     # one events scan per print == one corpus pass at cache-fill
     n_scans = len(re.findall(r"events\.parquet", plan))
     assert n_scans == n_cached, (n_scans, n_cached)
+
+
+def test_bpe_encode_sample_reconstructs_tokens(spark):
+    """Value-level encode invariants independent of the oracle: the
+    pieces of every word concatenate back to the word exactly, every
+    piece is 1 or 2 chars, and every 2-char piece is a trained merge."""
+    from pyspark.sql import functions as F
+
+    from sleep_edf_data_pipeline_spark.queries.tokenizer_apply import (
+        merges_from_vocab,
+        q_bpe_encode_sample,
+        source_vocab,
+    )
+    from sleep_edf_data_pipeline_spark.tables import spread, table
+
+    out = q_bpe_encode_sample(spark, SF_DIR)
+    rebuilt = (
+        out.groupBy("doc_id", "word_idx")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(
+                    F.collect_list(F.struct("piece_idx", "piece"))
+                ).getField("piece")
+            ).alias("word"),
+            F.max(F.length("piece")).alias("max_piece"),
+        )
+    )
+    docs = spread(table(spark, SF_DIR, "documents"), "doc_id")
+    assert rebuilt.filter(F.col("max_piece") > 2).count() == 0
+    # cross-check a sample of rebuilt words against the raw text
+    some = rebuilt.limit(50).collect()
+    texts = {
+        r["doc_id"]: r["text"].lower().split()
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for r in some:
+        assert texts[r["doc_id"]][r["word_idx"] - 1] == r["word"]
+    # every 2-char piece is a trained merge
+    merges = set(
+        merges_from_vocab(source_vocab(docs)).collect()[0]["merges"]
+    )
+    two_char = {
+        r["piece"]
+        for r in out.filter(F.length("piece") == 2).distinct().collect()
+    }
+    assert two_char <= merges
