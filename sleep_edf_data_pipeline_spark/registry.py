@@ -72,11 +72,35 @@ _MODULES = [
 
 # ROUND-9 WINDOW PLAN (execute at the START of round 9, never
 # mid-round — the driver grades the window as committed at round end):
-# placeholder — the concrete 50-name list is written at round-8 close
-# once this round's debuts are known.  Composition rule as always:
-# (1) every round-8 debut with only local verification, (2) anything
-# REWRITTEN after its last driver row, (3) backfill from the stalest
-# pool (the r05-stale remainder, ~39 names).
+# 1) the round-8 debuts with only local verification (3):
+#    bpe_encode_sample, cdc_dedup_spans, url_canonical_dedup
+#    (all local driver_sim hash-green at 3 SFs in round 8);
+# 2) any query whose implementation round 8 REWROTE after its last
+#    driver row: NONE expected — peak_concurrent_sessions /
+#    bpe_encode_stats were refactored BEFORE the round-8 driver run,
+#    so their r08 rows attest the current code; re-check at round-9
+#    start;
+# 3) backfill with the stalest pools — computed at round-8 close, the
+#    exact r05-stale pool (last driver row r05, in no window since) is
+#    these 39:
+#    bigram_counts cohort_ltv context_packing copurchase_pairs
+#    dataset_split_stats deterministic_downsample event_transitions
+#    ewma_user_value exact_moments_suite funnel_counts key_skew_report
+#    large_volume_customers last_touch_attribution length_histogram
+#    mad_outliers market_share min_cost_supplier ohlc_bars
+#    pagerank_copurchase quality_decile_select quality_scores
+#    regex_token_stats retention_cohorts rolling_median_value
+#    sales_opportunity simhash_neardups small_quantity_revenue
+#    source_overlap_matrix special_promo_revenue stopword_profile
+#    subject_list subject_lookup subject_timeseries token_stats
+#    top_supplier_revenue twap_user_value user_rfm vocab_top_tokens
+#    weekly_active_users
+#    plus 8 from the 50-name r06-stale pool (prefer the LLM-data /
+#    fact-heavy ops): audio_features, dsir_importance_weights,
+#    fuzzy_name_dedup, heavy_hitters_cms, heavy_hitters_exact,
+#    lsh_buckets, minhash_signatures, session_window_agg
+#    = exactly 50.
+# Update tests/test_registry_window.py's pin in the same commit.
 
 #: The driver-verification window: collect() hoists these 50 names to
 #: the front, in this order.  Every name must exist in some module.
