@@ -143,6 +143,8 @@ HEADLINE = [
     # r08 debut: CDC-chunk cross-document duplicate spans (the
     # scalable substring-dedup stand-in; hash bucket = candidate set)
     "cdc_dedup_spans",
+    # r08 debut: per-host crawl audit over canonical URLs
+    "host_dedup_profile",
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",

@@ -136,6 +136,8 @@ SMOKE = [
     # self-join + chunk-hash groupBy; within-copy dup structure is
     # preserved by the decade corpus, so output and wall scale ~linear
     "cdc_dedup_spans",
+    # r08 debut: host audit — one host shuffle + a 1-row broadcast
+    "host_dedup_profile",
     "bigram_lm_surprisal",
     "hard_negatives",
     "cdc_chunks",

@@ -133,10 +133,119 @@ HAVING count(*) >= 2
 """
 
 
+def q_host_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl audit (the RefinedWeb/FineWeb domain table): doc
+    count, distinct canonical URLs, URL-dup rate, and corpus share per
+    canonical HOST.
+
+    The scale argument for running URL dedup FIRST: this table is what
+    a pipeline operator reads to see which hosts contribute mostly
+    duplicates (mirrors, CDNs) before paying for content MinHash.  Two
+    aggregations, both on the host key (one shuffle + a broadcast of
+    the 1-row total); dup_rate and corpus share are single divisions
+    of exact BIGINTs.
+    """
+    docs = _synth_raw_url(
+        table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    canon = docs.select(
+        "doc_id",
+        "n_chars",
+        canonicalize_url(F.col("url")).alias("cu"),
+    ).withColumn("host", F.regexp_extract("cu", r"^([^/?]*)", 1))
+    per = canon.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("cu").cast("bigint").alias("n_canonical_urls"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    tot = per.agg(F.sum("n_docs").cast("bigint").alias("tot_docs"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "n_docs",
+        "n_canonical_urls",
+        "n_chars",
+        ((F.col("n_docs") - F.col("n_canonical_urls")).cast("double")
+         / F.col("n_docs").cast("double")).alias("url_dup_rate"),
+        (F.col("n_docs").cast("double") / F.col("tot_docs").cast("double"))
+        .alias("doc_share"),
+    )
+
+
+#: Same synthesis + canonicalization as the dedup oracle, rolled up to
+#: the host grain.
+ORACLE_HOST_DEDUP_PROFILE = """
+WITH raw AS (
+    SELECT doc_id, n_chars,
+        (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+        || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END)
+        || (CASE WHEN doc_id % 3 = 0
+            THEN upper('cdn' || CAST((doc_id // 3) % 4 AS VARCHAR)
+                 || '.example.com')
+            ELSE 'cdn' || CAST((doc_id // 3) % 4 AS VARCHAR)
+                 || '.example.com' END)
+        || '/docs/' || CAST(doc_id // 3 AS VARCHAR)
+        || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        || '?'
+        || (CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed'
+                 ELSE 'ref=tw' END)
+        || '&page=' || CAST((doc_id // 3) % 10 AS VARCHAR) || '&b=1'
+        || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)
+        AS url
+    FROM documents
+),
+parts AS (
+    SELECT doc_id, n_chars,
+        regexp_extract(regexp_replace(url, '#.*', ''), '^([^?]*)', 1)
+            AS base,
+        regexp_extract(regexp_replace(url, '#.*', ''), '\\?(.*)$', 1)
+            AS qs
+    FROM raw
+),
+hp AS (
+    SELECT doc_id, n_chars, qs,
+        regexp_replace(base, '^https?://', '') AS rest
+    FROM parts
+),
+canon AS (
+    SELECT doc_id, n_chars,
+        regexp_replace(lower(regexp_extract(rest, '^([^/]*)', 1)),
+                       '^www\\.', '')
+        || regexp_replace(
+               regexp_extract(rest, '^[^/]*(/.*)?$', 1), '/$', '')
+        || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END)
+        AS cu
+    FROM (
+        SELECT doc_id, n_chars, rest,
+            array_to_string(
+                list_sort(list_filter(string_split(qs, '&'),
+                    p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[^=]*|fbclid|gclid|ref|mc_eid)='))),
+                '&') AS cq
+        FROM hp
+    )
+),
+per AS (
+    SELECT regexp_extract(cu, '^([^/?]*)', 1) AS host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cu) AS BIGINT) AS n_canonical_urls,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM canon GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs FROM per)
+SELECT host, n_docs, n_canonical_urls, n_chars,
+       CAST(n_docs - n_canonical_urls AS DOUBLE) / CAST(n_docs AS DOUBLE)
+           AS url_dup_rate,
+       CAST(n_docs AS DOUBLE) / CAST(tot_docs AS DOUBLE) AS doc_share
+FROM per CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "url_canonical_dedup": q_url_canonical_dedup,
+    "host_dedup_profile": q_host_dedup_profile,
 }
 
 ORACLES = {
     "url_canonical_dedup": ORACLE_URL_CANONICAL_DEDUP,
+    "host_dedup_profile": ORACLE_HOST_DEDUP_PROFILE,
 }

@@ -142,3 +142,21 @@ def test_bpe_encode_sample_reconstructs_tokens(spark):
         for r in out.filter(F.length("piece") == 2).distinct().collect()
     }
     assert two_char <= merges
+
+
+def test_host_profile_plan_shape(spark):
+    """Two host-key aggregations + a 1-row broadcast — never a
+    shuffle join or a window."""
+    from sleep_edf_data_pipeline_spark.queries.url_dedup import (
+        q_host_dedup_profile,
+    )
+
+    plan = (
+        q_host_dedup_profile(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
