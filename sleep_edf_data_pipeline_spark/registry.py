@@ -72,8 +72,9 @@ _MODULES = [
 
 # ROUND-9 WINDOW PLAN (execute at the START of round 9, never
 # mid-round — the driver grades the window as committed at round end):
-# 1) the round-8 debuts with only local verification (3):
-#    bpe_encode_sample, cdc_dedup_spans, url_canonical_dedup
+# 1) the round-8 debuts with only local verification (4):
+#    bpe_encode_sample, cdc_dedup_spans, url_canonical_dedup,
+#    host_dedup_profile
 #    (all local driver_sim hash-green at 3 SFs in round 8);
 # 2) any query whose implementation round 8 REWROTE after its last
 #    driver row: NONE expected — peak_concurrent_sessions /
@@ -95,10 +96,10 @@ _MODULES = [
 #    subject_list subject_lookup subject_timeseries token_stats
 #    top_supplier_revenue twap_user_value user_rfm vocab_top_tokens
 #    weekly_active_users
-#    plus 8 from the 50-name r06-stale pool (prefer the LLM-data /
+#    plus 7 from the 50-name r06-stale pool (prefer the LLM-data /
 #    fact-heavy ops): audio_features, dsir_importance_weights,
 #    fuzzy_name_dedup, heavy_hitters_cms, heavy_hitters_exact,
-#    lsh_buckets, minhash_signatures, session_window_agg
+#    minhash_signatures, session_window_agg
 #    = exactly 50.
 # Update tests/test_registry_window.py's pin in the same commit.
 
