@@ -153,11 +153,14 @@ def q_host_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         canonicalize_url(F.col("url")).alias("cu"),
     ).withColumn("host", F.regexp_extract("cu", r"^([^/?]*)", 1))
+    # persisted (drift_stats pattern, lazy): `per` feeds BOTH the
+    # output and the 1-row total — uncached, the corpus would be
+    # scanned twice (once inside the broadcast branch)
     per = canon.groupBy("host").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.countDistinct("cu").cast("bigint").alias("n_canonical_urls"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
-    )
+    ).persist()
     tot = per.agg(F.sum("n_docs").cast("bigint").alias("tot_docs"))
     return per.crossJoin(F.broadcast(tot)).select(
         "host",

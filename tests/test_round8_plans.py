@@ -151,6 +151,7 @@ def test_host_profile_plan_shape(spark):
         q_host_dedup_profile,
     )
 
+    spark.catalog.clearCache()
     plan = (
         q_host_dedup_profile(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -160,3 +161,6 @@ def test_host_profile_plan_shape(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
+    # the per-host grid is cached: output AND the 1-row total read the
+    # InMemoryTableScan, so the corpus is scanned once at cache-fill
+    assert plan.count("InMemoryTableScan") >= 2, plan
