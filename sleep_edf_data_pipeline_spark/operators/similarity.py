@@ -202,21 +202,17 @@ def _plane_components(plane: int, dim: int) -> list[float]:
     return comps
 
 
-def hyperplane_lsh_buckets(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = 8,
-    dim: int = 64,
-) -> DataFrame:
-    """Random-hyperplane LSH: sign pattern over n_planes → bucket id.
+def hyperplane_lsh_bucket_col(
+    vec: Column, n_planes: int = 8, dim: int = 64
+) -> Column:
+    """Random-hyperplane LSH bucket id as a pure COLUMN expression.
 
     Hyperplane components are ±1 derived from seeded hashes, so both
     engines (and every run) build identical planes without a
-    randomness source.  Returns (id, bucket) with bucket in
-    [0, 2^n_planes).
+    randomness source.  Being a projection, it composes with
+    ``withColumn`` — no (id, bucket) self-join needed to attach
+    buckets to the source frame.  Bucket in [0, 2^n_planes).
     """
-    vec = F.col(vec_col)
     bucket: Column = F.lit(0).cast("bigint")
     for p in range(n_planes):
         comps = _plane_components(p, dim)
@@ -232,4 +228,20 @@ def hyperplane_lsh_buckets(
         bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+    return bucket
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, bucket) frame over :func:`hyperplane_lsh_bucket_col`."""
+    return df.select(
+        F.col(id_col),
+        hyperplane_lsh_bucket_col(F.col(vec_col), n_planes, dim).alias(
+            "bucket"
+        ),
+    )

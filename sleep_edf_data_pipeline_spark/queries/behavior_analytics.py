@@ -35,10 +35,15 @@ def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage with a pushed event_type filter.
     """
     ev = table(spark, sf_dir, "events")
+    # s1/s2 are each consumed twice (their stage count + the next
+    # stage's join); persisted (lazy, drift_stats pattern) so the
+    # executed plan scans the fact exactly once per stage — uncached,
+    # the chained re-derivations scanned it 6x
     s1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist()
     )
     s2 = (
         ev.filter(F.col("event_type") == "click")
@@ -46,6 +51,7 @@ def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .persist()
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
@@ -183,12 +189,16 @@ def q_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_quantity_quantiles.
     """
     ev = table(spark, sf_dir, "events")
+    # persisted (lazy): the RFM frame feeds both the threshold
+    # aggregate and the output, and the corpus max is the max of the
+    # per-user maxes — so the fact is scanned ONCE (was 4x: two
+    # consumers each re-deriving per_user + a separate raw max scan)
     per_user = ev.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
         F.count("*").alias("frequency"),
         F.round(F.sum(_dec("value")).cast("double"), 6).alias("monetary"),
-    )
-    max_ts = ev.agg(F.max("ts").alias("corpus_max_ts"))
+    ).persist()
+    max_ts = per_user.agg(F.max("last_ts").alias("corpus_max_ts"))
     rfm = per_user.crossJoin(F.broadcast(max_ts)).withColumn(
         "recency_days",
         F.datediff(

@@ -40,7 +40,7 @@ from ..operators.dedup import tokens, word_shingles
 from ..operators.similarity import (
     brute_force_topk,
     dot,
-    hyperplane_lsh_buckets,
+    hyperplane_lsh_bucket_col,
     norm,
 )
 from ..tables import spread, table
@@ -482,8 +482,15 @@ def q_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity_queries import _DIM, _N_PLANES
 
     emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
-    buckets = hyperplane_lsh_buckets(emb, n_planes=_N_PLANES, dim=_DIM)
-    embb = emb.join(buckets, "vec_id")
+    # bucket is a pure projection (hyperplane_lsh_bucket_col) — the
+    # old (vec_id, bucket) self-join shuffled the corpus to re-attach
+    # a column computable in the scan
+    embb = emb.withColumn(
+        "bucket",
+        hyperplane_lsh_bucket_col(
+            F.col("embedding"), n_planes=_N_PLANES, dim=_DIM
+        ),
+    )
     q = embb.filter(F.col("vec_id") < HN_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("_qv"),

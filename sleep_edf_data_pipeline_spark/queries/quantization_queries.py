@@ -162,8 +162,16 @@ def _exact_sq() -> F.Column:
 
 
 def _query_frames(spark: SparkSession, sf_dir: str):
-    """(emb, codes, broadcast dtable frame, broadcast query-vector frame)."""
+    """(emb, codes, broadcast dtable frame, broadcast query-vector frame).
+
+    ``codes`` comes back PERSISTED (lazy, drift_stats pattern): the
+    refined and recall pipelines derive both the ADC pass and the
+    shortlist from it, and uncached each derivation re-runs the whole
+    encode projection over the raw embeddings — at 100 TB the coded
+    corpus is exactly the 64×-smaller artifact you'd materialize once.
+    """
     emb, books, codes = _train_and_encode(spark, sf_dir)
+    codes = codes.persist()
     qrows = (
         emb.filter(F.col("vec_id") < PQ_QUERIES)
         .select("vec_id", "embedding")

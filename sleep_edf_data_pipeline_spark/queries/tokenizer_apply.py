@@ -276,10 +276,12 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROWTH_BUCKETS rows — bounded by construction.  All integers.
     """
     docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    # 1-row frame, two broadcast consumers — persisted (lazy) so the
+    # min/max scan runs once
     bounds = docs.agg(
         F.min("doc_id").alias("lo"),
         (F.max("doc_id") - F.min("doc_id") + 1).alias("span"),
-    )
+    ).persist()
     # floor-division on BOTH engines: a bare double division cast to
     # BIGINT truncates in Spark but rounds in DuckDB (verify gotcha)
     bucket = lambda c: F.floor(  # noqa: E731
