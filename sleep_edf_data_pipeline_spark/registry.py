@@ -76,11 +76,15 @@ _MODULES = [
 #    bpe_encode_sample, cdc_dedup_spans, url_canonical_dedup,
 #    host_dedup_profile
 #    (all local driver_sim hash-green at 3 SFs in round 8);
-# 2) any query whose implementation round 8 REWROTE after its last
-#    driver row: NONE expected — peak_concurrent_sessions /
-#    bpe_encode_stats were refactored BEFORE the round-8 driver run,
-#    so their r08 rows attest the current code; re-check at round-9
-#    start;
+# 2) queries the round-8 corpus-pass audit REWROTE after their last
+#    driver row (plan-only changes, same oracles, but the rows predate
+#    the code): mad_outliers_approx, hard_negatives_lsh, lsh_buckets,
+#    pq_recall_eval, pq_topk_refined (5).  The audit's other rewrites
+#    (funnel_counts, user_rfm, mad_outliers, key_skew_report,
+#    vocab_growth_curve) are already covered by item 1/3; everything
+#    in the round-8 window (peak_concurrent_sessions,
+#    bpe_encode_stats, embedding_neardups, ...) gets its r08 row from
+#    a driver run that postdates all round-8 commits;
 # 3) backfill with the stalest pools — computed at round-8 close, the
 #    exact r05-stale pool (last driver row r05, in no window since) is
 #    these 39:
@@ -96,11 +100,9 @@ _MODULES = [
 #    subject_list subject_lookup subject_timeseries token_stats
 #    top_supplier_revenue twap_user_value user_rfm vocab_top_tokens
 #    weekly_active_users
-#    plus 7 from the 50-name r06-stale pool (prefer the LLM-data /
-#    fact-heavy ops): audio_features, dsir_importance_weights,
-#    fuzzy_name_dedup, heavy_hitters_cms, heavy_hitters_exact,
-#    minhash_signatures, session_window_agg
-#    = exactly 50.
+#    plus 2 from the 50-name r06-stale pool:
+#    heavy_hitters_exact, session_window_agg
+#    = 4 + 5 + 39 + 2 = exactly 50.
 # Update tests/test_registry_window.py's pin in the same commit.
 
 #: The driver-verification window: collect() hoists these 50 names to
