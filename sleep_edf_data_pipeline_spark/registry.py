@@ -70,111 +70,103 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.span_dedup",
 ]
 
-# ROUND-9 WINDOW PLAN (execute at the START of round 9, never
-# mid-round — the driver grades the window as committed at round end):
-# 1) the round-8 debuts with only local verification (4):
-#    bpe_encode_sample, cdc_dedup_spans, url_canonical_dedup,
-#    host_dedup_profile
-#    (all local driver_sim hash-green at 3 SFs in round 8);
-# 2) queries the round-8 corpus-pass audit REWROTE after their last
-#    driver row (plan-only changes, same oracles, but the rows predate
-#    the code): mad_outliers_approx, hard_negatives_lsh, lsh_buckets,
-#    pq_recall_eval, pq_topk_refined (5).  The audit's other rewrites
-#    (funnel_counts, user_rfm, mad_outliers, key_skew_report,
-#    vocab_growth_curve) are already covered by item 1/3; everything
-#    in the round-8 window (peak_concurrent_sessions,
-#    bpe_encode_stats, embedding_neardups, ...) gets its r08 row from
-#    a driver run that postdates all round-8 commits;
-# 3) backfill with the stalest pools — computed at round-8 close, the
-#    exact r05-stale pool (last driver row r05, in no window since) is
-#    these 39:
-#    bigram_counts cohort_ltv context_packing copurchase_pairs
-#    dataset_split_stats deterministic_downsample event_transitions
-#    ewma_user_value exact_moments_suite funnel_counts key_skew_report
-#    large_volume_customers last_touch_attribution length_histogram
-#    mad_outliers market_share min_cost_supplier ohlc_bars
-#    pagerank_copurchase quality_decile_select quality_scores
-#    regex_token_stats retention_cohorts rolling_median_value
-#    sales_opportunity simhash_neardups small_quantity_revenue
-#    source_overlap_matrix special_promo_revenue stopword_profile
-#    subject_list subject_lookup subject_timeseries token_stats
-#    top_supplier_revenue twap_user_value user_rfm vocab_top_tokens
-#    weekly_active_users
-#    plus 2 from the 50-name r06-stale pool:
-#    heavy_hitters_exact, session_window_agg
-#    = 4 + 5 + 39 + 2 = exactly 50.
-# Update tests/test_registry_window.py's pin in the same commit.
+# ROUND-10 ROTATION PLAN (execute at the START of round 10, never
+# mid-round): after the round-9 window below runs, the stalest pool is
+# the r06 window remainder (last driver row r06, in no window since) —
+# 48 names = the ROUND6_WINDOW of tests/test_registry_window.py at the
+# round-6 commit, minus heavy_hitters_exact and session_window_agg
+# (taken into the round-9 window).  Compose round 10 as:
+# 1) round-9 debuts with only local verification (expected:
+#    line_dedup_stats, decontaminate_semantic, plus any further r9
+#    debuts — check COVERAGE.md);
+# 2) any query whose plan is rewritten after its round-9 driver row;
+# 3) backfill to exactly 50 from the 48-name r06-stale pool (prefer
+#    LLM-data ops first), leaving the remainder for round 11.
+# Update tests/test_registry_window.py pins in the same commit.
 
 #: The driver-verification window: collect() hoists these 50 names to
 #: the front, in this order.  Every name must exist in some module.
 #:
-#: ROUND-8 WINDOW (executing the round-7 rotation plan verbatim): the
-#: 6 round-7 debuts that have never had a driver row (all local
-#: driver_sim hash-green at 3 SFs in round 7); the full 34-name
-#: r04-stale pool (green in CORRECTNESS_r04, in no window since); and
-#: 10 LLM-data-ops names from the 49-name r05-stale pool.  No query
-#: was rewritten after its round-7 driver row, so there is no item-2
-#: component this round.
+#: ROUND-9 WINDOW (executing the round-8 rotation plan verbatim):
+#: 1) the 4 round-8 debuts that have never had a driver row (all local
+#:    driver_sim hash-green at 3 SFs in round 8);
+#: 2) the 5 plans the round-8 corpus-pass audit REWROTE after their
+#:    last driver row (same oracles, plan-only changes);
+#: 3) the full 39-name r05-stale pool + 2 names from the r06-stale
+#:    pool (heavy_hitters_exact, session_window_agg) = exactly 50.
 _WINDOW = [
-    # -- round-7 debuts, never driver-rowed (6) -----------------------
-    "bpe_encode_stats",
-    "embedding_drift_by_label",
-    "session_window_agg_bucketed",
-    "peak_concurrent_sessions",
-    "fuzzy_name_dedup_symspell",
-    "vocab_growth_curve",
-    # -- r04-stale backfill: the full 34-name pool --------------------
-    "cluster_size_histogram",
-    "corpus_shuffle_order",
-    "cosine_topk_ivf",
-    "customer_distribution",
-    "data_quality_checks",
-    "decontaminate_overlap",
-    "dedup_clusters",
-    "diagnostics",
-    "domain_mixture_weights",
-    "dominant_small_part_suppliers",
-    "duplicate_spans",
-    "forecast_revenue",
-    "frame_sampling",
-    "importance_resample",
-    "important_stock",
-    "json_props_stats",
-    "kcore_membership",
-    "length_bucket_packing",
-    "minhash_lsh_neardups",
-    "multimodal_features",
-    "multimodal_resize",
-    "ngram_jaccard_neardups",
-    "part_supplier_diversity",
-    "pii_scrub",
-    "priority_order_counts",
-    "promo_revenue_share",
-    "quality_classifier",
-    "ranking_suite",
-    "repetition_stats",
-    "returned_item_customers",
-    "shipping_priority_buckets",
-    "stratified_sample",
-    "unigram_logprob_scores",
-    "waiting_suppliers",
-    # -- r05-stale backfill (10): LLM-data ops ------------------------
-    "ann_recall_eval",
-    "bm25_topk",
-    "cosine_topk_bruteforce",
-    "dedup_canonical_docs",
-    "doc_fingerprints",
-    "document_chunks",
-    "embedding_neardups",
-    "gopher_quality_flags",
-    "language_id",
-    "tfidf_top_terms",
+    # -- round-8 debuts, never driver-rowed (4) -----------------------
+    "bpe_encode_sample",
+    "cdc_dedup_spans",
+    "url_canonical_dedup",
+    "host_dedup_profile",
+    # -- audit-rewritten after their last driver row (5) --------------
+    "mad_outliers_approx",
+    "hard_negatives_lsh",
+    "lsh_buckets",
+    "pq_recall_eval",
+    "pq_topk_refined",
+    # -- r05-stale backfill: the full 39-name pool --------------------
+    "bigram_counts",
+    "cohort_ltv",
+    "context_packing",
+    "copurchase_pairs",
+    "dataset_split_stats",
+    "deterministic_downsample",
+    "event_transitions",
+    "ewma_user_value",
+    "exact_moments_suite",
+    "funnel_counts",
+    "key_skew_report",
+    "large_volume_customers",
+    "last_touch_attribution",
+    "length_histogram",
+    "mad_outliers",
+    "market_share",
+    "min_cost_supplier",
+    "ohlc_bars",
+    "pagerank_copurchase",
+    "quality_decile_select",
+    "quality_scores",
+    "regex_token_stats",
+    "retention_cohorts",
+    "rolling_median_value",
+    "sales_opportunity",
+    "simhash_neardups",
+    "small_quantity_revenue",
+    "source_overlap_matrix",
+    "special_promo_revenue",
+    "stopword_profile",
+    "subject_list",
+    "subject_lookup",
+    "subject_timeseries",
+    "token_stats",
+    "top_supplier_revenue",
+    "twap_user_value",
+    "user_rfm",
+    "vocab_top_tokens",
+    "weekly_active_users",
+    # -- r06-stale (2) -------------------------------------------------
+    "heavy_hitters_exact",
+    "session_window_agg",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    """All registered (queries, oracles), driver window hoisted first.
+
+    CACHE CONTRACT: several query functions ``persist()`` a *reduced*
+    intermediate (per-key grid, coded corpus, histogram) that feeds
+    multiple consumers in the same plan, and deliberately do NOT
+    unpersist — the frame must stay cached until the caller has
+    consumed the returned DataFrame.  The harness callers (the external
+    driver, bench.py, scripts/driver_sim.py, tests) all call
+    ``spark.catalog.clearCache()`` between queries.  Any other
+    long-lived session embedding these functions must do the same, or
+    cached fact-derived frames accumulate across queries.
+    """
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for modname in _MODULES:

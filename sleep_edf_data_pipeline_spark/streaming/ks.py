@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.drift_stats import KS_A, KS_B, ks_from_pair, pair_hist
-from ..writers.versioned import commit_versioned, read_versioned
+from ..writers.versioned import commit_versioned, read_versioned, vacuum
 
 
 def pair_hist_partial(
@@ -39,6 +39,10 @@ def pair_hist_partial(
     return pair_hist(hist, a, b)
 
 
+#: Snapshot-vacuum cadence (see streaming/occupancy.py).
+_VACUUM_EVERY = 8
+
+
 class StreamingKSMonitor:
     """foreachBatch sink folding the two-source length histogram."""
 
@@ -48,6 +52,7 @@ class StreamingKSMonitor:
         self.b = b
         self.version: int | None = None
         self.last_batch_id: int | None = None
+        self._commits = 0
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """The foreachBatch callback (pass to ``.foreachBatch``)."""
@@ -68,6 +73,11 @@ class StreamingKSMonitor:
             )
             self.version = commit_versioned(merged, self.path, self.version)
         self.last_batch_id = batch_id
+        self._commits += 1
+        if self._commits % _VACUUM_EVERY == 0:
+            # each commit rewrites the full histogram; without a sweep
+            # the state dir grows O(batches) — keep only the newest
+            vacuum(self.path, keep_last=1)
 
     def pair(self, spark: SparkSession) -> DataFrame:
         """The folded (len, ca, cb) state."""

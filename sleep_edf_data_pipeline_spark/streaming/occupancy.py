@@ -29,7 +29,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.occupancy import net_grid, peak_from_net
-from ..writers.versioned import commit_versioned, read_versioned
+from ..writers.versioned import commit_versioned, read_versioned, vacuum
+
+#: Snapshot-vacuum cadence: every N commits, drop all but the newest
+#: snapshot.  Each commit rewrites the full grid, so without vacuuming
+#: the state directory grows O(batches × grid size) over a long-running
+#: stream (ADVICE r8); the newest snapshot is all a restart needs.
+_VACUUM_EVERY = 8
 
 
 class StreamingOccupancyMonitor:
@@ -39,6 +45,7 @@ class StreamingOccupancyMonitor:
         self.path = path
         self.version: int | None = None
         self.last_batch_id: int | None = None
+        self._commits = 0
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """The foreachBatch callback (pass to ``.foreachBatch``).
@@ -62,6 +69,11 @@ class StreamingOccupancyMonitor:
             )
             self.version = commit_versioned(merged, self.path, self.version)
         self.last_batch_id = batch_id
+        self._commits += 1
+        if self._commits % _VACUUM_EVERY == 0:
+            # safe mid-stream: this monitor is the directory's only
+            # reader and always reads self.version (the newest)
+            vacuum(self.path, keep_last=1)
 
     def grid(self, spark: SparkSession) -> DataFrame:
         """The folded (t, net, day, hour) state."""

@@ -5,53 +5,55 @@ The external driver hash-verifies only the first 50 entries of
 queries would silently change WHICH queries get driver rows.  This pin
 makes any window change an explicit, reviewed edit.
 
-Round-8 window = the round-7 rotation plan executed verbatim: the 6
-round-7 debuts that have never had a driver row, the full 34-name
-r04-stale pool (green in CORRECTNESS_r04, in no window since), and 10
-LLM-data-ops names from the r05-stale pool.  See the rotation
-rationale in registry.py.
+Round-9 window = the round-8 rotation plan executed verbatim: the 4
+round-8 debuts that have never had a driver row, the 5 plans the
+round-8 corpus-pass audit rewrote after their last driver row, the
+full 39-name r05-stale pool, and 2 names from the r06-stale pool.
+See the rotation rationale in registry.py.
 """
 
 from sleep_edf_data_pipeline_spark import registry
 
-ROUND8_WINDOW = [
-    # round-7 debuts (6)
-    "bpe_encode_stats", "embedding_drift_by_label",
-    "session_window_agg_bucketed", "peak_concurrent_sessions",
-    "fuzzy_name_dedup_symspell", "vocab_growth_curve",
-    # r04-stale backfill (34)
-    "cluster_size_histogram", "corpus_shuffle_order", "cosine_topk_ivf",
-    "customer_distribution", "data_quality_checks",
-    "decontaminate_overlap", "dedup_clusters", "diagnostics",
-    "domain_mixture_weights", "dominant_small_part_suppliers",
-    "duplicate_spans", "forecast_revenue", "frame_sampling",
-    "importance_resample", "important_stock", "json_props_stats",
-    "kcore_membership", "length_bucket_packing", "minhash_lsh_neardups",
-    "multimodal_features", "multimodal_resize", "ngram_jaccard_neardups",
-    "part_supplier_diversity", "pii_scrub", "priority_order_counts",
-    "promo_revenue_share", "quality_classifier", "ranking_suite",
-    "repetition_stats", "returned_item_customers",
-    "shipping_priority_buckets", "stratified_sample",
-    "unigram_logprob_scores", "waiting_suppliers",
-    # r05-stale backfill (10): LLM-data ops
-    "ann_recall_eval", "bm25_topk", "cosine_topk_bruteforce",
-    "dedup_canonical_docs", "doc_fingerprints", "document_chunks",
-    "embedding_neardups", "gopher_quality_flags", "language_id",
-    "tfidf_top_terms",
+ROUND9_WINDOW = [
+    # round-8 debuts, never driver-rowed (4)
+    "bpe_encode_sample", "cdc_dedup_spans", "url_canonical_dedup",
+    "host_dedup_profile",
+    # audit-rewritten after their last driver row (5)
+    "mad_outliers_approx", "hard_negatives_lsh", "lsh_buckets",
+    "pq_recall_eval", "pq_topk_refined",
+    # r05-stale backfill: the full 39-name pool
+    "bigram_counts", "cohort_ltv", "context_packing",
+    "copurchase_pairs", "dataset_split_stats",
+    "deterministic_downsample", "event_transitions", "ewma_user_value",
+    "exact_moments_suite", "funnel_counts", "key_skew_report",
+    "large_volume_customers", "last_touch_attribution",
+    "length_histogram", "mad_outliers", "market_share",
+    "min_cost_supplier", "ohlc_bars", "pagerank_copurchase",
+    "quality_decile_select", "quality_scores", "regex_token_stats",
+    "retention_cohorts", "rolling_median_value", "sales_opportunity",
+    "simhash_neardups", "small_quantity_revenue",
+    "source_overlap_matrix", "special_promo_revenue",
+    "stopword_profile", "subject_list", "subject_lookup",
+    "subject_timeseries", "token_stats", "top_supplier_revenue",
+    "twap_user_value", "user_rfm", "vocab_top_tokens",
+    "weekly_active_users",
+    # r06-stale (2)
+    "heavy_hitters_exact", "session_window_agg",
 ]
 
-#: Every round-8 window entry is oracle-backed (the two by-design
-#: rows-only sketches approx_distinct_parts / approx_quantiles_price
-#: got their driver rows in the round-7 window and rotate out).
-ROWS_ONLY_IN_WINDOW = set()
+#: mad_outliers_approx is a by-design rows-only sketch (approximate
+#: quantiles cannot hash-match an exact oracle); its exact twin
+#: mad_outliers is in the same window and IS oracle-backed, and the
+#: sketch-vs-exact delta is bounded in tests/test_sketch_tolerance.py.
+ROWS_ONLY_IN_WINDOW = {"mad_outliers_approx"}
 
 
 def test_driver_window_is_exactly_the_planned_50():
     queries, oracles = registry.collect()
-    assert list(queries)[:50] == ROUND8_WINDOW
+    assert list(queries)[:50] == ROUND9_WINDOW
     # every window entry except the by-design rows-only sketches is
     # oracle-backed
-    no_oracle = [n for n in ROUND8_WINDOW if n not in oracles]
+    no_oracle = [n for n in ROUND9_WINDOW if n not in oracles]
     assert sorted(no_oracle) == sorted(ROWS_ONLY_IN_WINDOW)
 
 

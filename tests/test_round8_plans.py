@@ -92,10 +92,12 @@ def test_occupancy_rides_bucketed_sessionizer_and_caches_net(spark):
     assert "MergingSessions" not in plan, plan
     n_cached = plan.count("InMemoryTableScan")
     assert n_cached >= 2, plan
-    # each InMemoryTableScan print inlines the cached subtree once;
-    # one events scan per print == one corpus pass at cache-fill
+    # each InMemoryTableScan print inlines the cached subtree at most
+    # once; AT MOST one events scan per print == one corpus pass at
+    # cache-fill.  Upper bound, not equality — how Spark stringifies
+    # inlined cached subtrees varies across versions (ADVICE r8).
     n_scans = len(re.findall(r"events\.parquet", plan))
-    assert n_scans == n_cached, (n_scans, n_cached)
+    assert 1 <= n_scans <= n_cached, (n_scans, n_cached)
 
 
 def test_bpe_encode_sample_reconstructs_tokens(spark):
@@ -125,10 +127,14 @@ def test_bpe_encode_sample_reconstructs_tokens(spark):
     )
     docs = spread(table(spark, SF_DIR, "documents"), "doc_id")
     assert rebuilt.filter(F.col("max_piece") > 2).count() == 0
-    # cross-check a sample of rebuilt words against the raw text
+    # cross-check a sample of rebuilt words against the raw text.
+    # The query's 1-based word_idx comes from Java \s+ split, which
+    # keeps leading-empty tokens and only splits on ASCII whitespace —
+    # rebuild the expected list the same way (re.split keeping
+    # empties), never with Python str.split (ADVICE r8).
     some = rebuilt.limit(50).collect()
     texts = {
-        r["doc_id"]: r["text"].lower().split()
+        r["doc_id"]: re.split(r"\s+", r["text"].lower())
         for r in docs.select("doc_id", "text").collect()
     }
     for r in some:
