@@ -145,6 +145,12 @@ HEADLINE = [
     "cdc_dedup_spans",
     # r08 debut: per-host crawl audit over canonical URLs
     "host_dedup_profile",
+    # r09 debut: C4-style exact line dedup — one corpus pass,
+    # hash-groupBy + high-cardinality window, no joins
+    "line_dedup_stats",
+    # r09 debut: semantic decontamination — k-means-blocked broadcast
+    # eval join (shares the semdedup codebook constants)
+    "decontaminate_semantic",
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",

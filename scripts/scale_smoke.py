@@ -138,6 +138,12 @@ SMOKE = [
     "cdc_dedup_spans",
     # r08 debut: host audit — one host shuffle + a 1-row broadcast
     "host_dedup_profile",
+    # r09 debut: line dedup — exact-dedup shuffle shape at the line
+    # grain; duplicate-line density is corpus-preserved, wall ~linear
+    "line_dedup_stats",
+    # r09 debut: semantic decontamination — broadcast eval side is
+    # fixed-size, train side one scan; wall should track the corpus
+    "decontaminate_semantic",
     "bigram_lm_surprisal",
     "hard_negatives",
     "cdc_chunks",

@@ -68,6 +68,10 @@ _MODULES = [
     # untouched; rotate into the window in round 9 (see plan above).
     "sleep_edf_data_pipeline_spark.queries.url_dedup",
     "sleep_edf_data_pipeline_spark.queries.span_dedup",
+    # r09 debuts — appended at the END so the pinned round-9 window is
+    # untouched; rotate into the window in round 10 (see plan above).
+    "sleep_edf_data_pipeline_spark.queries.line_dedup",
+    "sleep_edf_data_pipeline_spark.queries.semantic_decontam",
 ]
 
 # ROUND-10 ROTATION PLAN (execute at the START of round 10, never

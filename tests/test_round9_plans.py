@@ -1,0 +1,129 @@
+"""Round-9 pins: line-grain exact dedup + semantic decontamination."""
+
+import re
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_line_dedup_plan_shape(spark):
+    """One corpus pass, zero joins: segmentation + hash projected
+    inline, groupBy(line_hash, doc_id), ONE window partitioned on the
+    60-bit hash, final groupBy(doc_id).  The scan must prune to
+    (doc_id, text)."""
+    from sleep_edf_data_pipeline_spark.queries.line_dedup import (
+        q_line_dedup_stats,
+    )
+
+    spark.catalog.clearCache()
+    plan = (
+        q_line_dedup_stats(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"documents\.parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
+    # the survivor argmin rides a hash-partitioned window — never an
+    # unpartitioned (single-task) ordered spec
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("line_hash" in s for s in specs), plan
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan), (
+        plan
+    )
+
+
+def test_line_dedup_conservation(spark):
+    """kept + removed == total, per doc and in chars; every distinct
+    line keeps exactly one global survivor (sum of kept == distinct
+    line hashes); and a corpus with duplicates actually removes."""
+    from sleep_edf_data_pipeline_spark.operators.dedup import tokens
+    from sleep_edf_data_pipeline_spark.queries.line_dedup import (
+        LINE_TOKENS,
+        q_line_dedup_stats,
+    )
+    from sleep_edf_data_pipeline_spark.tables import spread, table
+
+    out = q_line_dedup_stats(spark, SF_DIR)
+    bad = out.filter(
+        (F.col("n_kept") + F.col("n_removed") != F.col("n_lines"))
+        | (F.col("n_kept") > F.col("n_lines"))
+        | (F.col("n_kept") < 0)
+        | (F.col("n_removed") < 0)
+    )
+    assert bad.count() == 0
+    totals = out.agg(
+        F.sum("n_lines").alias("total"),
+        F.sum("n_kept").alias("kept"),
+        F.sum("n_removed").alias("removed"),
+    ).collect()[0]
+    # distinct normalized lines, re-derived independently of the query
+    docs = spread(table(spark, SF_DIR, "documents"), "doc_id")
+    w = tokens(F.col("text"))
+    n_segs = F.ceil(F.size(w) / F.lit(float(LINE_TOKENS))).cast("int")
+    distinct_lines = (
+        docs.select(
+            w.alias("_w"),
+            F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("i"),
+        )
+        .select(
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_w"), F.col("i") * LINE_TOKENS + 1,
+                        LINE_TOKENS),
+            ).alias("seg")
+        )
+        .distinct()
+        .count()
+    )
+    assert totals["kept"] == distinct_lines
+    assert totals["removed"] == totals["total"] - distinct_lines
+    assert totals["removed"] > 0  # the corpus HAS cross-doc dup lines
+
+
+def test_decontaminate_semantic_plan_shape(spark):
+    """Eval side broadcast, candidates by cluster equi-join only:
+    BroadcastHashJoin LeftOuter, never a shuffle join, no cartesian."""
+    from sleep_edf_data_pipeline_spark.queries.semantic_decontam import (
+        q_decontaminate_semantic,
+    )
+
+    spark.catalog.clearCache()
+    plan = (
+        q_decontaminate_semantic(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftOuter" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_decontaminate_semantic_split_and_flags(spark):
+    """Eval vectors never appear in the verdict; the verdict covers
+    every train vector exactly once; contaminated <=> matches > 0;
+    and the blocked join found at least one contaminated vector."""
+    from sleep_edf_data_pipeline_spark.queries.semantic_decontam import (
+        q_decontaminate_semantic,
+    )
+    from sleep_edf_data_pipeline_spark.queries.training_data import EVAL_MOD
+    from sleep_edf_data_pipeline_spark.tables import spread, table
+
+    out = q_decontaminate_semantic(spark, SF_DIR)
+    assert out.filter(F.col("vec_id") % EVAL_MOD == 0).count() == 0
+    vecs = spread(table(spark, SF_DIR, "embeddings"), "vec_id")
+    n_train = vecs.filter(F.col("vec_id") % EVAL_MOD != 0).count()
+    assert out.count() == n_train
+    assert out.select("vec_id").distinct().count() == n_train
+    assert (
+        out.filter(
+            F.col("contaminated") != (F.col("n_eval_matches") > 0)
+        ).count()
+        == 0
+    )
+    assert out.filter(F.col("contaminated")).count() > 0
