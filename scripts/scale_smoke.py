@@ -308,6 +308,11 @@ SELECT100 = [
     # r08: the value-level encode sample rides the same vocabulary
     # training pass as bpe_encode_stats; sample side is bounded
     "bpe_encode_sample",
+    # r09 (verdict item 2): second decade for the CDC span dedup — the
+    # only r8 debut with a join in the hot path (chunk spans ⋈ token
+    # arrays, co-partitioned on doc_id); both sides scale with the
+    # corpus, so the wall should stay ~linear, never super-linear
+    "cdc_dedup_spans",
 ]
 
 

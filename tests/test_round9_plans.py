@@ -127,3 +127,32 @@ def test_decontaminate_semantic_split_and_flags(spark):
         == 0
     )
     assert out.filter(F.col("contaminated")).count() > 0
+
+
+def test_cdc_dedup_spans_join_shape(spark):
+    """The only join is the doc_id self-equi-join (co-partitioned at
+    scale; AQE may broadcast at test SFs) and every window partitions
+    by doc_id — never a cartesian or an unpartitioned ordered spec.
+    Pinned per VERDICT r8 item 2, together with the negative result in
+    SCALING.md: the array-native single-pass rewrite (no join, no
+    window) measured 3.8x WORSE at the 100x decade because the
+    md5-per-window boundary expression leaves whole-stage codegen and
+    defeats subexpression elimination inside higher-order lambdas."""
+    from sleep_edf_data_pipeline_spark.queries.span_dedup import (
+        q_cdc_dedup_spans,
+    )
+
+    spark.catalog.clearCache()
+    plan = (
+        q_cdc_dedup_spans(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    joins = re.findall(r"(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert joins, plan
+    for left, right in joins:
+        assert left.startswith("doc_id") and right.startswith("doc_id"), plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.startswith("doc_id") for s in specs), plan
