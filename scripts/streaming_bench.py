@@ -626,6 +626,64 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Streaming host-audit monitor (r9, VERDICT r8 item 5): fold each
+    # micro-batch of crawl records into (host, canonical_url) state —
+    # the exact-dedup state discipline makes countDistinct algebraic —
+    # and answer the domain table from state through the batch query's
+    # shared tail.  Exactness checked against the batch profile.
+    from sleep_edf_data_pipeline_spark.queries.url_dedup import (
+        _synth_raw_url,
+        q_host_dedup_profile,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.hosts import (
+        StreamingHostAuditMonitor,
+    )
+
+    crawl_full = _synth_raw_url(
+        table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    ).select("doc_id", "n_chars", "url")
+    crawl_full.repartition(N_FILES).write.parquet(f"{STAGE}/crawl_full")
+    n_crawl = spark.read.parquet(f"{STAGE}/crawl_full").count()
+    hmon = StreamingHostAuditMonitor(f"{STAGE}/host_state")
+    crawl_schema = spark.read.parquet(f"{STAGE}/crawl_full").schema
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema(crawl_schema)
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .parquet(f"{STAGE}/crawl_full")
+        .writeStream.foreachBatch(hmon.process_batch)
+        .option("checkpointLocation", f"{STAGE}/_ckpt_hosts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(f"streaming host monitor failed: {exc}")
+    wall = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    got_profile = sorted(map(tuple, hmon.profile(spark).collect()))
+    profile_query_s = time.perf_counter() - t1
+    want_profile = sorted(
+        map(tuple, q_host_dedup_profile(spark, SF_DIR).collect())
+    )
+    if got_profile != want_profile:
+        raise RuntimeError("streaming host profile from state != batch")
+    results["streaming_host_audit_monitor"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": n_crawl,
+        "rows_per_sec": round(n_crawl / wall) if wall else None,
+        "micro_batches": (hmon.last_batch_id or 0) + 1,
+        "profile_query_s": round(profile_query_s, 3),
+        "exact_vs_batch": True,
+    }
+    print(
+        "# streaming_host_audit_monitor: "
+        f"{results['streaming_host_audit_monitor']}",
+        file=sys.stderr,
+    )
+
     with open(out_path, "w") as f:
         json.dump(
             {

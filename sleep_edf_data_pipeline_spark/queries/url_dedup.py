@@ -148,11 +148,7 @@ def q_host_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _synth_raw_url(
         table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     )
-    canon = docs.select(
-        "doc_id",
-        "n_chars",
-        canonicalize_url(F.col("url")).alias("cu"),
-    ).withColumn("host", F.regexp_extract("cu", r"^([^/?]*)", 1))
+    canon = with_canonical_host(docs)
     # persisted (drift_stats pattern, lazy): `per` feeds BOTH the
     # output and the 1-row total — uncached, the corpus would be
     # scanned twice (once inside the broadcast branch)
@@ -161,6 +157,22 @@ def q_host_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cu").cast("bigint").alias("n_canonical_urls"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
     ).persist()
+    return profile_from_per(per)
+
+
+def with_canonical_host(df: DataFrame) -> DataFrame:
+    """Add (cu, host) to a frame carrying a raw ``url`` column — the
+    canonicalization head shared by the batch profile and the
+    streaming monitor (streaming/hosts.py)."""
+    return df.withColumn(
+        "cu", canonicalize_url(F.col("url"))
+    ).withColumn("host", F.regexp_extract("cu", r"^([^/?]*)", 1))
+
+
+def profile_from_per(per: DataFrame) -> DataFrame:
+    """Profile tail shared with the streaming monitor: dup rate and
+    corpus share as single divisions of exact BIGINTs over the per-host
+    grid (host, n_docs, n_canonical_urls, n_chars)."""
     tot = per.agg(F.sum("n_docs").cast("bigint").alias("tot_docs"))
     return per.crossJoin(F.broadcast(tot)).select(
         "host",
