@@ -151,6 +151,10 @@ HEADLINE = [
     # r09 debut: semantic decontamination — k-means-blocked broadcast
     # eval join (shares the semdedup codebook constants)
     "decontaminate_semantic",
+    # r09 debut: hybrid retrieval RRF fusion (BM25 + dense rank-join)
+    "rrf_fusion",
+    # r09 debut: centroid-based silhouette (clustering quality)
+    "kmeans_silhouette",
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",

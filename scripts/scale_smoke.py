@@ -144,6 +144,11 @@ SMOKE = [
     # r09 debut: semantic decontamination — broadcast eval side is
     # fixed-size, train side one scan; wall should track the corpus
     "decontaminate_semantic",
+    # r09 debut: RRF fusion — two TakeOrdered corpus passes + a
+    # 20x20 rank-join; wall tracks the BM25/cosine scans
+    "rrf_fusion",
+    # r09 debut: silhouette — one O(N*k) distance pass + tiny groupBy
+    "kmeans_silhouette",
     "bigram_lm_surprisal",
     "hard_negatives",
     "cdc_chunks",
@@ -313,6 +318,12 @@ SELECT100 = [
     # arrays, co-partitioned on doc_id); both sides scale with the
     # corpus, so the wall should stay ~linear, never super-linear
     "cdc_dedup_spans",
+    # r09 debuts, second decade: line dedup is one corpus pass + two
+    # reduced shuffles (claim: ~linear); semantic decontamination's
+    # eval side grows with the synthetic split, so its wall tracks the
+    # blocked join's candidate count
+    "line_dedup_stats",
+    "decontaminate_semantic",
 ]
 
 

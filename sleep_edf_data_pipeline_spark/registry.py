@@ -72,6 +72,8 @@ _MODULES = [
     # untouched; rotate into the window in round 10 (see plan above).
     "sleep_edf_data_pipeline_spark.queries.line_dedup",
     "sleep_edf_data_pipeline_spark.queries.semantic_decontam",
+    "sleep_edf_data_pipeline_spark.queries.retrieval_fusion",
+    "sleep_edf_data_pipeline_spark.queries.cluster_quality",
 ]
 
 # ROUND-10 ROTATION PLAN (execute at the START of round 10, never

@@ -156,3 +156,61 @@ def test_cdc_dedup_spans_join_shape(spark):
         assert left.startswith("doc_id") and right.startswith("doc_id"), plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all(s.startswith("doc_id") for s in specs), plan
+
+
+def test_rrf_fusion_plan_shape(spark):
+    """Both lists end in TakeOrdered (never a global sort); the rank
+    windows run over ALREADY-TRUNCATED <= 20-row frames (unpartitioned
+    spec is bounded by construction); the only full-size joins are the
+    1-row broadcasts (stats / probe)."""
+    from sleep_edf_data_pipeline_spark.queries.retrieval_fusion import (
+        q_rrf_fusion,
+    )
+
+    spark.catalog.clearCache()
+    plan = (
+        q_rrf_fusion(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    # every window sits above a TakeOrdered/limit, so the single-task
+    # sort the unpartitioned spec implies is over <= 20 rows — assert
+    # the plan has no window over an un-truncated exchange
+    assert plan.count("Window") <= 2, plan
+
+
+def test_kmeans_silhouette_plan_shape(spark):
+    """Centroids are plan literals: zero joins, one exchange (the
+    per-cluster groupBy)."""
+    from sleep_edf_data_pipeline_spark.queries.cluster_quality import (
+        q_kmeans_silhouette,
+    )
+
+    spark.catalog.clearCache()
+    plan = (
+        q_kmeans_silhouette(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_kmeans_silhouette_values_sane(spark):
+    """Silhouette in [-1, 1]; cluster count and vector totals match
+    the registered kmeans assignment."""
+    from sleep_edf_data_pipeline_spark.queries.cluster_quality import (
+        q_kmeans_silhouette,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    out = q_kmeans_silhouette(spark, SF_DIR).collect()
+    n_vecs = table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_vectors"] for r in out) == n_vecs
+    for r in out:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0, r
