@@ -155,6 +155,9 @@ HEADLINE = [
     "rrf_fusion",
     # r09 debut: centroid-based silhouette (clustering quality)
     "kmeans_silhouette",
+    # r09 debut: composed keep/drop verdict (quality + dedup +
+    # boilerplate reconciliation at the doc grain)
+    "corpus_keep_verdict",
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",

@@ -149,6 +149,9 @@ SMOKE = [
     "rrf_fusion",
     # r09 debut: silhouette — one O(N*k) distance pass + tiny groupBy
     "kmeans_silhouette",
+    # r09 debut: composed verdict — three corpus passes (projection,
+    # hash window, line pass) + doc-grain joins; wall ~linear
+    "corpus_keep_verdict",
     "bigram_lm_surprisal",
     "hard_negatives",
     "cdc_chunks",

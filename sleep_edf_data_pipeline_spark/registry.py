@@ -74,6 +74,7 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.semantic_decontam",
     "sleep_edf_data_pipeline_spark.queries.retrieval_fusion",
     "sleep_edf_data_pipeline_spark.queries.cluster_quality",
+    "sleep_edf_data_pipeline_spark.queries.corpus_verdict",
 ]
 
 # ROUND-10 ROTATION PLAN (execute at the START of round 10, never

@@ -214,3 +214,30 @@ def test_kmeans_silhouette_values_sane(spark):
     assert sum(r["n_vectors"] for r in out) == n_vecs
     for r in out:
         assert -1.0 <= r["mean_silhouette"] <= 1.0, r
+
+
+def test_corpus_keep_verdict_composition(spark):
+    """Three corpus passes (each a different signal's algorithmic
+    floor — no more), reconciliation joins at the doc grain only, and
+    the verdict booleans reconcile with the bitmask on every row."""
+    from sleep_edf_data_pipeline_spark.queries.corpus_verdict import (
+        q_corpus_keep_verdict,
+    )
+
+    spark.catalog.clearCache()
+    df = q_corpus_keep_verdict(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"documents\.parquet", plan)) == 3, plan
+    assert "CartesianProduct" not in plan, plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        want = (
+            (0 if r["ok_quality"] else 1)
+            + (2 if r["is_exact_dup"] else 0)
+            + (4 if r["is_boilerplate"] else 0)
+        )
+        assert r["reason"] == want, r
+        assert r["keep"] == (want == 0), r
+    # the boilerplate signal actually fires on this corpus
+    assert any(r["is_boilerplate"] for r in rows)
