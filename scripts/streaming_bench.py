@@ -684,6 +684,59 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Streaming line-dedup monitor (r9): fold each micro-batch of
+    # documents into the (line_hash, doc_id) retention grain (fully
+    # algebraic, order-free) and answer the C4-style retention profile
+    # from state via the batch query's shared tail.
+    from sleep_edf_data_pipeline_spark.queries.line_dedup import (
+        q_line_dedup_stats,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.lines import (
+        StreamingLineDedupMonitor,
+    )
+
+    docs_full = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs_full.repartition(N_FILES).write.parquet(f"{STAGE}/docs_lines")
+    n_docs_l = spark.read.parquet(f"{STAGE}/docs_lines").count()
+    lmon = StreamingLineDedupMonitor(f"{STAGE}/line_state")
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .parquet(f"{STAGE}/docs_lines")
+        .writeStream.foreachBatch(lmon.process_batch)
+        .option("checkpointLocation", f"{STAGE}/_ckpt_lines")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(f"streaming line-dedup monitor failed: {exc}")
+    wall = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    got_ret = sorted(map(tuple, lmon.retention(spark).collect()))
+    ret_query_s = time.perf_counter() - t1
+    want_ret = sorted(
+        map(tuple, q_line_dedup_stats(spark, SF_DIR).collect())
+    )
+    if got_ret != want_ret:
+        raise RuntimeError("streaming line retention from state != batch")
+    results["streaming_line_dedup_monitor"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": n_docs_l,
+        "rows_per_sec": round(n_docs_l / wall) if wall else None,
+        "micro_batches": (lmon.last_batch_id or 0) + 1,
+        "retention_query_s": round(ret_query_s, 3),
+        "exact_vs_batch": True,
+    }
+    print(
+        "# streaming_line_dedup_monitor: "
+        f"{results['streaming_line_dedup_monitor']}",
+        file=sys.stderr,
+    )
+
     with open(out_path, "w") as f:
         json.dump(
             {

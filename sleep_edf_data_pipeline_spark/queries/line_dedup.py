@@ -61,8 +61,13 @@ LINE_TOKENS = 13
 _SEG_STRIDE = 1 << 20
 
 
-def q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+def line_grain_partials(docs: DataFrame) -> DataFrame:
+    """(line_hash, doc_id) partials from a (doc_id, text) frame — the
+    segmentation + hash head, shared by the batch query and the
+    streaming monitor (streaming/lines.py).  Every column is an
+    algebraic fold (occ sums, min_idx mins, len constant per hash), so
+    partials over any partition of the corpus merge to the full-corpus
+    frame exactly — the property the streaming fold relies on."""
     w = tokens(F.col("text"))
     n_segs = F.ceil(F.size(w) / F.lit(float(LINE_TOKENS))).cast("int")
     segs = docs.select(
@@ -80,11 +85,16 @@ def q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash64(seg_text, seed="line").alias("line_hash"),
         F.length(seg_text).cast("bigint").alias("len"),
     )
-    per = hashed.groupBy("line_hash", "doc_id").agg(
+    return hashed.groupBy("line_hash", "doc_id").agg(
         F.count("*").cast("bigint").alias("occ"),
         F.min("seg_idx").alias("min_idx"),
         F.max("len").alias("len"),  # constant per hash
     )
+
+
+def retention_from_partials(per: DataFrame) -> DataFrame:
+    """Survivor window + per-doc rollup over the (line_hash, doc_id)
+    grain — the tail shared with the streaming monitor."""
     w_hash = Window.partitionBy("line_hash")
     pkey = F.col("doc_id") * _SEG_STRIDE + F.col("min_idx")
     kept = F.when(pkey == F.min(pkey).over(w_hash), F.lit(1)).otherwise(
@@ -104,6 +114,13 @@ def q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigint"
         ).alias("removed_chars"),
     )
+
+
+def q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
+    return retention_from_partials(line_grain_partials(docs))
 
 
 ORACLE_LINE_DEDUP_STATS = f"""

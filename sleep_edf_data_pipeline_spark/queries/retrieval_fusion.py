@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import dot, norm
 from ..tables import spread, table
-from .retrieval import BM25_K, ORACLE_BM25_TOPK, q_bm25_topk
+from .retrieval import ORACLE_BM25_TOPK, q_bm25_topk
 from .similarity_queries import _DOT, _NORM_A, _NORM_B
 
 #: Classic RRF constant (Cormack et al. 2009).
