@@ -158,6 +158,16 @@ HEADLINE = [
     # r09 debut: composed keep/drop verdict (quality + dedup +
     # boilerplate reconciliation at the doc grain)
     "corpus_keep_verdict",
+    # r09 debut: int8 scalar-quantization search + exact refine
+    "sq_topk_rescore",
+    # r09 debut: SQ honest-accuracy contract (recall@5 vs exact)
+    "sq_recall_eval",
+    # r09 debut: Flesch/FK/fog readability per source (quality triage)
+    "readability_scores",
+    # r09 debut: cross-document trigram novelty (duplicate burden)
+    "ngram_novelty",
+    # r09 debut: WordPiece greedy longest-match encode (train + apply)
+    "wordpiece_encode_stats",
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",

@@ -152,6 +152,20 @@ SMOKE = [
     # r09 debut: composed verdict — three corpus passes (projection,
     # hash window, line pass) + doc-grain joins; wall ~linear
     "corpus_keep_verdict",
+    # r09 debut: SQ8 search — stats agg + codes scan + bounded refine;
+    # wall should track the vector corpus linearly
+    "sq_topk_rescore",
+    # r09 debut: SQ recall eval — adds the exact broadcast scan
+    "sq_recall_eval",
+    # r09 debut: readability — one projection pass + tiny groupBy;
+    # wall should track corpus bytes exactly
+    "readability_scores",
+    # r09 debut: trigram novelty — line-dedup shuffle shape at the
+    # trigram grain; wall ~linear in corpus tokens
+    "ngram_novelty",
+    # r09 debut: WordPiece encode — gram-count train pass + per-word
+    # fold apply pass; wall ~linear in corpus characters
+    "wordpiece_encode_stats",
     "bigram_lm_surprisal",
     "hard_negatives",
     "cdc_chunks",
