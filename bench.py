@@ -168,6 +168,12 @@ HEADLINE = [
     "ngram_novelty",
     # r09 debut: WordPiece greedy longest-match encode (train + apply)
     "wordpiece_encode_stats",
+    # r09 debut: per-edge CN/Jaccard/RA (link prediction features)
+    "edge_similarity_scores",
+    # r09 debut: Z-order vs linear layout pruning stats
+    "zorder_layout_stats",
+    # r09 debut: distributed Pareto frontier (bucket-decomposed prefix)
+    "pareto_frontier",
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",

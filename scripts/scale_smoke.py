@@ -166,6 +166,15 @@ SMOKE = [
     # r09 debut: WordPiece encode — gram-count train pass + per-word
     # fold apply pass; wall ~linear in corpus characters
     "wordpiece_encode_stats",
+    # r09 debut: per-edge similarity — adjacency-intersection probe
+    # streams per edge; wall ~linear in edges × degree
+    "edge_similarity_scores",
+    # r09 debut: Morton layout stats — two scans' worth of buckets off
+    # ONE orders pass; wall ~linear in facts
+    "zorder_layout_stats",
+    # r09 debut: Pareto frontier — per-price reduce + decomposed
+    # prefix max; wall ~linear in facts
+    "pareto_frontier",
     "bigram_lm_surprisal",
     "hard_negatives",
     "cdc_chunks",

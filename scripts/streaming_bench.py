@@ -737,6 +737,57 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # --- streaming readability monitor: per-source micro-sum fold,
+    # scores from state via the batch query's shared tail.
+    from sleep_edf_data_pipeline_spark.queries.readability import (
+        q_readability_scores,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.readability import (
+        StreamingReadabilityMonitor,
+    )
+
+    docs_read = table(spark, SF_DIR, "documents").select("source", "text")
+    docs_read.repartition(N_FILES).write.parquet(f"{STAGE}/docs_read")
+    n_docs_r = spark.read.parquet(f"{STAGE}/docs_read").count()
+    rmon = StreamingReadabilityMonitor(f"{STAGE}/read_state")
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema("source string, text string")
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .parquet(f"{STAGE}/docs_read")
+        .writeStream.foreachBatch(rmon.process_batch)
+        .option("checkpointLocation", f"{STAGE}/_ckpt_read")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(f"streaming readability monitor failed: {exc}")
+    wall = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    got_sc = sorted(map(tuple, rmon.scores(spark).collect()))
+    sc_query_s = time.perf_counter() - t1
+    want_sc = sorted(
+        map(tuple, q_readability_scores(spark, SF_DIR).collect())
+    )
+    if got_sc != want_sc:
+        raise RuntimeError("streaming readability from state != batch")
+    results["streaming_readability_monitor"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": n_docs_r,
+        "rows_per_sec": round(n_docs_r / wall) if wall else None,
+        "micro_batches": (rmon.last_batch_id or 0) + 1,
+        "scores_query_s": round(sc_query_s, 3),
+        "exact_vs_batch": True,
+    }
+    print(
+        "# streaming_readability_monitor: "
+        f"{results['streaming_readability_monitor']}",
+        file=sys.stderr,
+    )
+
     with open(out_path, "w") as f:
         json.dump(
             {

@@ -1,0 +1,188 @@
+"""Round-9: per-edge neighborhood-similarity scores (link analysis).
+
+The graph family so far ranks nodes (``pagerank_copurchase``), counts
+triangles, peels cores, propagates labels, walks BFS, and samples
+negatives — but has no EDGE-grain signal.  This adds the standard one:
+for every co-purchase edge (u, v), the similarity of its endpoints'
+neighborhoods — common-neighbor count, Jaccard, and the
+resource-allocation index (RA, Zhou et al. 2009: Σ 1/deg(w) over
+common neighbors w — the exact-arithmetic sibling of Adamic–Adar,
+whose 1/log(deg) weights are not bit-portable across engines).  These
+are the link-prediction features and the edge weights local graph
+sparsification keeps/drops by (Satuluri et al., SIGMOD'11).
+
+Spark-first shape — the pinned ``triangle_counts`` adjacency-
+intersection pattern, not a wedge join: adjacency lists (with each
+neighbor's global degree PACKED into the entry:
+``neighbor * 2^23 + deg``) are built once — one groupBy of the 2m
+directed entries — and joined to the edge list (broadcast when the
+packed graph fits, shuffled otherwise, auto-chosen from the exact
+entry count like the triangle plan).  Per edge, the common-neighbor
+set is ONE codegen ``array_intersect`` (packed values are equal iff
+the neighbor ids are equal — the degree halves agree by construction,
+so no unpack/repack round-trip), and RA/Jaccard fold from the
+intersection in exact integer micro fixed-point.  Nothing Σ deg²-sized
+is ever shuffled or materialized — the per-edge probe streams.
+
+Degree guard: packing needs ``deg < 2^23`` (8.4M — a node adjacent to
+8.4M distinct parts is far beyond any real catalog) and
+``node_id < 2^39`` to stay in int64; documented rather than branched,
+like the line-dedup segment stride.
+
+Exactness: counts and degrees are BIGINTs; Jaccard and RA are floored
+integer-micro divisions (``floor(a/b)`` of positive ints whose true
+quotient is ≥ 1/b away from any integer — double division cannot
+cross the floor boundary, so both engines agree bit-for-bit), divided
+back to DOUBLE once for presentation.
+
+Reference scope: no graph surface in the reference
+(blaiseclarke/sleep-edf-data-pipeline); extends SURVEY §2.7's graph
+family per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .graph_stats import TRIANGLE_BROADCAST_MAX_EDGES, _copurchase_edges
+
+#: Packed adjacency entry stride: entry = neighbor * _PACK + deg(neighbor).
+_PACK = 1 << 23
+
+#: Micro fixed-point scale for the Jaccard / RA presentations.
+_MICRO = 1_000_000
+
+
+def q_edge_similarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = (
+        _copurchase_edges(spark, sf_dir)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .persist()
+    )
+    dire = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = dire.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    packed = dire.join(
+        deg.select(F.col("node").alias("v"), F.col("deg").alias("vdeg")), "v"
+    ).select("u", (F.col("v") * _PACK + F.col("vdeg")).alias("p"))
+    adj = packed.groupBy("u").agg(
+        F.sort_array(F.collect_list("p")).alias("nbrs")
+    )
+
+    # broadcast the packed adjacency when it fits (one entry per
+    # directed edge — the exact size estimate the triangle plan uses);
+    # the same joins run shuffled above the threshold.
+    n_entries = und.count() * 2
+    adj_fits = n_entries <= TRIANGLE_BROADCAST_MAX_EDGES
+
+    def _adj_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if adj_fits else df
+
+    e = (
+        und.join(
+            _adj_side(
+                adj.select(F.col("u"), F.col("nbrs").alias("nbrs_u"))
+            ),
+            "u",
+        )
+        .join(
+            _adj_side(
+                adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v"))
+            ),
+            "v",
+        )
+    )
+    inter = F.array_intersect(F.col("nbrs_u"), F.col("nbrs_v"))
+    # RA in integer micros: Σ floor(1e6 / deg(w)); deg unpacks as p mod
+    # _PACK.  floor of the double quotient equals integer division here
+    # (see module docstring), and the DuckDB oracle uses the identical
+    # expression.
+    ra_u = F.aggregate(
+        inter,
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc
+        + F.floor(F.lit(float(_MICRO)) / (p % _PACK).cast("double")).cast(
+            "bigint"
+        ),
+    )
+    scored = e.select(
+        "u",
+        "v",
+        F.size(inter).cast("bigint").alias("cn"),
+        F.size("nbrs_u").cast("bigint").alias("deg_u"),
+        F.size("nbrs_v").cast("bigint").alias("deg_v"),
+        ra_u.alias("ra_u"),
+    )
+    return scored.select(
+        "u",
+        "v",
+        "cn",
+        "deg_u",
+        "deg_v",
+        (
+            F.expr(f"cn * {_MICRO} div (deg_u + deg_v - cn)").cast("double")
+            / F.lit(float(_MICRO))
+        ).alias("jaccard"),
+        (F.col("ra_u").cast("double") / F.lit(float(_MICRO))).alias(
+            "resource_alloc"
+        ),
+    )
+
+
+# Oracle: wedge join at the common neighbor (DuckDB has no packed-
+# adjacency idiom; Σ deg² streams through its hash agg fine at oracle
+# scale), LEFT-joined back to the edge list so zero-common-neighbor
+# edges keep their row.
+ORACLE_EDGE_SIMILARITY_SCORES = f"""
+WITH l AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM l a JOIN l b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+),
+und AS (
+    SELECT src AS u, dst AS v FROM e WHERE src < dst
+),
+deg AS (
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+),
+wedges AS (
+    SELECT e1.src AS u, e2.src AS v,
+           CAST(count(*) AS BIGINT) AS cn,
+           CAST(sum(CAST(floor(CAST({_MICRO} AS DOUBLE) / d.deg) AS BIGINT))
+               AS BIGINT) AS ra_u
+    FROM e e1
+    JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+    JOIN deg d ON d.node = e1.dst
+    GROUP BY e1.src, e2.src
+)
+SELECT und.u, und.v,
+       CAST(coalesce(w.cn, 0) AS BIGINT) AS cn,
+       du.deg AS deg_u,
+       dv.deg AS deg_v,
+       CAST(coalesce(w.cn, 0) * {_MICRO}
+            // (du.deg + dv.deg - coalesce(w.cn, 0)) AS DOUBLE)
+           / CAST({_MICRO} AS DOUBLE) AS jaccard,
+       CAST(coalesce(w.ra_u, 0) AS DOUBLE) / CAST({_MICRO} AS DOUBLE)
+           AS resource_alloc
+FROM und
+LEFT JOIN wedges w ON w.u = und.u AND w.v = und.v
+JOIN deg du ON du.node = und.u
+JOIN deg dv ON dv.node = und.v
+"""
+
+
+QUERIES = {
+    "edge_similarity_scores": q_edge_similarity_scores,
+}
+
+ORACLES = {
+    "edge_similarity_scores": ORACLE_EDGE_SIMILARITY_SCORES,
+}

@@ -227,3 +227,175 @@ def test_wordpiece_stats_invariants(spark):
     v1 = train_wordpiece_vocab(_words(spark, SF_DIR))
     v2 = train_wordpiece_vocab(_words(spark, SF_DIR))
     assert v1 == v2 and len(v1) == 120
+
+
+def test_edge_similarity_plan_shape(spark):
+    """The triangle-family probe shape: adjacency broadcast at this
+    scale (entry count under the threshold), per-edge intersection in
+    codegen, no CartesianProduct, no sort-merge join of anything
+    corpus-sized."""
+    from sleep_edf_data_pipeline_spark.queries.link_prediction import (
+        q_edge_similarity_scores,
+    )
+
+    spark.catalog.clearCache()
+    plan = _plan(q_edge_similarity_scores(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "array_intersect" in plan, plan
+
+
+def test_edge_similarity_cross_invariants(spark):
+    """Score-sheet sanity pinned against independent derivations:
+    sum(cn) over edges == 3 x total triangles (each triangle
+    contributes one common neighbor to each of its three edges);
+    cn <= min(deg)-1; jaccard in [0, 1); RA <= cn/2 * 1e-6-floored
+    (every common neighbor has degree >= 2)."""
+    from pyspark.sql import functions as F
+
+    from sleep_edf_data_pipeline_spark.queries.graph_stats import (
+        q_triangle_counts,
+    )
+    from sleep_edf_data_pipeline_spark.queries.link_prediction import (
+        q_edge_similarity_scores,
+    )
+
+    out = q_edge_similarity_scores(spark, SF_DIR).persist()
+    bad = out.filter(
+        (F.col("cn") > F.least("deg_u", "deg_v") - 1)
+        | (F.col("jaccard") < 0)
+        | (F.col("jaccard") >= 1)
+        | (F.col("resource_alloc") > F.col("cn") / 2.0)
+        | ((F.col("cn") > 0) & (F.col("resource_alloc") <= 0))
+    )
+    assert bad.count() == 0
+    sum_cn = out.agg(F.sum("cn")).collect()[0][0]
+    tri3 = (
+        q_triangle_counts(spark, SF_DIR).agg(F.sum("n_triangles")).collect()
+    )[0][0]
+    out.unpersist()
+    spark.catalog.clearCache()
+    assert sum_cn == tri3  # per-part counts already sum to 3T
+
+
+def test_zorder_plan_shape(spark):
+    """Both layouts off ONE orders scan (plus the broadcast 1-row
+    stats agg): no windows, no sort-merge joins, the stats attach is a
+    broadcast nested-loop of a single row."""
+    from sleep_edf_data_pipeline_spark.queries.layout import (
+        q_zorder_layout_stats,
+    )
+
+    spark.catalog.clearCache()
+    plan = _plan(q_zorder_layout_stats(spark, SF_DIR))
+    assert len(re.findall(r"orders\.parquet", plan)) == 2, plan  # data + stats
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_zorder_prunes_both_dimensions(spark):
+    """The layout trade the module exists to demonstrate, pinned:
+    under the linear (custkey-range) layout the per-bucket day span is
+    ~the full domain; under Z-order BOTH spans are bounded well below
+    it.  Also: rows conserve per layout and buckets stay in range."""
+    from pyspark.sql import functions as F
+
+    from sleep_edf_data_pipeline_spark.queries.layout import (
+        N_FILES,
+        q_zorder_layout_stats,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    rows = q_zorder_layout_stats(spark, SF_DIR).collect()
+    n_orders = table(spark, SF_DIR, "orders").count()
+    by_layout = {}
+    for r in rows:
+        by_layout.setdefault(r["layout"], []).append(r)
+        assert 0 <= r["bucket"] < N_FILES
+    for lay, rs in by_layout.items():
+        assert sum(r["n_rows"] for r in rs) == n_orders, lay
+
+    def avg_span(rs, lo, hi):
+        return sum(r[hi] - r[lo] for r in rs) / len(rs)
+
+    lin, zo = by_layout["linear"], by_layout["zorder"]
+    day_domain = max(r["day_max"] for r in rows) - min(
+        r["day_min"] for r in rows
+    )
+    # linear: day unclustered (span ≈ the whole domain); zorder: both
+    # dimensions bounded — day span at most half the domain, and far
+    # below linear's
+    assert avg_span(lin, "day_min", "day_max") > 0.8 * day_domain
+    assert avg_span(zo, "day_min", "day_max") < 0.5 * day_domain
+    assert avg_span(zo, "day_min", "day_max") < 0.5 * avg_span(
+        lin, "day_min", "day_max"
+    )
+    # the trade: zorder gives up custkey tightness vs linear
+    assert avg_span(zo, "ck_min", "ck_max") > avg_span(
+        lin, "ck_min", "ck_max"
+    )
+
+
+def test_pareto_plan_decomposes_prefix(spark):
+    """No corpus-sized unpartitioned window: ordered specs are either
+    partitioned (per-price argmax on cents, within-bucket running max
+    on bkt) or run over the constant-bounded bucket-maxima frame; the
+    prefix re-attach is a broadcast join."""
+    from sleep_edf_data_pipeline_spark.queries.skyline import (
+        q_pareto_frontier,
+    )
+
+    spark.catalog.clearCache()
+    plan = _plan(q_pareto_frontier(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    unpartitioned = [
+        s for s in specs if "cents" not in s and "bkt" not in s
+    ]
+    # exactly the cross-bucket prefix (ordered by bkt, no partition key)
+    assert len(unpartitioned) == 1 and "bkt" in unpartitioned[0] or all(
+        "bkt" in s or "cents" in s for s in specs
+    ), plan
+
+
+def test_pareto_frontier_is_nondominated(spark):
+    """Every frontier point survives a full-corpus domination check
+    (no row is cheaper with >= quantity, or <= price with more
+    quantity), the frontier is strictly monotone in BOTH dimensions,
+    and every frontier point exists in the corpus."""
+    from pyspark.sql import functions as F
+
+    from sleep_edf_data_pipeline_spark.queries.skyline import (
+        q_pareto_frontier,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    rows = sorted(
+        q_pareto_frontier(spark, SF_DIR).collect(), key=lambda r: r["price"]
+    )
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert a["price"] < b["price"] and a["quantity"] < b["quantity"]
+
+    li = table(spark, SF_DIR, "lineitem").select(
+        (F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    for r in rows:
+        cents = int(round(r["price"] * 100))
+        dominating = li.filter(
+            (
+                (F.col("cents") < cents) & (F.col("qty") >= r["quantity"])
+            )
+            | ((F.col("cents") <= cents) & (F.col("qty") > r["quantity"]))
+        ).count()
+        assert dominating == 0, r
+        assert (
+            li.filter(
+                (F.col("cents") == cents) & (F.col("qty") == r["quantity"])
+            ).count()
+            == r["n_offers"]
+        )
