@@ -174,6 +174,8 @@ HEADLINE = [
     "zorder_layout_stats",
     # r09 debut: distributed Pareto frontier (bucket-decomposed prefix)
     "pareto_frontier",
+    # r09 debut: chi-squared count-based drift (fixed-width buckets)
+    "chi2_drift_by_source",
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",

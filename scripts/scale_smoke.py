@@ -175,6 +175,8 @@ SMOKE = [
     # r09 debut: Pareto frontier — per-price reduce + decomposed
     # prefix max; wall ~linear in facts
     "pareto_frontier",
+    # r09 debut: chi2 drift — one bucket pass + grid-sized tails
+    "chi2_drift_by_source",
     "bigram_lm_surprisal",
     "hard_negatives",
     "cdc_chunks",
@@ -350,6 +352,12 @@ SELECT100 = [
     # blocked join's candidate count
     "line_dedup_stats",
     "decontaminate_semantic",
+    # r09 late debuts, second decade: trigram novelty is the batch's
+    # highest 10x factor (5.2x — the hash window grows with distinct
+    # trigrams), so the 100x row proves it stays ~linear; wordpiece's
+    # fold cost is per-character, claim decade-flat-to-linear
+    "ngram_novelty",
+    "wordpiece_encode_stats",
 ]
 
 

@@ -1,0 +1,159 @@
+"""Round-9: chi-squared goodness-of-fit drift per source.
+
+Completes the univariate drift family: PSI (``psi_drift_by_source``)
+measures distribution shift in likelihood-ratio units, KS
+(``ks_two_sample``) in max-CDF-gap units, CUSUM in sequential-mean
+units — chi-squared is the classical COUNT-based test (Pearson 1900):
+per source, ``Σ_b (o_b − e_b)² / e_b`` over a fixed bucketing of a
+numeric feature (``n_chars``), with expectations from the pooled
+corpus (``e_b = row_total · bucket_total / N``).  It is the test of
+choice when the monitored feature is already categorical/bucketed and
+counts are what the pipeline collects.
+
+Distinct from PSI by construction, not just by formula: PSI bins into
+corpus DECILES (equal-mass, data-dependent thresholds via the
+digit-bucketed cumulative); chi-squared here uses FIXED-WIDTH buckets
+against a broadcast 1-row min/max frame — the two disagree exactly
+when drift concentrates in a fixed value band, which is why drift
+suites ship both.
+
+Exactness: with integers ``o`` (cell), ``rt`` (source total), ``ct``
+(bucket total), ``N``, each cell's term is
+``(o·N − rt·ct)² / (N·rt·ct)`` — numerator |·| ≤ N² and denominator
+≤ N³ both fit int64 far beyond these scales; the squaring/division
+run in DOUBLE (identical IEEE ops in both engines → identical bits)
+and quantize to BIGINT micros with one floor, so the per-source SUM
+is order-free exact.  Zero-count cells are densified via the
+(sources × buckets) grid — a broadcast cross join of two
+handful-sized aggregates — because absent cells still contribute
+``rt·ct/N``.
+
+Scale shape (100 TB): ONE corpus pass (projection + bucket id against
+broadcast stats, map-side-combinable (source, bucket) groupBy); every
+later frame is ≤ sources × buckets rows.  No windows, no corpus-sized
+joins.
+
+Reference scope: no drift surface in the reference
+(blaiseclarke/sleep-edf-data-pipeline); extends SURVEY §2.7's drift
+family per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import spread, table
+
+#: Fixed-width buckets over the monitored feature.
+CHI2_BUCKETS = 10
+
+#: Micro fixed-point scale for the summed terms.
+_MICRO = 1_000_000
+
+
+def q_chi2_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id").select(
+        "source", F.col("n_chars").cast("bigint").alias("x")
+    )
+    stats = docs.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    bucketed = docs.crossJoin(F.broadcast(stats)).select(
+        "source",
+        F.least(
+            F.lit(CHI2_BUCKETS - 1).cast("bigint"),
+            F.expr(f"(x - lo) * {CHI2_BUCKETS} div (hi - lo + 1)"),
+        ).alias("bkt"),
+    )
+    # persist the reduced (source, bucket) frame: four consumers (ct,
+    # rt, n, grid's left join) would each re-run the corpus pass
+    # otherwise (8 scans — the corpus-pass-audit anti-pattern).  ≤
+    # sources × buckets rows; lazy persist, the bench/driver clear
+    # caches between queries (registry posture).
+    o = (
+        bucketed.groupBy("source", "bkt")
+        .agg(F.count("*").cast("bigint").alias("o"))
+        .persist()
+    )
+    ct = o.groupBy("bkt").agg(F.sum("o").cast("bigint").alias("ct"))
+    rt = o.groupBy("source").agg(F.sum("o").cast("bigint").alias("rt"))
+    n = ct.agg(F.sum("ct").cast("bigint").alias("n"))
+
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(o, ["source", "bkt"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "rt",
+            "ct",
+            "n",
+            F.coalesce("o", F.lit(0).cast("bigint")).alias("o"),
+        )
+    )
+    num = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast("double")
+    den = (F.col("n") * F.col("rt") * F.col("ct")).cast("double")
+    term_u = F.floor(num * num / den * _MICRO).cast("bigint")
+    per = grid.select("source", "rt", term_u.alias("tu"))
+    return per.groupBy("source").agg(
+        F.max("rt").alias("n_docs"),
+        F.count("*").cast("int").alias("n_buckets"),
+        (F.sum("tu").cast("double") / F.lit(float(_MICRO))).alias("chi2"),
+    )
+
+
+ORACLE_CHI2_DRIFT_BY_SOURCE = f"""
+WITH docs AS (
+    SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+),
+stats AS (
+    SELECT min(x) AS lo, max(x) AS hi FROM docs
+),
+bucketed AS (
+    SELECT source,
+           least(CAST({CHI2_BUCKETS - 1} AS BIGINT),
+                 (x - lo) * {CHI2_BUCKETS} // (hi - lo + 1)) AS bkt
+    FROM docs, stats
+),
+o AS (
+    SELECT source, bkt, CAST(count(*) AS BIGINT) AS o
+    FROM bucketed GROUP BY source, bkt
+),
+ct AS (
+    SELECT bkt, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY bkt
+),
+rt AS (
+    SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY source
+),
+nn AS (
+    SELECT CAST(sum(ct) AS BIGINT) AS n FROM ct
+),
+grid AS (
+    SELECT rt.source, rt.rt, ct.ct, nn.n,
+           CAST(coalesce(o.o, 0) AS BIGINT) AS o
+    FROM rt CROSS JOIN ct CROSS JOIN nn
+    LEFT JOIN o ON o.source = rt.source AND o.bkt = ct.bkt
+),
+per AS (
+    SELECT source, rt,
+           CAST(floor(
+               CAST(o * n - rt * ct AS DOUBLE)
+               * CAST(o * n - rt * ct AS DOUBLE)
+               / CAST(n * rt * ct AS DOUBLE)
+               * {_MICRO}) AS BIGINT) AS tu
+    FROM grid
+)
+SELECT source,
+       max(rt) AS n_docs,
+       CAST(count(*) AS INT) AS n_buckets,
+       CAST(sum(tu) AS DOUBLE) / {float(_MICRO)} AS chi2
+FROM per GROUP BY source
+"""
+
+
+QUERIES = {
+    "chi2_drift_by_source": q_chi2_drift_by_source,
+}
+
+ORACLES = {
+    "chi2_drift_by_source": ORACLE_CHI2_DRIFT_BY_SOURCE,
+}

@@ -399,3 +399,43 @@ def test_pareto_frontier_is_nondominated(spark):
             ).count()
             == r["n_offers"]
         )
+
+
+def test_chi2_plan_shape(spark):
+    """ONE documents scan feeds the (source, bucket) reduce; all later
+    frames are grid-sized; stats/grid attaches are broadcasts; no
+    windows."""
+    from sleep_edf_data_pipeline_spark.queries.chi2_drift import (
+        q_chi2_drift_by_source,
+    )
+
+    spark.catalog.clearCache()
+    plan = _plan(q_chi2_drift_by_source(spark, SF_DIR))
+    # the reduced (source, bucket) frame is persisted: consumers read
+    # InMemoryTableScan, so the corpus parquet appears only inside the
+    # cached subtree prints (2 scans: bucket pass + stats agg)
+    assert "InMemoryTableScan" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_chi2_statistical_sanity(spark):
+    """The synthetic sources draw from one n_chars distribution, so
+    per-source chi2 should hover near its df (buckets-1), far below
+    the 0.001 critical value (27.88 at df=9) — and the micro-exact sum
+    must be non-negative with every source present."""
+    from sleep_edf_data_pipeline_spark.queries.chi2_drift import (
+        q_chi2_drift_by_source,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    rows = q_chi2_drift_by_source(spark, SF_DIR).collect()
+    n_sources = (
+        table(spark, SF_DIR, "documents").select("source").distinct().count()
+    )
+    assert len(rows) == n_sources
+    for r in rows:
+        assert r["chi2"] >= 0
+        assert r["n_buckets"] == 10
+        assert r["chi2"] < 27.88, r  # no source actually drifts
