@@ -788,6 +788,59 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # --- streaming chi2 drift monitor: value-grain histogram fold,
+    # statistic from state via the batch query's shared tail.
+    from sleep_edf_data_pipeline_spark.queries.chi2_drift import (
+        q_chi2_drift_by_source,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.chi2 import (
+        StreamingChi2Monitor,
+    )
+
+    docs_chi = table(spark, SF_DIR, "documents").select("source", "n_chars")
+    docs_chi.repartition(N_FILES).write.parquet(f"{STAGE}/docs_chi2")
+    n_docs_c = spark.read.parquet(f"{STAGE}/docs_chi2").count()
+    cmon = StreamingChi2Monitor(f"{STAGE}/chi2_state")
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema("source string, n_chars bigint")
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .parquet(f"{STAGE}/docs_chi2")
+        .writeStream.foreachBatch(cmon.process_batch)
+        .option("checkpointLocation", f"{STAGE}/_ckpt_chi2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(f"streaming chi2 monitor failed: {exc}")
+    wall = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    got_c2 = sorted(map(tuple, cmon.chi2(spark).collect()))
+    c2_query_s = time.perf_counter() - t1
+    spark.catalog.clearCache()
+    want_c2 = sorted(
+        map(tuple, q_chi2_drift_by_source(spark, SF_DIR).collect())
+    )
+    spark.catalog.clearCache()
+    if got_c2 != want_c2:
+        raise RuntimeError("streaming chi2 from state != batch")
+    results["streaming_chi2_monitor"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": n_docs_c,
+        "rows_per_sec": round(n_docs_c / wall) if wall else None,
+        "micro_batches": (cmon.last_batch_id or 0) + 1,
+        "chi2_query_s": round(c2_query_s, 3),
+        "exact_vs_batch": True,
+    }
+    print(
+        "# streaming_chi2_monitor: "
+        f"{results['streaming_chi2_monitor']}",
+        file=sys.stderr,
+    )
+
     with open(out_path, "w") as f:
         json.dump(
             {

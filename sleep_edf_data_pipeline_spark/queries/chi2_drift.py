@@ -52,26 +52,43 @@ CHI2_BUCKETS = 10
 _MICRO = 1_000_000
 
 
-def q_chi2_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(table(spark, sf_dir, "documents"), "doc_id").select(
-        "source", F.col("n_chars").cast("bigint").alias("x")
+def chi2_histogram(docs: DataFrame) -> DataFrame:
+    """(source, x, c) value-grain histogram from a (source, n_chars)
+    frame — the head shared by the batch query and the streaming
+    monitor (streaming/chi2.py).
+
+    The monitored feature keeps its RAW value here (bucketing needs
+    the final corpus min/max, which is only known at answer time), so
+    every column is an algebraic fold — counts sum, and the tail's
+    min/max derive from the value column — and partials over any
+    micro-batching merge to the full-corpus histogram exactly.  State
+    is sources × distinct feature values (a length histogram: small).
+    """
+    return docs.groupBy("source", "x").agg(
+        F.count("*").cast("bigint").alias("c")
     )
-    stats = docs.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-    bucketed = docs.crossJoin(F.broadcast(stats)).select(
+
+
+def chi2_from_histogram(hist: DataFrame) -> DataFrame:
+    """Bucket + test tail over the value-grain histogram — the shared
+    presentation path (identical arithmetic to the module docstring)."""
+    stats = hist.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    bucketed = hist.crossJoin(F.broadcast(stats)).select(
         "source",
         F.least(
             F.lit(CHI2_BUCKETS - 1).cast("bigint"),
             F.expr(f"(x - lo) * {CHI2_BUCKETS} div (hi - lo + 1)"),
         ).alias("bkt"),
+        "c",
     )
     # persist the reduced (source, bucket) frame: four consumers (ct,
-    # rt, n, grid's left join) would each re-run the corpus pass
+    # rt, n, grid's left join) would each re-run the histogram pass
     # otherwise (8 scans — the corpus-pass-audit anti-pattern).  ≤
     # sources × buckets rows; lazy persist, the bench/driver clear
     # caches between queries (registry posture).
     o = (
         bucketed.groupBy("source", "bkt")
-        .agg(F.count("*").cast("bigint").alias("o"))
+        .agg(F.sum("c").cast("bigint").alias("o"))
         .persist()
     )
     ct = o.groupBy("bkt").agg(F.sum("o").cast("bigint").alias("ct"))
@@ -99,6 +116,13 @@ def q_chi2_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("int").alias("n_buckets"),
         (F.sum("tu").cast("double") / F.lit(float(_MICRO))).alias("chi2"),
     )
+
+
+def q_chi2_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id").select(
+        "source", F.col("n_chars").cast("bigint").alias("x")
+    )
+    return chi2_from_histogram(chi2_histogram(docs))
 
 
 ORACLE_CHI2_DRIFT_BY_SOURCE = f"""
