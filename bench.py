@@ -176,6 +176,8 @@ HEADLINE = [
     "pareto_frontier",
     # r09 debut: chi-squared count-based drift (fixed-width buckets)
     "chi2_drift_by_source",
+    # r09 debut: priority sampling (DLT subset-sum estimator)
+    "priority_sample_estimate",
     "cdc_chunks",
     "token_entropy_by_source",
     "hard_negatives_lsh",

@@ -177,6 +177,9 @@ SMOKE = [
     "pareto_frontier",
     # r09 debut: chi2 drift — one bucket pass + grid-sized tails
     "chi2_drift_by_source",
+    # r09 debut: priority sampling — scan + TakeOrdered(k+1) + exact
+    # total; wall ~linear in facts, sample fold constant
+    "priority_sample_estimate",
     "bigram_lm_surprisal",
     "hard_negatives",
     "cdc_chunks",

@@ -27,9 +27,12 @@ generalized to value-range buckets:
 4. effective prefix = greatest(within-bucket, preceding-bucket) —
    exact, order-free integer arithmetic.
 
-Prices are handled in exact cents (DECIMAL(·,2) × 100 → BIGINT), so
-every comparison is integer; the output price divides back to DOUBLE
-once.
+Prices are handled in exact cents: the DOUBLE column stores 2-decimal
+values, so ``round(x · 100) → BIGINT`` recovers the integer exactly —
+the ``round()`` is load-bearing on BOTH engines (Spark CASTs doubles
+by truncation, DuckDB by rounding; an unguarded cast diverges on the
+~half of rows whose ×100 representation error is negative).  Every
+comparison is then integer; the output divides back to DOUBLE once.
 
 Reference scope: no multi-criteria surface in the reference
 (blaiseclarke/sleep-edf-data-pipeline); extends SURVEY §2.6's
@@ -51,7 +54,7 @@ N_BUCKETS = 256
 
 def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spread(table(spark, sf_dir, "lineitem"), "l_orderkey").select(
-        (F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         F.col("l_quantity").cast("bigint").alias("qty"),
     )
     pq = li.groupBy("cents", "qty").agg(F.count("*").cast("bigint").alias("c"))
@@ -100,7 +103,7 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PARETO_FRONTIER = """
 WITH li AS (
-    SELECT CAST(l_extendedprice * 100 AS BIGINT) AS cents,
+    SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
            CAST(l_quantity AS BIGINT) AS qty
     FROM lineitem
 ),

@@ -83,6 +83,7 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.layout",
     "sleep_edf_data_pipeline_spark.queries.skyline",
     "sleep_edf_data_pipeline_spark.queries.chi2_drift",
+    "sleep_edf_data_pipeline_spark.queries.sampling_advanced",
 ]
 
 # ROUND-10 ROTATION PLAN (execute at the START of round 10, never
@@ -91,19 +92,19 @@ _MODULES = [
 # 48 names = the ROUND6_WINDOW of tests/test_registry_window.py at the
 # round-6 commit, minus heavy_hitters_exact and session_window_agg
 # (taken into the round-9 window).  Compose round 10 as:
-# 1) the 14 round-9 debuts (all local driver_sim hash-green at 3 SFs
+# 1) the 15 round-9 debuts (all local driver_sim hash-green at 3 SFs
 #    in round 9, never driver-rowed): line_dedup_stats,
 #    decontaminate_semantic, rrf_fusion, kmeans_silhouette,
 #    corpus_keep_verdict, sq_topk_rescore, sq_recall_eval,
 #    readability_scores, ngram_novelty, wordpiece_encode_stats,
 #    edge_similarity_scores, zorder_layout_stats, pareto_frontier,
-#    chi2_drift_by_source;
+#    chi2_drift_by_source, priority_sample_estimate;
 # 2) any query whose plan is rewritten after its round-9 driver row
 #    (none as of round-9 close — the url_dedup shared-tail refactor
 #    and the reverted cdc experiment both PREDATE the round-9 driver
 #    run, so their r9 rows cover current code);
-# 3) backfill with 36 of the 48-name r06-stale pool (prefer LLM-data
-#    ops first), leaving 12 for round 11.  14 + 0 + 36 = exactly 50.
+# 3) backfill with 35 of the 48-name r06-stale pool (prefer LLM-data
+#    ops first), leaving 13 for round 11.  15 + 0 + 35 = exactly 50.
 # Update tests/test_registry_window.py pins in the same commit.
 
 #: The driver-verification window: collect() hoists these 50 names to

@@ -381,7 +381,7 @@ def test_pareto_frontier_is_nondominated(spark):
         assert a["price"] < b["price"] and a["quantity"] < b["quantity"]
 
     li = table(spark, SF_DIR, "lineitem").select(
-        (F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         F.col("l_quantity").cast("bigint").alias("qty"),
     )
     for r in rows:
@@ -439,3 +439,39 @@ def test_chi2_statistical_sanity(spark):
         assert r["chi2"] >= 0
         assert r["n_buckets"] == 10
         assert r["chi2"] < 27.88, r  # no source actually drifts
+
+
+def test_priority_sample_plan_shape(spark):
+    """The k+1 cut compiles to TakeOrderedAndProject (never a global
+    sort-exchange of the fact table); the totals attach is a broadcast
+    of one row."""
+    from sleep_edf_data_pipeline_spark.queries.sampling_advanced import (
+        q_priority_sample_estimate,
+    )
+
+    spark.catalog.clearCache()
+    plan = _plan(q_priority_sample_estimate(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_priority_sample_estimator_identities(spark):
+    """DLT structural checks: sample_size == k (population >> k), τ > 0,
+    every estimate term >= its weight (so est >= the sample's raw
+    weight sum), and the estimate lands within a generous
+    O(1/sqrt(k)) band of the exact total on near-uniform weights."""
+    from sleep_edf_data_pipeline_spark.queries.sampling_advanced import (
+        PS_K,
+        q_priority_sample_estimate,
+    )
+
+    r = q_priority_sample_estimate(spark, SF_DIR).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r["k"] == PS_K and r["sample_size"] == PS_K
+    assert r["n_items"] > PS_K
+    assert r["tau"] > 0
+    assert r["est_cents"] > 0
+    # near-uniform weights, k=256 -> sigma ~ 1/sqrt(k) ~ 6%; allow 4x
+    assert abs(r["rel_err"]) < 0.25, r
