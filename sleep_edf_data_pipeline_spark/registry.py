@@ -86,92 +86,91 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.sampling_advanced",
 ]
 
-# ROUND-10 ROTATION PLAN (execute at the START of round 10, never
-# mid-round): after the round-9 window below runs, the stalest pool is
-# the r06 window remainder (last driver row r06, in no window since) —
-# 48 names = the ROUND6_WINDOW of tests/test_registry_window.py at the
-# round-6 commit, minus heavy_hitters_exact and session_window_agg
-# (taken into the round-9 window).  Compose round 10 as:
-# 1) the 15 round-9 debuts (all local driver_sim hash-green at 3 SFs
-#    in round 9, never driver-rowed): line_dedup_stats,
-#    decontaminate_semantic, rrf_fusion, kmeans_silhouette,
-#    corpus_keep_verdict, sq_topk_rescore, sq_recall_eval,
-#    readability_scores, ngram_novelty, wordpiece_encode_stats,
-#    edge_similarity_scores, zorder_layout_stats, pareto_frontier,
-#    chi2_drift_by_source, priority_sample_estimate;
-# 2) any query whose plan is rewritten after its round-9 driver row
-#    (none as of round-9 close — the url_dedup shared-tail refactor
-#    and the reverted cdc experiment both PREDATE the round-9 driver
-#    run, so their r9 rows cover current code);
-# 3) backfill with 35 of the 48-name r06-stale pool (prefer LLM-data
-#    ops first), leaving 13 for round 11.  15 + 0 + 35 = exactly 50.
+# ROUND-11 ROTATION PLAN (execute at the START of round 11, never
+# mid-round): after the round-10 window below runs, the stale pools
+# computed from CORRECTNESS_r0{1..9}.json "latest green row per name"
+# are: 11 r06-stale names left by this round's backfill
+# (above_average_orders, correlated_above_cust_avg,
+# customers_with_urgent_orders, customers_without_orders,
+# distinct_counts, nation_set_ops, orders_per_customer,
+# priority_set_ops_all, regional_revenue, top_revenue_orders,
+# volume_shipping), then the 47-name r07 pool ages in.  Compose
+# round 11 as:
+# 1) every round-10 debut (registered after the round-10 window was
+#    pinned — locally hash-green, never driver-rowed);
+# 2) any query whose plan is rewritten after its round-10 driver row;
+# 3) the 11 r06-stale names above;
+# 4) backfill to exactly 50 with the stalest of the 47-name r07 pool
+#    (prefer LLM-data ops first: semdedup_prune, cross_split_leakage,
+#    bloom_decontaminate, pq/ivfpq family, cdc_chunks, bpe_merge_pairs,
+#    normalize_text_nfc, ...).
 # Update tests/test_registry_window.py pins in the same commit.
 
 #: The driver-verification window: collect() hoists these 50 names to
 #: the front, in this order.  Every name must exist in some module.
 #:
-#: ROUND-9 WINDOW (executing the round-8 rotation plan verbatim):
-#: 1) the 4 round-8 debuts that have never had a driver row (all local
-#:    driver_sim hash-green at 3 SFs in round 8);
-#: 2) the 5 plans the round-8 corpus-pass audit REWROTE after their
-#:    last driver row (same oracles, plan-only changes);
-#: 3) the full 39-name r05-stale pool + 2 names from the r06-stale
-#:    pool (heavy_hitters_exact, session_window_agg) = exactly 50.
+#: ROUND-10 WINDOW (executing the round-9 rotation plan; the stale
+#: pool was recomputed from the correctness records as 46 names, not
+#: the 48 the plan estimated — mad_outliers_approx and lsh_buckets
+#: were re-rowed in round 9's audit group):
+#: 1) the 15 round-9 debuts (locally hash-green at 3 SFs, never
+#:    driver-rowed);
+#: 2) no audit-rewritten plans (none postdate their r9 driver row);
+#: 3) backfill with 35 of the 46-name r06-stale pool, LLM-data and
+#:    reference-parity ops first, leaving 11 for round 11.
 _WINDOW = [
-    # -- round-8 debuts, never driver-rowed (4) -----------------------
-    "bpe_encode_sample",
-    "cdc_dedup_spans",
-    "url_canonical_dedup",
-    "host_dedup_profile",
-    # -- audit-rewritten after their last driver row (5) --------------
-    "mad_outliers_approx",
-    "hard_negatives_lsh",
-    "lsh_buckets",
-    "pq_recall_eval",
-    "pq_topk_refined",
-    # -- r05-stale backfill: the full 39-name pool --------------------
-    "bigram_counts",
-    "cohort_ltv",
-    "context_packing",
-    "copurchase_pairs",
-    "dataset_split_stats",
-    "deterministic_downsample",
-    "event_transitions",
-    "ewma_user_value",
-    "exact_moments_suite",
-    "funnel_counts",
-    "key_skew_report",
-    "large_volume_customers",
-    "last_touch_attribution",
-    "length_histogram",
-    "mad_outliers",
-    "market_share",
-    "min_cost_supplier",
-    "ohlc_bars",
-    "pagerank_copurchase",
-    "quality_decile_select",
-    "quality_scores",
-    "regex_token_stats",
-    "retention_cohorts",
-    "rolling_median_value",
-    "sales_opportunity",
-    "simhash_neardups",
-    "small_quantity_revenue",
-    "source_overlap_matrix",
-    "special_promo_revenue",
-    "stopword_profile",
-    "subject_list",
-    "subject_lookup",
-    "subject_timeseries",
-    "token_stats",
-    "top_supplier_revenue",
-    "twap_user_value",
-    "user_rfm",
-    "vocab_top_tokens",
-    "weekly_active_users",
-    # -- r06-stale (2) -------------------------------------------------
-    "heavy_hitters_exact",
-    "session_window_agg",
+    # -- round-9 debuts, never driver-rowed (15) ----------------------
+    "line_dedup_stats",
+    "decontaminate_semantic",
+    "rrf_fusion",
+    "kmeans_silhouette",
+    "corpus_keep_verdict",
+    "sq_topk_rescore",
+    "sq_recall_eval",
+    "readability_scores",
+    "ngram_novelty",
+    "wordpiece_encode_stats",
+    "edge_similarity_scores",
+    "zorder_layout_stats",
+    "pareto_frontier",
+    "chi2_drift_by_source",
+    "priority_sample_estimate",
+    # -- r06-stale backfill (35 of 46) --------------------------------
+    "asof_last_order",
+    "audio_features",
+    "document_chunks_udtf",
+    "dsir_importance_weights",
+    "event_type_pivot",
+    "events_near_orders",
+    "full_outer_reconciliation",
+    "fuzzy_name_dedup",
+    "heavy_hitters_cms",
+    "hourly_densified",
+    "hourly_event_agg",
+    "json_props_agg",
+    "linear_interpolation",
+    "lineitem_rollup",
+    "locf_gap_fill",
+    "minhash_signatures",
+    "modern_agg_suite",
+    "orders_cube",
+    "part_attributes_unpivot",
+    "pricing_summary",
+    "product_profit",
+    "quantity_band_agg",
+    "quantity_quantiles",
+    "range_frame_spend",
+    "scalar_functions",
+    "ship_latency_percentiles",
+    "shipping_grouping_sets",
+    "simhash_fingerprints",
+    "sleep_features",
+    "sleep_summary",
+    "sliding_window_agg",
+    "top_orders_per_customer",
+    "value_outliers",
+    "weighted_discount_udaf",
+    "window_function_suite",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -5,55 +5,53 @@ The external driver hash-verifies only the first 50 entries of
 queries would silently change WHICH queries get driver rows.  This pin
 makes any window change an explicit, reviewed edit.
 
-Round-9 window = the round-8 rotation plan executed verbatim: the 4
-round-8 debuts that have never had a driver row, the 5 plans the
-round-8 corpus-pass audit rewrote after their last driver row, the
-full 39-name r05-stale pool, and 2 names from the r06-stale pool.
-See the rotation rationale in registry.py.
+Round-10 window = the round-9 rotation plan executed: the 15 round-9
+debuts that have never had a driver row, then 35 of the 46-name
+r06-stale pool (recomputed from the correctness records; the plan's
+estimate of 48 double-counted mad_outliers_approx and lsh_buckets,
+which round 9's audit group re-rowed).  See the rotation rationale in
+registry.py.
 """
 
 from sleep_edf_data_pipeline_spark import registry
 
-ROUND9_WINDOW = [
-    # round-8 debuts, never driver-rowed (4)
-    "bpe_encode_sample", "cdc_dedup_spans", "url_canonical_dedup",
-    "host_dedup_profile",
-    # audit-rewritten after their last driver row (5)
-    "mad_outliers_approx", "hard_negatives_lsh", "lsh_buckets",
-    "pq_recall_eval", "pq_topk_refined",
-    # r05-stale backfill: the full 39-name pool
-    "bigram_counts", "cohort_ltv", "context_packing",
-    "copurchase_pairs", "dataset_split_stats",
-    "deterministic_downsample", "event_transitions", "ewma_user_value",
-    "exact_moments_suite", "funnel_counts", "key_skew_report",
-    "large_volume_customers", "last_touch_attribution",
-    "length_histogram", "mad_outliers", "market_share",
-    "min_cost_supplier", "ohlc_bars", "pagerank_copurchase",
-    "quality_decile_select", "quality_scores", "regex_token_stats",
-    "retention_cohorts", "rolling_median_value", "sales_opportunity",
-    "simhash_neardups", "small_quantity_revenue",
-    "source_overlap_matrix", "special_promo_revenue",
-    "stopword_profile", "subject_list", "subject_lookup",
-    "subject_timeseries", "token_stats", "top_supplier_revenue",
-    "twap_user_value", "user_rfm", "vocab_top_tokens",
-    "weekly_active_users",
-    # r06-stale (2)
-    "heavy_hitters_exact", "session_window_agg",
+ROUND10_WINDOW = [
+    # round-9 debuts, never driver-rowed (15)
+    "line_dedup_stats", "decontaminate_semantic", "rrf_fusion",
+    "kmeans_silhouette", "corpus_keep_verdict", "sq_topk_rescore",
+    "sq_recall_eval", "readability_scores", "ngram_novelty",
+    "wordpiece_encode_stats", "edge_similarity_scores",
+    "zorder_layout_stats", "pareto_frontier", "chi2_drift_by_source",
+    "priority_sample_estimate",
+    # r06-stale backfill (35 of 46)
+    "asof_last_order", "audio_features", "document_chunks_udtf",
+    "dsir_importance_weights", "event_type_pivot", "events_near_orders",
+    "full_outer_reconciliation", "fuzzy_name_dedup",
+    "heavy_hitters_cms", "hourly_densified", "hourly_event_agg",
+    "json_props_agg", "linear_interpolation", "lineitem_rollup",
+    "locf_gap_fill", "minhash_signatures", "modern_agg_suite",
+    "orders_cube", "part_attributes_unpivot", "pricing_summary",
+    "product_profit", "quantity_band_agg", "quantity_quantiles",
+    "range_frame_spend", "scalar_functions", "ship_latency_percentiles",
+    "shipping_grouping_sets", "simhash_fingerprints", "sleep_features",
+    "sleep_summary", "sliding_window_agg", "top_orders_per_customer",
+    "value_outliers", "weighted_discount_udaf", "window_function_suite",
 ]
 
-#: mad_outliers_approx is a by-design rows-only sketch (approximate
-#: quantiles cannot hash-match an exact oracle); its exact twin
-#: mad_outliers is in the same window and IS oracle-backed, and the
-#: sketch-vs-exact delta is bounded in tests/test_sketch_tolerance.py.
-ROWS_ONLY_IN_WINDOW = {"mad_outliers_approx"}
+#: heavy_hitters_cms is a by-design rows-only sketch (a Count-Min
+#: sketch cannot hash-match an exact oracle); its exact twin
+#: heavy_hitters_exact was driver-rowed green in round 9, and the
+#: sketch-vs-exact delta is bounded in tests/test_sketch_tolerance.py
+#: and the committed SKETCH_TOLERANCE.json.
+ROWS_ONLY_IN_WINDOW = {"heavy_hitters_cms"}
 
 
 def test_driver_window_is_exactly_the_planned_50():
     queries, oracles = registry.collect()
-    assert list(queries)[:50] == ROUND9_WINDOW
+    assert list(queries)[:50] == ROUND10_WINDOW
     # every window entry except the by-design rows-only sketches is
     # oracle-backed
-    no_oracle = [n for n in ROUND9_WINDOW if n not in oracles]
+    no_oracle = [n for n in ROUND10_WINDOW if n not in oracles]
     assert sorted(no_oracle) == sorted(ROWS_ONLY_IN_WINDOW)
 
 
