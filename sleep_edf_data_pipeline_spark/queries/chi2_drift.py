@@ -19,11 +19,16 @@ suites ship both.
 
 Exactness: with integers ``o`` (cell), ``rt`` (source total), ``ct``
 (bucket total), ``N``, each cell's term is
-``(o·N − rt·ct)² / (N·rt·ct)`` — numerator |·| ≤ N² and denominator
-≤ N³ both fit int64 far beyond these scales; the squaring/division
-run in DOUBLE (identical IEEE ops in both engines → identical bits)
-and quantize to BIGINT micros with one floor, so the per-source SUM
-is order-free exact.  Zero-count cells are densified via the
+``(o·N − rt·ct)² / (N·rt·ct)``.  The products are computed in DOUBLE
+(each factor cast from BIGINT first — ``rt·ct`` alone would overflow
+int64 once N exceeds ~2²¹, far below the advertised corpus sizes, and
+``o·N`` beyond ~3·10⁹): both engines then perform the identical
+left-associated IEEE multiply/subtract/divide sequence (DuckDB's
+vectorized interpreter evaluates each SQL operator as a separate
+kernel — no FMA contraction on scalar expressions), so the doubles
+are bit-identical cross-engine even where they are no longer exact
+integers; quantizing to BIGINT micros with one floor makes the
+per-source SUM order-free exact.  Zero-count cells are densified via the
 (sources × buckets) grid — a broadcast cross join of two
 handful-sized aggregates — because absent cells still contribute
 ``rt·ct/N``.
@@ -71,7 +76,22 @@ def chi2_histogram(docs: DataFrame) -> DataFrame:
 
 def chi2_from_histogram(hist: DataFrame) -> DataFrame:
     """Bucket + test tail over the value-grain histogram — the shared
-    presentation path (identical arithmetic to the module docstring)."""
+    presentation path (identical arithmetic to the module docstring).
+
+    Relies on the registry cache posture (caller clears caches after
+    consuming the result).  Long-lived embedders that answer
+    repeatedly should use :func:`chi2_tail` and unpersist the returned
+    intermediate themselves — see ``streaming/chi2.py``.
+    """
+    result, _o = chi2_tail(hist)
+    return result
+
+
+def chi2_tail(hist: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Like :func:`chi2_from_histogram`, but also returns the
+    persisted (source, bucket) intermediate so callers outside the
+    clear-caches-between-queries posture can ``unpersist()`` it once
+    the statistic has materialized."""
     stats = hist.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
     bucketed = hist.crossJoin(F.broadcast(stats)).select(
         "source",
@@ -107,15 +127,20 @@ def chi2_from_histogram(hist: DataFrame) -> DataFrame:
             F.coalesce("o", F.lit(0).cast("bigint")).alias("o"),
         )
     )
-    num = (F.col("o") * F.col("n") - F.col("rt") * F.col("ct")).cast("double")
-    den = (F.col("n") * F.col("rt") * F.col("ct")).cast("double")
+    o_d = F.col("o").cast("double")
+    n_d = F.col("n").cast("double")
+    rt_d = F.col("rt").cast("double")
+    ct_d = F.col("ct").cast("double")
+    num = o_d * n_d - rt_d * ct_d
+    den = n_d * rt_d * ct_d
     term_u = F.floor(num * num / den * _MICRO).cast("bigint")
     per = grid.select("source", "rt", term_u.alias("tu"))
-    return per.groupBy("source").agg(
+    result = per.groupBy("source").agg(
         F.max("rt").alias("n_docs"),
         F.count("*").cast("int").alias("n_buckets"),
         (F.sum("tu").cast("double") / F.lit(float(_MICRO))).alias("chi2"),
     )
+    return result, o
 
 
 def q_chi2_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,14 +182,18 @@ grid AS (
     FROM rt CROSS JOIN ct CROSS JOIN nn
     LEFT JOIN o ON o.source = rt.source AND o.bkt = ct.bkt
 ),
+terms AS (
+    SELECT source, rt,
+           CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+           - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) AS num,
+           CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+               AS den
+    FROM grid
+),
 per AS (
     SELECT source, rt,
-           CAST(floor(
-               CAST(o * n - rt * ct AS DOUBLE)
-               * CAST(o * n - rt * ct AS DOUBLE)
-               / CAST(n * rt * ct AS DOUBLE)
-               * {_MICRO}) AS BIGINT) AS tu
-    FROM grid
+           CAST(floor(num * num / den * {_MICRO}) AS BIGINT) AS tu
+    FROM terms
 )
 SELECT source,
        max(rt) AS n_docs,

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.chi2_drift import chi2_from_histogram, chi2_histogram
+from ..queries.chi2_drift import chi2_histogram, chi2_tail
 from ..writers.versioned import commit_versioned, read_versioned, vacuum
 
 #: Snapshot-vacuum cadence (see streaming/occupancy.py).
@@ -76,9 +76,19 @@ class StreamingChi2Monitor:
     def chi2(self, spark: SparkSession) -> DataFrame:
         """Per-source chi-squared from state — same shared tail as the
         batch query (buckets derived from the state's min/max, exactly
-        as batch derives them from the corpus)."""
-        df = chi2_from_histogram(self.grid(spark))
-        return df
+        as batch derives them from the corpus).
+
+        The tail persists a reduced intermediate; a long-lived monitor
+        answers repeatedly, so the batch posture of "caller clears
+        caches between queries" does not apply here.  Materialize the
+        (tiny, per-source) statistic into a local checkpoint, then
+        unpersist the intermediate — repeated ``chi2()`` calls leave
+        no cached partitions behind.
+        """
+        result, o = chi2_tail(self.grid(spark))
+        out = result.localCheckpoint(eager=True)
+        o.unpersist()
+        return out
 
     def state(self) -> tuple[int | None, int | None]:
         """Snapshot hook for restart-safe deployments."""

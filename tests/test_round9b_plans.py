@@ -352,12 +352,28 @@ def test_pareto_plan_decomposes_prefix(spark):
     assert "SortMergeJoin" not in plan, plan
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs
-    unpartitioned = [
-        s for s in specs if "cents" not in s and "bkt" not in s
-    ]
-    # exactly the cross-bucket prefix (ordered by bkt, no partition key)
-    assert len(unpartitioned) == 1 and "bkt" in unpartitioned[0] or all(
-        "bkt" in s or "cents" in s for s in specs
+    # In spec text, order columns carry ASC/DESC markers; partition
+    # columns are the bare leading args.  A spec whose FIRST arg is an
+    # order column has no partition key at all.
+    def is_order_col(tok):
+        return " ASC" in tok or " DESC" in tok
+
+    unpartitioned = []
+    for s in specs:
+        toks = [t.strip() for t in s.split(",")]
+        if is_order_col(toks[0]):
+            unpartitioned.append(toks)
+        else:
+            # partitioned spec: its keys must be the bucket/price
+            # decomposition, never the raw corpus unkeyed
+            assert "cents" in toks[0] or "bkt" in toks[0], s
+    # the ONLY unpartitioned window is the cross-bucket prefix,
+    # ordered on bkt alone (<=256 rows) — a global window ordered on
+    # cents (the naive corpus-sized single-task plan) must fail here
+    assert len(unpartitioned) == 1, plan
+    order_cols = [t for t in unpartitioned[0] if is_order_col(t)]
+    assert order_cols and all(
+        "bkt" in t and "cents" not in t for t in order_cols
     ), plan
 
 
