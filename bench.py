@@ -148,6 +148,9 @@ HEADLINE = [
     # r09 debut: C4-style exact line dedup — one corpus pass,
     # hash-groupBy + high-cardinality window, no joins
     "line_dedup_stats",
+    # r10 debut: Gopher-rule-8 intra-doc dedup — same segmentation,
+    # two hash aggs, zero windows/joins
+    "intra_doc_dedup",
     # r09 debut: semantic decontamination — k-means-blocked broadcast
     # eval join (shares the semdedup codebook constants)
     "decontaminate_semantic",

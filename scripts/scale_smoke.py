@@ -141,6 +141,9 @@ SMOKE = [
     # r09 debut: line dedup — exact-dedup shuffle shape at the line
     # grain; duplicate-line density is corpus-preserved, wall ~linear
     "line_dedup_stats",
+    # r10 debut: intra-doc dedup — same segmentation pass, no survivor
+    # window at all (within-doc first occurrence always survives)
+    "intra_doc_dedup",
     # r09 debut: semantic decontamination — broadcast eval side is
     # fixed-size, train side one scan; wall should track the corpus
     "decontaminate_semantic",

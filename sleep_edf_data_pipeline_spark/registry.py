@@ -84,6 +84,9 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.skyline",
     "sleep_edf_data_pipeline_spark.queries.chi2_drift",
     "sleep_edf_data_pipeline_spark.queries.sampling_advanced",
+    # r10 debuts — appended at the END so the pinned round-10 window is
+    # untouched; rotate into the window in round 11 (see plan above).
+    "sleep_edf_data_pipeline_spark.queries.intra_doc_dedup",
 ]
 
 # ROUND-11 ROTATION PLAN (execute at the START of round 11, never
