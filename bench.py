@@ -151,6 +151,9 @@ HEADLINE = [
     # r10 debut: Gopher-rule-8 intra-doc dedup — same segmentation,
     # two hash aggs, zero windows/joins
     "intra_doc_dedup",
+    # r10 debut: DDSketch mergeable quantiles — one corpus pass into a
+    # domain-bounded geometric-bucket histogram (no-oracle sketch)
+    "ddsketch_quantiles_price",
     # r09 debut: semantic decontamination — k-means-blocked broadcast
     # eval join (shares the semdedup codebook constants)
     "decontaminate_semantic",

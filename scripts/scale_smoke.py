@@ -104,6 +104,9 @@ SMOKE = [
     # creep, VERDICT r5 item 4 wants its cost curve), and the
     # exact/bloom auto-switch default.
     "heavy_hitters_cms",
+    # r10 debut: DDSketch quantiles — one map-side-combinable groupBy
+    # corpus pass into a domain-bounded bucket histogram
+    "ddsketch_quantiles_price",
     "audio_features",
     "multimodal_features",
     "decontaminate_auto",

@@ -1,8 +1,9 @@
-"""Record measured sketch-vs-exact deltas for the no-oracle quartet.
+"""Record measured sketch-vs-exact deltas for the no-oracle sketches.
 
-The driver records ``err: no_oracle`` for the four approximate-sketch
+The driver records ``err: no_oracle`` for the five approximate-sketch
 queries (``approx_distinct_parts``, ``approx_quantiles_price``,
-``heavy_hitters_cms``, ``mad_outliers_approx``) because a sketch
+``heavy_hitters_cms``, ``mad_outliers_approx``,
+``ddsketch_quantiles_price``) because a sketch
 cannot hash-match an exact oracle.  Their error CONTRACTS are bounded
 in ``tests/test_sketch_tolerance.py``; this script materializes the
 measured deltas into ``SKETCH_TOLERANCE.json`` (VERDICT r8 item 7) so
@@ -143,6 +144,47 @@ def measure(spark, sf_dir: str) -> dict:
             for r in got
         ),
     }
+
+    # -- ddsketch_quantiles_price (r10, α relative-value contract) ----
+    from pyspark.sql import Window
+
+    from sleep_edf_data_pipeline_spark.queries.quantile_sketch import (
+        ALPHA,
+        QS,
+        q_ddsketch_quantiles_price,
+    )
+
+    prices = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), F.col("l_extendedprice").alias("x")
+    )
+    w = Window.partitionBy("grp").orderBy("x")
+    ranked = prices.select(
+        "grp",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("grp")).alias("n"),
+    )
+    rels = []
+    exact_q: dict = {}
+    for q in QS:
+        target = F.floor(F.lit(q) * (F.col("n") - 1)) + 1
+        exact_q[q] = {
+            r["grp"]: r["x"]
+            for r in ranked.filter(F.col("rn") == target)
+            .select("grp", "x")
+            .collect()
+        }
+    for row in q_ddsketch_quantiles_price(spark, sf_dir).collect():
+        for q in QS:
+            true = exact_q[q][row["l_returnflag"]]
+            rels.append(abs(row[f"p{int(q * 100)}_sketch"] - true) / true)
+    out["ddsketch_quantiles_price"] = {
+        "exact_twin": "exact order statistic at floor(q*(n-1))+1",
+        "contract": f"relative value error <= alpha = {ALPHA}",
+        "checks": len(rels),
+        "max_rel_err": round(max(rels), 6),
+        "mean_rel_err": round(sum(rels) / len(rels), 6),
+    }
     return out
 
 
@@ -161,7 +203,7 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(
             {
-                "what": "measured sketch-vs-exact deltas for the four "
+                "what": "measured sketch-vs-exact deltas for the five "
                 "no-oracle queries; contracts bounded in "
                 "tests/test_sketch_tolerance.py",
                 "sfs": results,

@@ -87,6 +87,7 @@ _MODULES = [
     # r10 debuts — appended at the END so the pinned round-10 window is
     # untouched; rotate into the window in round 11 (see plan above).
     "sleep_edf_data_pipeline_spark.queries.intra_doc_dedup",
+    "sleep_edf_data_pipeline_spark.queries.quantile_sketch",
 ]
 
 # ROUND-11 ROTATION PLAN (execute at the START of round 11, never
