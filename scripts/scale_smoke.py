@@ -605,6 +605,108 @@ def generate_orders100_skew(spark) -> None:
     )
 
 
+EDGES10 = "/tmp/scale_edges10"
+
+
+def generate_edges10(spark) -> None:
+    """10 copies of sf0.1 lineitem with BOTH ``l_orderkey`` and
+    ``l_partkey`` offset per copy: the PART dimension (co-purchase
+    graph nodes) and the edge set grow 10× while per-order basket size
+    — hence per-node degree and adjacency-array length — stay
+    copy-invariant.  This is the adjacency-growth axis the fixed-dim
+    decade corpus holds constant by construction (VERDICT r9 item 7).
+    """
+    os.makedirs(EDGES10, exist_ok=True)
+    base = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    okey = 100_000_000
+    pkey = 10_000_000
+    parts = []
+    for i in range(10):
+        parts.append(
+            base.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * okey))
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(i * pkey))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(64).write.mode("overwrite").parquet(
+        f"{EDGES10}/lineitem.parquet"
+    )
+
+
+def edges10(spark, out_path: str) -> None:
+    """Parts-scaled decade for ``edge_similarity_scores``: walls at
+    both scales in BOTH join modes (packed-adjacency broadcast and the
+    above-threshold shuffled path, forced by zeroing the threshold) +
+    a distributed checksum equality between the modes — the
+    broadcast→shuffle flip exercised and verified, never silently
+    trusted."""
+    from sleep_edf_data_pipeline_spark.queries import link_prediction
+    from sleep_edf_data_pipeline_spark.queries.graph_stats import (
+        _copurchase_edges,
+    )
+
+    if "--regen" in sys.argv or not os.path.isdir(
+        f"{EDGES10}/lineitem.parquet"
+    ):
+        t0 = time.perf_counter()
+        generate_edges10(spark)
+        print(
+            f"# generated {EDGES10} in {time.perf_counter() - t0:.0f}s",
+            file=sys.stderr,
+        )
+
+    def checksum(df):
+        row = df.agg(
+            F.count("*").alias("rows"),
+            F.sum("cn").alias("s_cn"),
+            F.sum("deg_u").alias("s_du"),
+            F.sum(F.floor(F.col("resource_alloc") * 1_000_000)).alias("s_ra"),
+        ).collect()[0]
+        return tuple(row)
+
+    results: dict = {}
+    for label, d in (("sf0.1", BASE), ("edges10", EDGES10)):
+        n_edges = (
+            _copurchase_edges(spark, d)
+            .filter(F.col("src") < F.col("dst"))
+            .count()
+        )
+        spark.catalog.clearCache()
+        entry: dict = {"undirected_edges": n_edges}
+        sums = {}
+        orig_cap = link_prediction.TRIANGLE_BROADCAST_MAX_EDGES
+        for mode, cap in (("broadcast", orig_cap), ("shuffled", 0)):
+            link_prediction.TRIANGLE_BROADCAST_MAX_EDGES = cap
+            try:
+                best, cs = float("inf"), None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    cs = checksum(
+                        link_prediction.q_edge_similarity_scores(spark, d)
+                    )
+                    best = min(best, time.perf_counter() - t0)
+                    spark.catalog.clearCache()
+                entry[mode] = round(best, 3)
+                sums[mode] = cs
+            finally:
+                link_prediction.TRIANGLE_BROADCAST_MAX_EDGES = orig_cap
+        entry["modes_agree"] = sums["broadcast"] == sums["shuffled"]
+        entry["rows"] = sums["broadcast"][0]
+        results[label] = entry
+        print(f"# {label}: {entry}", file=sys.stderr)
+    results["x10_broadcast"] = round(
+        results["edges10"]["broadcast"] / results["sf0.1"]["broadcast"], 2
+    )
+    results["x10_shuffled"] = round(
+        results["edges10"]["shuffled"] / results["sf0.1"]["shuffled"], 2
+    )
+    with open(out_path, "w") as f:
+        json.dump({"base": BASE, "edge_similarity_scores": results}, f, indent=1)
+        f.write("\n")
+    print(json.dumps(results))
+
+
 def events100(spark, out_path: str) -> None:
     """Skewed second decade for the heavy-hitter pair: wall clocks AND
     sketch-vs-exact recovery on a corpus that HAS heavy hitters."""
@@ -743,6 +845,14 @@ def events100(spark, out_path: str) -> None:
 def main() -> None:
     out_path = sys.argv[-1] if sys.argv[-1].endswith(".json") else "SCALE_SMOKE.json"
     spark = get_spark(app_name="scale-smoke")
+    if "--edges10" in sys.argv:
+        edges10(
+            spark,
+            out_path
+            if sys.argv[-1].endswith(".json")
+            else "SCALE_SMOKE_EDGES10.json",
+        )
+        return
     if "--events100" in sys.argv:
         events100(
             spark,
