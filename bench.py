@@ -154,6 +154,9 @@ HEADLINE = [
     # r10 debut: DDSketch mergeable quantiles — one corpus pass into a
     # domain-bounded geometric-bucket histogram (no-oracle sketch)
     "ddsketch_quantiles_price",
+    # r10 debut: Gonzalez k-center coreset — k-1 argmax corpus passes
+    # over cached state (iterative class, like bfs/kcore)
+    "kcenter_coreset",
     # r09 debut: semantic decontamination — k-means-blocked broadcast
     # eval join (shares the semdedup codebook constants)
     "decontaminate_semantic",

@@ -107,6 +107,9 @@ SMOKE = [
     # r10 debut: DDSketch quantiles — one map-side-combinable groupBy
     # corpus pass into a domain-bounded bucket histogram
     "ddsketch_quantiles_price",
+    # r10 debut: k-center coreset — k-1 argmax passes; wall is round
+    # overhead at local scale, corpus passes at real scale
+    "kcenter_coreset",
     "audio_features",
     "multimodal_features",
     "decontaminate_auto",

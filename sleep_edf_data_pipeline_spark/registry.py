@@ -88,6 +88,7 @@ _MODULES = [
     # untouched; rotate into the window in round 11 (see plan above).
     "sleep_edf_data_pipeline_spark.queries.intra_doc_dedup",
     "sleep_edf_data_pipeline_spark.queries.quantile_sketch",
+    "sleep_edf_data_pipeline_spark.queries.coreset",
 ]
 
 # ROUND-11 ROTATION PLAN (execute at the START of round 11, never

@@ -25,6 +25,57 @@ def test_intra_doc_dedup_plan_has_no_joins_or_windows(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_kcenter_coreset_invariants(spark):
+    """Gonzalez greedy structure: selection distances are monotone
+    non-increasing over ranks, the final covering radius is bounded by
+    the last selection distance, every corpus point is assigned, and
+    the chosen centers are distinct corpus points."""
+    from pyspark.sql import functions as F2
+
+    from sleep_edf_data_pipeline_spark.queries.coreset import (
+        K_CENTERS,
+        q_kcenter_coreset,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    spark.catalog.clearCache()
+    rows = sorted(
+        q_kcenter_coreset(spark, SF_DIR).collect(),
+        key=lambda r: r["center_rank"],
+    )
+    assert len(rows) == K_CENTERS
+    assert len({r["vec_id"] for r in rows}) == K_CENTERS
+    sel = [r["sel_d2"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(sel, sel[1:])), sel
+    assert all(d > 0 for d in sel)
+    radius = max(r["max_d2"] for r in rows)
+    assert radius <= sel[-1]
+    n_corpus = table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_assigned"] for r in rows) == n_corpus
+    ids = {
+        r["vec_id"]
+        for r in table(spark, SF_DIR, "embeddings")
+        .select("vec_id")
+        .collect()
+    }
+    assert all(r["vec_id"] in ids for r in rows)
+
+
+def test_kcenter_plan_reuses_codegen_and_casts_once(spark):
+    """The per-round update is a broadcast 1-row cross join over the
+    cached previous state — no shuffle joins, no corpus-sized sort
+    beyond the TakeOrdered argmax."""
+    from sleep_edf_data_pipeline_spark.queries.coreset import (
+        q_kcenter_coreset,
+    )
+
+    spark.catalog.clearCache()
+    df = q_kcenter_coreset(spark, SF_DIR)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_intra_doc_dedup_invariants(spark):
     """Counts reconcile per doc; the corpus-wide segment total matches
     the cross-doc operator's (shared segmentation head, so any
