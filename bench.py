@@ -157,6 +157,9 @@ HEADLINE = [
     # r10 debut: Gonzalez k-center coreset — k-1 argmax corpus passes
     # over cached state (iterative class, like bfs/kcore)
     "kcenter_coreset",
+    # r10 debut: sequential dedup cascade — four composed stage kernels
+    # on shrinking survivor frames; wall ~= sum of the stages
+    "dedup_cascade_verdict",
     # r09 debut: semantic decontamination — k-means-blocked broadcast
     # eval join (shares the semdedup codebook constants)
     "decontaminate_semantic",

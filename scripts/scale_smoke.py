@@ -110,6 +110,8 @@ SMOKE = [
     # r10 debut: k-center coreset — k-1 argmax passes; wall is round
     # overhead at local scale, corpus passes at real scale
     "kcenter_coreset",
+    # r10 debut: dedup cascade — four composed decade-flat stages
+    "dedup_cascade_verdict",
     "audio_features",
     "multimodal_features",
     "decontaminate_auto",

