@@ -160,6 +160,9 @@ HEADLINE = [
     # r10 debut: sequential dedup cascade — four composed stage kernels
     # on shrinking survivor frames; wall ~= sum of the stages
     "dedup_cascade_verdict",
+    # r10 debut: winsorized robust stats — histogram pass + grouped
+    # digit-bucketed cumulative, every window partitioned
+    "winsorized_price_stats",
     # r09 debut: semantic decontamination — k-means-blocked broadcast
     # eval join (shares the semdedup codebook constants)
     "decontaminate_semantic",

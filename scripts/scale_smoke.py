@@ -112,6 +112,9 @@ SMOKE = [
     "kcenter_coreset",
     # r10 debut: dedup cascade — four composed decade-flat stages
     "dedup_cascade_verdict",
+    # r10 debut: winsorized stats — psi_drift's decomposed-cumulative
+    # shape at the (grp, cents) grain
+    "winsorized_price_stats",
     "audio_features",
     "multimodal_features",
     "decontaminate_auto",

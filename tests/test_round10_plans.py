@@ -117,6 +117,46 @@ def test_dedup_cascade_plan_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_winsorized_stats_plan_every_window_is_partitioned(spark):
+    """The per-group cumulative runs through the digit-length
+    decomposition: EVERY windowspec in the plan carries a partition
+    key (first arg is a bare column, not an ASC/DESC order column) —
+    the naive per-group ordered cumulative (whole price domain of a
+    group in one task) must fail here."""
+    import re as _re
+
+    from sleep_edf_data_pipeline_spark.queries.winsorize import (
+        q_winsorized_price_stats,
+    )
+
+    spark.catalog.clearCache()
+    plan = _plan(q_winsorized_price_stats(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for s in specs:
+        first = s.split(",")[0].strip()
+        assert " ASC" not in first and " DESC" not in first, s
+
+
+def test_winsorized_stats_values(spark):
+    """Clip counts respect the 5% band definition and the winsorized
+    mean sits inside [p05, p95]."""
+    from sleep_edf_data_pipeline_spark.queries.winsorize import (
+        q_winsorized_price_stats,
+    )
+
+    spark.catalog.clearCache()
+    for r in q_winsorized_price_stats(spark, SF_DIR).collect():
+        assert r["p05"] <= r["p95"]
+        assert r["p05"] <= r["winsor_mean"] <= r["p95"]
+        # ranks are floor(q*(n-1))+1: strictly-below-lo count < rank_lo,
+        # strictly-above-hi count <= n - rank_hi
+        n = r["n_rows"]
+        assert r["n_clip_low"] < 0.05 * (n - 1) + 1
+        assert r["n_clip_high"] <= n - (int(0.95 * (n - 1)) + 1)
+
+
 def test_intra_doc_dedup_invariants(spark):
     """Counts reconcile per doc; the corpus-wide segment total matches
     the cross-doc operator's (shared segmentation head, so any
