@@ -163,6 +163,9 @@ HEADLINE = [
     # r10 debut: winsorized robust stats — histogram pass + grouped
     # digit-bucketed cumulative, every window partitioned
     "winsorized_price_stats",
+    # r10 debut: exact percentile-rank transform at distinct-value
+    # grain — same decomposed-cumulative shape
+    "quantile_rank_transform",
     # r09 debut: semantic decontamination — k-means-blocked broadcast
     # eval join (shares the semdedup codebook constants)
     "decontaminate_semantic",

@@ -115,6 +115,8 @@ SMOKE = [
     # r10 debut: winsorized stats — psi_drift's decomposed-cumulative
     # shape at the (grp, cents) grain
     "winsorized_price_stats",
+    # r10 debut: percentile-rank transform — same shape, value-grain out
+    "quantile_rank_transform",
     "audio_features",
     "multimodal_features",
     "decontaminate_auto",

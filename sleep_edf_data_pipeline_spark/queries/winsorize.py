@@ -40,22 +40,22 @@ Q_LO = 0.05
 Q_HI = 0.95
 
 
-def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("grp"),
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
-    )
-    # value-grain histogram: persisted — three consumers (cumulative,
-    # thresholds ride it, final clipped fold); registry cache posture.
-    hist = (
-        li.groupBy("grp", "cents")
-        .agg(F.count("*").cast("bigint").alias("c"))
-        .persist()
+def price_histogram(df: DataFrame) -> DataFrame:
+    """(grp, cents, c) value-grain histogram from a (grp, cents)
+    frame — the algebraic head shared by the batch query and the
+    streaming monitor (counts sum, so partials over any micro-batching
+    merge exactly)."""
+    return df.groupBy("grp", "cents").agg(
+        F.count("*").cast("bigint").alias("c")
     )
 
-    # per-group digit-length-bucketed inclusive cumsum (PSI's
-    # _bucketed_cumsum decomposition with grp added to every
-    # partitioning): no data-unbounded ordered window anywhere.
+
+def grouped_cumsum(hist: DataFrame) -> DataFrame:
+    """Per-group digit-length-bucketed inclusive cumsum over the
+    (grp, cents, c) histogram (PSI's ``_bucketed_cumsum``
+    decomposition with grp added to every partitioning): no
+    data-unbounded ordered window anywhere.  Returns
+    (grp, cents, c, cum, n)."""
     d = hist.withColumn("_bkt", F.length(F.col("cents").cast("string")))
     wb = (
         Window.partitionBy("grp", "_bkt")
@@ -84,13 +84,22 @@ def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("_off"),
         F.sum("_bm").over(w_tot).cast("bigint").alias("n"),
     )
-    cum = intra.join(F.broadcast(boff), ["grp", "_bkt"]).select(
+    return intra.join(F.broadcast(boff), ["grp", "_bkt"]).select(
         "grp",
         "cents",
         "c",
         (F.col("_in") + F.col("_off")).cast("bigint").alias("cum"),
         "n",
     )
+
+
+def winsorized_from_histogram(hist: DataFrame) -> DataFrame:
+    """Threshold + clipped-fold tail over the value-grain histogram —
+    the presentation path shared with the streaming monitor.  The
+    histogram is persisted here (two consumers: the cumulative and
+    the final clipped fold); registry cache posture applies."""
+    hist = hist.persist()
+    cum = grouped_cumsum(hist)
 
     def _rank(q: float):
         return F.floor(F.lit(q) * (F.col("n") - 1)) + 1
@@ -133,6 +142,14 @@ def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n") * F.lit(100)).cast("double")
         ).alias("winsor_mean"),
     ).withColumnRenamed("grp", "l_returnflag")
+
+
+def q_winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    return winsorized_from_histogram(price_histogram(li))
 
 
 ORACLE_WINSORIZED_PRICE_STATS = f"""

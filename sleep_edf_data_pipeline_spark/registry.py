@@ -91,6 +91,7 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.coreset",
     "sleep_edf_data_pipeline_spark.queries.dedup_cascade",
     "sleep_edf_data_pipeline_spark.queries.winsorize",
+    "sleep_edf_data_pipeline_spark.queries.quantile_transform",
 ]
 
 # ROUND-11 ROTATION PLAN (execute at the START of round 11, never
