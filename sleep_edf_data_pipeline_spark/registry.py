@@ -104,14 +104,19 @@ _MODULES = [
 # priority_set_ops_all, regional_revenue, top_revenue_orders,
 # volume_shipping), then the 47-name r07 pool ages in.  Compose
 # round 11 as:
-# 1) every round-10 debut (registered after the round-10 window was
-#    pinned — locally hash-green, never driver-rowed);
+# 1) the round-10 debuts (registered after the round-10 window was
+#    pinned — all locally driver_sim hash-green at 3 SFs in round 10,
+#    never driver-rowed): intra_doc_dedup, ddsketch_quantiles_price
+#    (no-oracle sketch, rows-only), kcenter_coreset,
+#    dedup_cascade_verdict, winsorized_price_stats,
+#    quantile_rank_transform;
 # 2) any query whose plan is rewritten after its round-10 driver row;
 # 3) the 11 r06-stale names above;
 # 4) backfill to exactly 50 with the stalest of the 47-name r07 pool
 #    (prefer LLM-data ops first: semdedup_prune, cross_split_leakage,
 #    bloom_decontaminate, pq/ivfpq family, cdc_chunks, bpe_merge_pairs,
-#    normalize_text_nfc, ...).
+#    normalize_text_nfc, ...).  6 + 0 + 11 + 33 = exactly 50 if no
+#    plans are rewritten post-row.
 # Update tests/test_registry_window.py pins in the same commit.
 
 #: The driver-verification window: collect() hoists these 50 names to
