@@ -166,6 +166,10 @@ HEADLINE = [
     # r10 debut: exact percentile-rank transform at distinct-value
     # grain — same decomposed-cumulative shape
     "quantile_rank_transform",
+    # r10 debut pair: HLL day-sketch rollup (no-oracle, Datasketches
+    # native) + the exact first-seen cumulative-distinct twin
+    "hll_rollup_distinct",
+    "cum_distinct_users",
     # r09 debut: semantic decontamination — k-means-blocked broadcast
     # eval join (shares the semdedup codebook constants)
     "decontaminate_semantic",

@@ -117,6 +117,9 @@ SMOKE = [
     "winsorized_price_stats",
     # r10 debut: percentile-rank transform — same shape, value-grain out
     "quantile_rank_transform",
+    # r10 debut pair: HLL day-sketch rollup + exact first-seen twin
+    "hll_rollup_distinct",
+    "cum_distinct_users",
     "audio_features",
     "multimodal_features",
     "decontaminate_auto",

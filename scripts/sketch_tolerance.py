@@ -1,9 +1,9 @@
 """Record measured sketch-vs-exact deltas for the no-oracle sketches.
 
-The driver records ``err: no_oracle`` for the five approximate-sketch
+The driver records ``err: no_oracle`` for the six approximate-sketch
 queries (``approx_distinct_parts``, ``approx_quantiles_price``,
 ``heavy_hitters_cms``, ``mad_outliers_approx``,
-``ddsketch_quantiles_price``) because a sketch
+``ddsketch_quantiles_price``, ``hll_rollup_distinct``) because a sketch
 cannot hash-match an exact oracle.  Their error CONTRACTS are bounded
 in ``tests/test_sketch_tolerance.py``; this script materializes the
 measured deltas into ``SKETCH_TOLERANCE.json`` (VERDICT r8 item 7) so
@@ -185,6 +185,36 @@ def measure(spark, sf_dir: str) -> dict:
         "max_rel_err": round(max(rels), 6),
         "mean_rel_err": round(sum(rels) / len(rels), 6),
     }
+
+    # -- hll_rollup_distinct vs cum_distinct_users (r10) ---------------
+    from sleep_edf_data_pipeline_spark.queries.hll_rollup import (
+        HLL_RSD,
+        q_cum_distinct_users,
+        q_hll_rollup_distinct,
+    )
+
+    est = {
+        r["day"]: (r["est_day_users"], r["est_cum_users"])
+        for r in q_hll_rollup_distinct(spark, sf_dir).collect()
+    }
+    exact2 = {
+        r["day"]: (r["n_day_users"], r["n_cum_users"])
+        for r in q_cum_distinct_users(spark, sf_dir).collect()
+    }
+    hrels = [
+        abs(est[d][i] - exact2[d][i]) / exact2[d][i]
+        for d in exact2
+        for i in (0, 1)
+        if exact2[d][i]
+    ]
+    out["hll_rollup_distinct"] = {
+        "exact_twin": "cum_distinct_users",
+        "contract": f"HLL lgK=12; test bound 3*rsd = "
+        f"{round(3 * HLL_RSD, 4)} (floor +-2)",
+        "checks": len(hrels),
+        "max_rel_err": round(max(hrels), 6),
+        "mean_rel_err": round(sum(hrels) / len(hrels), 6),
+    }
     return out
 
 
@@ -203,7 +233,7 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(
             {
-                "what": "measured sketch-vs-exact deltas for the five "
+                "what": "measured sketch-vs-exact deltas for the six "
                 "no-oracle queries; contracts bounded in "
                 "tests/test_sketch_tolerance.py",
                 "sfs": results,

@@ -1,0 +1,144 @@
+"""Round-10: HLL-sketch daily distinct rollup + exact cumulative twin.
+
+The 100 TB pattern for "distinct users over an arbitrary date range"
+is NOT a distinct-count per query — it is a per-day MERGEABLE sketch
+rollup: aggregate each day once into an HLL state, then answer any
+range by unioning day states (Datasketches HLL; Flajolet 2007).
+Spark ships this natively (``hll_sketch_agg`` / ``hll_union_agg`` /
+``hll_sketch_estimate`` — Apache DataSketches under the hood), and
+this operator exercises that engine surface: per event-day, the
+day-distinct estimate AND the cumulative-to-date estimate obtained by
+unioning the day sketches through an ordered window over the ≤days
+rollup frame (the corpus pass happens ONCE; everything after is
+days-sized).
+
+``cum_distinct_users`` is the EXACT twin, and it is exact the scalable
+way: cumulative distinct-to-date equals the running count of each
+user's FIRST-SEEN day — one map-side-combinable (user → min day)
+pass, a days-sized first-seen histogram, and the digit-bucketed
+cumulative.  No per-range distinct scans, no corpus-sized windows.
+
+Driver posture: the sketch query is registered WITHOUT an oracle
+(sketch estimates are engine-specific); its error contract vs the
+exact twin (3·rsd, lgK=12 → rsd ≈ 1.62%) is bounded in tests and the
+measured deltas recorded in ``SKETCH_TOLERANCE.json`` — the
+``heavy_hitters_cms`` / ``ddsketch`` precedent.
+
+Reference scope: extends SURVEY §2.7's approximate/rollup family per
+the build brief; no such surface in the reference
+(blaiseclarke/sleep-edf-data-pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+from .winsorize import grouped_cumsum
+
+#: Datasketches lgConfigK: rsd = 1.04 / sqrt(2^lgK) ≈ 1.62%.
+HLL_LGK = 12
+
+#: 3-sigma-style relative error bound for the contract tests.
+HLL_RSD = 1.04 / (2 ** (HLL_LGK / 2))
+
+
+def _events_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        F.to_date(F.col("ts")).alias("day"), F.col("user_id")
+    )
+
+
+def q_hll_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_day(spark, sf_dir)
+    # ONE corpus pass: per-day HLL state + event count (map-side
+    # combinable — sketch partials merge in the partial agg).
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    # days-sized frame from here on: cumulative union through an
+    # ordered window over ≤ |days| rows (bounded by the calendar).
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    rolled = daily.select(
+        "day",
+        "n_events",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_day_users"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+        .cast("bigint")
+        .alias("est_cum_users"),
+    )
+    return rolled
+
+
+def q_cum_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_day(spark, sf_dir)
+    # exact day-distinct via (day, user) dedup; exact CUMULATIVE
+    # distinct via each user's first-seen day — both map-side
+    # combinable, then a days-sized cumulative (digit-bucketed: the
+    # day key is re-expressed as epoch days, a non-negative BIGINT).
+    day_users = ev.distinct()
+    per_day = day_users.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_day_users")
+    )
+    first_seen = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    # LEFT-join first-seen counts onto EVERY event day (a day where no
+    # new user appears still carries the running total forward), then
+    # the digit-bucketed cumulative over epoch days.
+    keyed = per_day.select("day").join(first_seen, "day", "left").select(
+        F.lit("all").alias("grp"),
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("cents"),
+        F.coalesce("c", F.lit(0).cast("bigint")).alias("c"),
+    )
+    cum = grouped_cumsum(keyed).select(
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("cents").cast("int"))
+        .alias("day"),
+        F.col("cum").alias("n_cum_users"),
+    )
+    return per_day.join(cum, "day").select(
+        "day", "n_day_users", "n_cum_users"
+    )
+
+
+ORACLE_CUM_DISTINCT_USERS = """
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS day, user_id FROM events
+),
+per_day AS (
+    SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_day_users
+    FROM ev GROUP BY day
+),
+first_seen AS (
+    SELECT day, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT user_id, min(day) AS day FROM ev GROUP BY user_id)
+    GROUP BY day
+),
+cum AS (
+    SELECT p.day,
+           CAST(sum(coalesce(f.c, 0)) OVER (ORDER BY p.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_cum_users
+    FROM per_day p LEFT JOIN first_seen f ON f.day = p.day
+)
+SELECT p.day, p.n_day_users, c.n_cum_users
+FROM per_day p JOIN cum c ON c.day = p.day
+"""
+
+
+QUERIES = {
+    "hll_rollup_distinct": q_hll_rollup_distinct,
+    "cum_distinct_users": q_cum_distinct_users,
+}
+
+ORACLES = {
+    "cum_distinct_users": ORACLE_CUM_DISTINCT_USERS,
+}

@@ -92,6 +92,7 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.dedup_cascade",
     "sleep_edf_data_pipeline_spark.queries.winsorize",
     "sleep_edf_data_pipeline_spark.queries.quantile_transform",
+    "sleep_edf_data_pipeline_spark.queries.hll_rollup",
 ]
 
 # ROUND-11 ROTATION PLAN (execute at the START of round 11, never
@@ -109,13 +110,14 @@ _MODULES = [
 #    never driver-rowed): intra_doc_dedup, ddsketch_quantiles_price
 #    (no-oracle sketch, rows-only), kcenter_coreset,
 #    dedup_cascade_verdict, winsorized_price_stats,
-#    quantile_rank_transform;
+#    quantile_rank_transform, hll_rollup_distinct (no-oracle sketch,
+#    rows-only), cum_distinct_users;
 # 2) any query whose plan is rewritten after its round-10 driver row;
 # 3) the 11 r06-stale names above;
 # 4) backfill to exactly 50 with the stalest of the 47-name r07 pool
 #    (prefer LLM-data ops first: semdedup_prune, cross_split_leakage,
 #    bloom_decontaminate, pq/ivfpq family, cdc_chunks, bpe_merge_pairs,
-#    normalize_text_nfc, ...).  6 + 0 + 11 + 33 = exactly 50 if no
+#    normalize_text_nfc, ...).  8 + 0 + 11 + 31 = exactly 50 if no
 #    plans are rewritten post-row.
 # Update tests/test_registry_window.py pins in the same commit.
 

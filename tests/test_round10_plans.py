@@ -157,6 +157,35 @@ def test_winsorized_stats_values(spark):
         assert r["n_clip_high"] <= n - (int(0.95 * (n - 1)) + 1)
 
 
+def test_hll_rollup_tracks_exact_twin_within_3rsd(spark):
+    """Day-distinct and cumulative-distinct estimates from the merged
+    day sketches stay within 3·rsd of the exact twin on every day,
+    and both queries agree on the day set and event counts' monotone
+    cumulative structure."""
+    from sleep_edf_data_pipeline_spark.queries.hll_rollup import (
+        HLL_RSD,
+        q_cum_distinct_users,
+        q_hll_rollup_distinct,
+    )
+
+    spark.catalog.clearCache()
+    est = {
+        r["day"]: (r["est_day_users"], r["est_cum_users"])
+        for r in q_hll_rollup_distinct(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["day"]: (r["n_day_users"], r["n_cum_users"])
+        for r in q_cum_distinct_users(spark, SF_DIR).collect()
+    }
+    assert set(est) == set(exact) and est
+    for d in exact:
+        for i in (0, 1):
+            tol = max(2.0, 3 * HLL_RSD * exact[d][i])
+            assert abs(est[d][i] - exact[d][i]) <= tol, (d, i, est[d], exact[d])
+    cums = [v[1] for _, v in sorted(exact.items())]
+    assert all(a <= b for a, b in zip(cums, cums[1:]))
+
+
 def test_intra_doc_dedup_invariants(spark):
     """Counts reconcile per doc; the corpus-wide segment total matches
     the cross-doc operator's (shared segmentation head, so any
