@@ -64,8 +64,17 @@ class StreamingVocabMonitor:
 
     def encode_stats(self, spark: SparkSession) -> DataFrame:
         """Train + apply from the folded state — same shared tail as
-        the batch query (merge table re-derived from the grid)."""
-        return encode_stats_from_vocab(self.vocab(spark))
+        the batch query (merge table re-derived from the grid).
+
+        The tail persists the vocabulary grid (its input plan);
+        materialize the per-source result into a local checkpoint and
+        unpersist through this handle so repeated answers on a
+        long-lived monitor leave no cached partitions (the
+        chi2-monitor ADVICE fix, applied family-wide in r10)."""
+        vocab = self.vocab(spark)
+        out = encode_stats_from_vocab(vocab).localCheckpoint(eager=True)
+        vocab.unpersist()
+        return out
 
     def state(self) -> tuple[int | None, int | None]:
         """Snapshot hook for restart-safe deployments."""

@@ -63,8 +63,17 @@ class StreamingEmbeddingDriftMonitor:
 
     def drift(self, spark: SparkSession) -> DataFrame:
         """Per-label centroid cosine vs global from the folded state —
-        same shared tail as the batch query."""
-        return drift_from_grid(self.grid(spark))
+        same shared tail as the batch query.
+
+        The tail persists the grid (its input plan); a long-lived
+        monitor answers repeatedly, so materialize the labels-sized
+        result into a local checkpoint and unpersist through this
+        handle — repeated calls leave no cached partitions (the
+        chi2-monitor ADVICE fix, applied family-wide in r10)."""
+        grid = self.grid(spark)
+        out = drift_from_grid(grid).localCheckpoint(eager=True)
+        grid.unpersist()
+        return out
 
     def state(self) -> tuple[int | None, int | None]:
         """Snapshot hook for restart-safe deployments."""

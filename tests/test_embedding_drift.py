@@ -112,3 +112,10 @@ def test_streaming_embedding_drift_matches_batch(spark, tmp_path):
     mon.process_batch(emb, mon.last_batch_id)
     assert mon.version == v
     assert sorted(map(tuple, mon.grid(spark).collect())) == got_grid
+
+    # repeated answers leave no cached frames (r10 leak-free pin)
+    spark.catalog.clearCache()
+    jcat = spark._jsparkSession.sharedState().cacheManager()
+    for _ in range(2):
+        mon.drift(spark).collect()
+    assert jcat.isEmpty(), "monitor answers leaked cached frames"

@@ -133,3 +133,10 @@ def test_streaming_vocab_monitor_matches_batch(spark, sf_dir, tmp_path):
     mon.process_batch(docs, mon.last_batch_id)
     assert mon.version == v
     assert sorted(map(tuple, mon.vocab(spark).collect())) == got_grid
+
+    # repeated answers leave no cached frames (r10 leak-free pin)
+    spark.catalog.clearCache()
+    jcat = spark._jsparkSession.sharedState().cacheManager()
+    for _ in range(2):
+        mon.encode_stats(spark).collect()
+    assert jcat.isEmpty(), "monitor answers leaked cached frames"
