@@ -170,6 +170,9 @@ HEADLINE = [
     # native) + the exact first-seen cumulative-distinct twin
     "hll_rollup_distinct",
     "cum_distinct_users",
+    # r10 debut: exact vocab coverage/OOV curve — count-of-counts fold,
+    # no vocabulary-sized windows
+    "vocab_coverage_curve",
     # r09 debut: semantic decontamination — k-means-blocked broadcast
     # eval join (shares the semdedup codebook constants)
     "decontaminate_semantic",

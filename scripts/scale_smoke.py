@@ -120,6 +120,8 @@ SMOKE = [
     # r10 debut pair: HLL day-sketch rollup + exact first-seen twin
     "hll_rollup_distinct",
     "cum_distinct_users",
+    # r10 debut: vocab coverage curve — count-of-counts fold
+    "vocab_coverage_curve",
     "audio_features",
     "multimodal_features",
     "decontaminate_auto",

@@ -93,6 +93,7 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.winsorize",
     "sleep_edf_data_pipeline_spark.queries.quantile_transform",
     "sleep_edf_data_pipeline_spark.queries.hll_rollup",
+    "sleep_edf_data_pipeline_spark.queries.vocab_coverage",
 ]
 
 # ROUND-11 ROTATION PLAN (execute at the START of round 11, never
@@ -111,13 +112,13 @@ _MODULES = [
 #    (no-oracle sketch, rows-only), kcenter_coreset,
 #    dedup_cascade_verdict, winsorized_price_stats,
 #    quantile_rank_transform, hll_rollup_distinct (no-oracle sketch,
-#    rows-only), cum_distinct_users;
+#    rows-only), cum_distinct_users, vocab_coverage_curve;
 # 2) any query whose plan is rewritten after its round-10 driver row;
 # 3) the 11 r06-stale names above;
 # 4) backfill to exactly 50 with the stalest of the 47-name r07 pool
 #    (prefer LLM-data ops first: semdedup_prune, cross_split_leakage,
 #    bloom_decontaminate, pq/ivfpq family, cdc_chunks, bpe_merge_pairs,
-#    normalize_text_nfc, ...).  8 + 0 + 11 + 31 = exactly 50 if no
+#    normalize_text_nfc, ...).  9 + 0 + 11 + 30 = exactly 50 if no
 #    plans are rewritten post-row.
 # Update tests/test_registry_window.py pins in the same commit.
 

@@ -157,6 +157,49 @@ def test_winsorized_stats_values(spark):
         assert r["n_clip_high"] <= n - (int(0.95 * (n - 1)) + 1)
 
 
+def test_ddsketch_and_quantile_transform_window_discipline(spark):
+    """The sketch tail's windows partition on grp (histogram grain);
+    the rank transform inherits winsorize's rule — every windowspec
+    carries a partition key.  Neither plan may contain a corpus-wide
+    unpartitioned ordered window."""
+    import re as _re
+
+    from sleep_edf_data_pipeline_spark.queries.quantile_sketch import (
+        q_ddsketch_quantiles_price,
+    )
+    from sleep_edf_data_pipeline_spark.queries.quantile_transform import (
+        q_quantile_rank_transform,
+    )
+
+    for fn in (q_ddsketch_quantiles_price, q_quantile_rank_transform):
+        spark.catalog.clearCache()
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+        specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs
+        for s in specs:
+            first = s.split(",")[0].strip()
+            assert " ASC" not in first and " DESC" not in first, (fn, s)
+
+
+def test_hll_rollup_unpartitioned_windows_are_days_bounded(spark):
+    """The cumulative sketch-union window is unpartitioned but runs
+    over the per-day rollup frame — bounded by the CALENDAR, not the
+    corpus (the pareto 256-bucket precedent).  Pin that the plan's
+    corpus-side work is a single aggregate and the window input is the
+    days-grain frame (no second corpus scan feeding the window)."""
+    from sleep_edf_data_pipeline_spark.queries.hll_rollup import (
+        q_hll_rollup_distinct,
+    )
+
+    spark.catalog.clearCache()
+    plan = _plan(q_hll_rollup_distinct(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan
+    # one corpus scan total: the day rollup aggregate
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_hll_rollup_tracks_exact_twin_within_3rsd(spark):
     """Day-distinct and cumulative-distinct estimates from the merged
     day sketches stay within 3·rsd of the exact twin on every day,
