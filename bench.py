@@ -173,6 +173,9 @@ HEADLINE = [
     # r10 debut: exact vocab coverage/OOV curve — count-of-counts fold,
     # no vocabulary-sized windows
     "vocab_coverage_curve",
+    # r10 debut: forward as-of with tolerance — union + carry-backward
+    # window, zero joins, one user shuffle
+    "asof_next_conversion",
     # r09 debut: semantic decontamination — k-means-blocked broadcast
     # eval join (shares the semdedup codebook constants)
     "decontaminate_semantic",

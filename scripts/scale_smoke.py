@@ -122,6 +122,8 @@ SMOKE = [
     "cum_distinct_users",
     # r10 debut: vocab coverage curve — count-of-counts fold
     "vocab_coverage_curve",
+    # r10 debut: forward as-of conversion join — one user shuffle
+    "asof_next_conversion",
     "audio_features",
     "multimodal_features",
     "decontaminate_auto",
