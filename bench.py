@@ -170,6 +170,7 @@ HEADLINE = [
     # native) + the exact first-seen cumulative-distinct twin
     "hll_rollup_distinct",
     "cum_distinct_users",
+    "hll_rolling_wau",
     # r10 debut: exact vocab coverage/OOV curve — count-of-counts fold,
     # no vocabulary-sized windows
     "vocab_coverage_curve",

@@ -120,6 +120,7 @@ SMOKE = [
     # r10 debut pair: HLL day-sketch rollup + exact first-seen twin
     "hll_rollup_distinct",
     "cum_distinct_users",
+    "hll_rolling_wau",
     # r10 debut: vocab coverage curve — count-of-counts fold
     "vocab_coverage_curve",
     # r10 debut: forward as-of conversion join — one user shuffle

@@ -3,7 +3,8 @@
 The driver records ``err: no_oracle`` for the six approximate-sketch
 queries (``approx_distinct_parts``, ``approx_quantiles_price``,
 ``heavy_hitters_cms``, ``mad_outliers_approx``,
-``ddsketch_quantiles_price``, ``hll_rollup_distinct``) because a sketch
+``ddsketch_quantiles_price``, ``hll_rollup_distinct``,
+``hll_rolling_wau``) because a sketch
 cannot hash-match an exact oracle.  Their error CONTRACTS are bounded
 in ``tests/test_sketch_tolerance.py``; this script materializes the
 measured deltas into ``SKETCH_TOLERANCE.json`` (VERDICT r8 item 7) so
@@ -207,6 +208,32 @@ def measure(spark, sf_dir: str) -> dict:
         for i in (0, 1)
         if exact2[d][i]
     ]
+    from sleep_edf_data_pipeline_spark.queries.graph_stats import (
+        q_weekly_active_users,
+    )
+    from sleep_edf_data_pipeline_spark.queries.hll_rollup import (
+        q_hll_rolling_wau,
+    )
+
+    west = {
+        r["report_week"]: r["wau_est"]
+        for r in q_hll_rolling_wau(spark, sf_dir).collect()
+    }
+    wex = {
+        r["report_week"]: r["wau"]
+        for r in q_weekly_active_users(spark, sf_dir).collect()
+    }
+    wrels = [abs(west[k] - wex[k]) / wex[k] for k in wex if wex[k]]
+    out["hll_rolling_wau"] = {
+        "exact_twin": "weekly_active_users",
+        "contract": f"HLL lgK=12; 3*rsd = {round(3 * HLL_RSD, 4)}; "
+        "identical report-week key set",
+        "keyset_match": set(west) == set(wex),
+        "checks": len(wrels),
+        "max_rel_err": round(max(wrels), 6),
+        "mean_rel_err": round(sum(wrels) / len(wrels), 6),
+    }
+
     out["hll_rollup_distinct"] = {
         "exact_twin": "cum_distinct_users",
         "contract": f"HLL lgK=12; test bound 3*rsd = "
@@ -233,7 +260,7 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(
             {
-                "what": "measured sketch-vs-exact deltas for the six "
+                "what": "measured sketch-vs-exact deltas for the seven "
                 "no-oracle queries; contracts bounded in "
                 "tests/test_sketch_tolerance.py",
                 "sfs": results,

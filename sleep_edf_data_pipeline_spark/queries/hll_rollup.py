@@ -134,9 +134,43 @@ FROM per_day p JOIN cum c ON c.day = p.day
 """
 
 
+def q_hll_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-4-week active users from MERGED weekly sketches — the
+    sketch twin of the exact ``weekly_active_users``.
+
+    The exact query fans each (user, activity-week) to its 4 report
+    weeks and distinct-counts — at 100 TB that is 4× the user-week
+    grain through a distinct shuffle per report week.  The sketch form
+    reduces the corpus ONCE to |weeks| HLL states, fans the
+    WEEKS-SIZED sketch frame ×4, and unions per report week: identical
+    report-week key set (same fanout rule), mergeable state, and the
+    same 3·rsd contract as the daily rollup, measured in
+    ``SKETCH_TOLERANCE.json``.
+    """
+    ev = table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    weekly = ev.select(week.alias("act_week"), "user_id").groupBy(
+        "act_week"
+    ).agg(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"))
+    fanned = weekly.select(
+        "sk",
+        F.explode(
+            F.array(
+                *[F.date_add(F.col("act_week"), 7 * off) for off in range(4)]
+            )
+        ).alias("report_week"),
+    )
+    return fanned.groupBy("report_week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("wau_est")
+    )
+
+
 QUERIES = {
     "hll_rollup_distinct": q_hll_rollup_distinct,
     "cum_distinct_users": q_cum_distinct_users,
+    "hll_rolling_wau": q_hll_rolling_wau,
 }
 
 ORACLES = {

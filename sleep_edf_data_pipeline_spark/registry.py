@@ -114,13 +114,14 @@ _MODULES = [
 #    dedup_cascade_verdict, winsorized_price_stats,
 #    quantile_rank_transform, hll_rollup_distinct (no-oracle sketch,
 #    rows-only), cum_distinct_users, vocab_coverage_curve,
-#    asof_next_conversion;
+#    asof_next_conversion, hll_rolling_wau (no-oracle sketch,
+#    rows-only);
 # 2) any query whose plan is rewritten after its round-10 driver row;
 # 3) the 11 r06-stale names above;
 # 4) backfill to exactly 50 with the stalest of the 47-name r07 pool
 #    (prefer LLM-data ops first: semdedup_prune, cross_split_leakage,
 #    bloom_decontaminate, pq/ivfpq family, cdc_chunks, bpe_merge_pairs,
-#    normalize_text_nfc, ...).  10 + 0 + 11 + 29 = exactly 50 if no
+#    normalize_text_nfc, ...).  11 + 0 + 11 + 28 = exactly 50 if no
 #    plans are rewritten post-row.
 # Update tests/test_registry_window.py pins in the same commit.
 

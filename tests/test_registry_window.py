@@ -59,6 +59,6 @@ def test_window_hoist_preserves_full_registry():
     queries, oracles = registry.collect()
     # exact pin (ADVICE r5): update explicitly when queries are added,
     # matching the window-pin philosophy above.
-    assert len(queries) == 218
+    assert len(queries) == 219
     assert len(oracles) == 212
     assert all(name in queries for name in oracles)

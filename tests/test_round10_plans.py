@@ -229,6 +229,33 @@ def test_hll_rollup_tracks_exact_twin_within_3rsd(spark):
     assert all(a <= b for a, b in zip(cums, cums[1:]))
 
 
+def test_hll_rolling_wau_matches_exact_keyset_within_3rsd(spark):
+    """The sketch WAU reports the IDENTICAL report-week key set as
+    the exact twin (same fanout rule) and every estimate is within
+    3·rsd."""
+    from sleep_edf_data_pipeline_spark.queries.graph_stats import (
+        q_weekly_active_users,
+    )
+    from sleep_edf_data_pipeline_spark.queries.hll_rollup import (
+        HLL_RSD,
+        q_hll_rolling_wau,
+    )
+
+    spark.catalog.clearCache()
+    est = {
+        r["report_week"]: r["wau_est"]
+        for r in q_hll_rolling_wau(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["report_week"]: r["wau"]
+        for r in q_weekly_active_users(spark, SF_DIR).collect()
+    }
+    assert set(est) == set(exact) and est
+    for k in exact:
+        tol = max(2.0, 3 * HLL_RSD * exact[k])
+        assert abs(est[k] - exact[k]) <= tol, (k, est[k], exact[k])
+
+
 def test_intra_doc_dedup_invariants(spark):
     """Counts reconcile per doc; the corpus-wide segment total matches
     the cross-doc operator's (shared segmentation head, so any
