@@ -1,6 +1,6 @@
 """Record measured sketch-vs-exact deltas for the no-oracle sketches.
 
-The driver records ``err: no_oracle`` for the six approximate-sketch
+The driver records ``err: no_oracle`` for the seven approximate-sketch
 queries (``approx_distinct_parts``, ``approx_quantiles_price``,
 ``heavy_hitters_cms``, ``mad_outliers_approx``,
 ``ddsketch_quantiles_price``, ``hll_rollup_distinct``,

@@ -8,9 +8,12 @@ naming keys).  Two registered forms:
   the key space, TakeOrdered for the top-20.  Correct at any scale,
   but the groupBy exchanges EVERY distinct key; at 100 TB with
   billions of user_ids that full-key shuffle is the dominant cost.
-- ``heavy_hitters_cms`` — the bounded-state path (rows-only by
-  design, anchored by the exact twin + error-bound tests, same
-  contract as the other sketches): ONE pass builds a Spark
+- ``heavy_hitters_cms`` — the bounded-state path.  Registered as its
+  VERDICT form since round 11 (``q_heavy_hitters_cms_verdict``): the
+  driver row is rows-only by design (a sketch cannot hash-match an
+  exact oracle), so the registered rows now carry the tolerance
+  contract itself — est vs exact per key, the 3·eps·N bound, and the
+  within_bound/near_top flags.  The sketch core: ONE pass builds a Spark
   ``count_min_sketch`` aggregate — a fixed ~1.1 MB mergeable summary
   (eps=1e-4 -> width=ceil(2/eps)=20,000 counters; confidence 0.99 ->
   depth=ceil(-ln(0.01)/ln 2)=7), combined map-side, so nothing
@@ -145,7 +148,9 @@ def _make_probe(
 
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch top-20 (no oracle: estimates are sketch-
-    specific; deterministic under the fixed seed)."""
+    specific; deterministic under the fixed seed).  This is the
+    PRODUCTION sketch path — one sketch fold + one bounded candidate
+    pass, no exact aggregation anywhere."""
     ev = table(spark, sf_dir, "events").select("user_id")
     sketch_bytes = bytes(
         ev.agg(
@@ -169,9 +174,58 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(TOPK)
 
 
+def q_heavy_hitters_cms_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REGISTERED form (VERDICT r10 item 7): the sketch top-20 with
+    its tolerance verdict per key — est vs exact count, the 3·eps·N
+    bound, and the within_bound / near_top pass flags — so the driver's
+    rows-only record carries a checkable contract instead of bare
+    estimates no oracle can match.
+
+    Deliberately runs the exact twin too (one extra hash agg over
+    events + a top-2k floor): this entry is the VERIFICATION query; a
+    production caller wanting only estimates uses
+    ``q_heavy_hitters_cms`` above, which never touches the exact agg.
+    All three extra frames (20-row estimates, 1-row total, 1-row
+    floor) are broadcast; the only corpus-scale stages are the sketch
+    fold, the candidate pass, and the exact groupBy.
+    """
+    est = q_heavy_hitters_cms(spark, sf_dir)
+    ev = table(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("true_events")
+    )
+    n_total = ev.agg(F.count("*").cast("bigint").alias("n_total"))
+    # near-top floor: the 2k-th exact count (tie-dense uniform data
+    # makes rank equality at the top-20 boundary meaningless; the
+    # contract is "every returned key is a near-top key").
+    near_floor = (
+        exact.orderBy(F.desc("true_events"), F.asc("user_id"))
+        .limit(2 * TOPK)
+        .agg(F.min("true_events").cast("bigint").alias("near_top_floor"))
+    )
+    joined = (
+        exact.join(F.broadcast(est), "user_id")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(near_floor))
+    )
+    overcount = (F.col("est_events") - F.col("true_events")).cast("bigint")
+    bound = F.lit(3.0 * CMS_EPS) * F.col("n_total").cast("double")
+    return joined.select(
+        "user_id",
+        "est_events",
+        "true_events",
+        overcount.alias("overcount"),
+        F.round(bound, 1).alias("bound_3_eps_n"),
+        ((overcount >= 0) & (overcount.cast("double") <= bound)).alias(
+            "within_bound"
+        ),
+        (F.col("true_events") >= F.col("near_top_floor")).alias("near_top"),
+    ).orderBy(F.desc("est_events"), F.asc("user_id"))
+
+
 QUERIES = {
     "heavy_hitters_exact": q_heavy_hitters_exact,
-    "heavy_hitters_cms": q_heavy_hitters_cms,
+    "heavy_hitters_cms": q_heavy_hitters_cms_verdict,
 }
 ORACLES = {
     "heavy_hitters_exact": ORACLE_HEAVY_HITTERS_EXACT,

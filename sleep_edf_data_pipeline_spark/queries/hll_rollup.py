@@ -18,11 +18,14 @@ user's FIRST-SEEN day — one map-side-combinable (user → min day)
 pass, a days-sized first-seen histogram, and the digit-bucketed
 cumulative.  No per-range distinct scans, no corpus-sized windows.
 
-Driver posture: the sketch query is registered WITHOUT an oracle
-(sketch estimates are engine-specific); its error contract vs the
-exact twin (3·rsd, lgK=12 → rsd ≈ 1.62%) is bounded in tests and the
-measured deltas recorded in ``SKETCH_TOLERANCE.json`` — the
-``heavy_hitters_cms`` / ``ddsketch`` precedent.
+Driver posture: the sketch queries are registered WITHOUT an oracle
+(sketch estimates are engine-specific); since round 11 the registered
+entries are the VERDICT forms (``q_hll_rollup_verdict`` /
+``q_hll_rolling_wau_verdict``): estimate vs exact twin, absolute
+error, and the 3·rsd-with-floor-±2 within_bound flag per row, so the
+rows-only driver record encodes the contract (VERDICT r10 item 7).
+The error contract (3·rsd, lgK=12 → rsd ≈ 1.62%) is also bounded in
+tests and the measured deltas recorded in ``SKETCH_TOLERANCE.json``.
 
 Reference scope: extends SURVEY §2.7's approximate/rollup family per
 the build brief; no such surface in the reference
@@ -167,10 +170,76 @@ def q_hll_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bound(exact_col: str):
+    """The contract bound per check: max(2, 3·rsd·exact) — 3-sigma
+    relative error with a small-count floor of ±2 (lgK=12)."""
+    return F.greatest(
+        F.lit(2.0), F.lit(3.0 * HLL_RSD) * F.col(exact_col).cast("double")
+    )
+
+
+def q_hll_rollup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REGISTERED form (VERDICT r10 item 7): per day, the HLL
+    day/cumulative estimates NEXT TO the exact twin's counts, absolute
+    errors, and the within_bound flag, so the rows-only driver record
+    carries the 3·rsd (floor ±2) contract.  Both sides are one corpus
+    pass each; the join is days-sized (both keyed by the same per-day
+    grouping of the same events table, so the keysets are identical by
+    construction)."""
+    est = q_hll_rollup_distinct(spark, sf_dir)
+    exact = q_cum_distinct_users(spark, sf_dir)
+    j = est.join(exact, "day")
+    day_err = F.abs(F.col("est_day_users") - F.col("n_day_users"))
+    cum_err = F.abs(F.col("est_cum_users") - F.col("n_cum_users"))
+    return j.select(
+        "day",
+        "n_events",
+        "est_day_users",
+        "n_day_users",
+        day_err.cast("bigint").alias("day_abs_err"),
+        "est_cum_users",
+        "n_cum_users",
+        cum_err.cast("bigint").alias("cum_abs_err"),
+        F.lit(round(3 * HLL_RSD, 6)).alias("rel_bound_3rsd"),
+        (
+            (day_err.cast("double") <= _bound("n_day_users"))
+            & (cum_err.cast("double") <= _bound("n_cum_users"))
+        ).alias("within_bound"),
+    ).orderBy("day")
+
+
+def q_hll_rolling_wau_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REGISTERED form of the rolling-WAU sketch: per report week,
+    the merged-sketch estimate vs the exact ``weekly_active_users``,
+    plus a key_matched flag (the fanout rule must yield the identical
+    report-week key set — checked via full outer join, not assumed)
+    and the 3·rsd (floor ±2) within_bound flag."""
+    from .graph_stats import q_weekly_active_users
+
+    est = q_hll_rolling_wau(spark, sf_dir)
+    exact = q_weekly_active_users(spark, sf_dir).select(
+        "report_week", F.col("wau").cast("bigint").alias("wau_exact")
+    )
+    j = est.join(exact, "report_week", "full_outer")
+    key_matched = F.col("wau_est").isNotNull() & F.col("wau_exact").isNotNull()
+    err = F.abs(F.col("wau_est") - F.col("wau_exact"))
+    return j.select(
+        "report_week",
+        "wau_est",
+        "wau_exact",
+        err.cast("bigint").alias("abs_err"),
+        key_matched.alias("key_matched"),
+        F.lit(round(3 * HLL_RSD, 6)).alias("rel_bound_3rsd"),
+        (key_matched & (err.cast("double") <= _bound("wau_exact"))).alias(
+            "within_bound"
+        ),
+    ).orderBy("report_week")
+
+
 QUERIES = {
-    "hll_rollup_distinct": q_hll_rollup_distinct,
+    "hll_rollup_distinct": q_hll_rollup_verdict,
     "cum_distinct_users": q_cum_distinct_users,
-    "hll_rolling_wau": q_hll_rolling_wau,
+    "hll_rolling_wau": q_hll_rolling_wau_verdict,
 }
 
 ORACLES = {

@@ -30,8 +30,12 @@ DataFrame.
 
 Driver posture: registered WITHOUT an oracle (a sketch cannot
 hash-match an exact oracle — the ``heavy_hitters_cms`` precedent);
-the exact twin for the tolerance artifact is the discrete percentile
-at the same target rank, measured by ``scripts/sketch_tolerance.py``.
+since round 11 the registered entry is the VERDICT form
+(``q_ddsketch_quantiles_verdict``): sketch vs exact order statistic
+at the same target rank, relative errors, and the within_alpha flag,
+so the rows-only driver record encodes the α contract.  The measured
+deltas also live in ``SKETCH_TOLERANCE.json`` via
+``scripts/sketch_tolerance.py``.
 
 Reference scope: no sketch surface in the reference
 (blaiseclarke/sleep-edf-data-pipeline); extends SURVEY §2.7's
@@ -64,8 +68,23 @@ def ddsketch_histogram(df: DataFrame) -> DataFrame:
     """(grp, bkt, c) sketch from a (grp, x) frame of POSITIVE values —
     the algebraic head shared by the batch query and the streaming
     monitor.  Counts sum, so partials over any partition of the input
-    merge to the full sketch exactly (the DDSketch merge operation)."""
-    bkt = F.ceil(F.log(F.col("x")) / F.lit(_LN_GAMMA)).cast("int")
+    merge to the full sketch exactly (the DDSketch merge operation).
+
+    The positive-values contract fails LOUDLY (ADVICE r10): a
+    non-positive x raises at execution instead of landing in a NULL
+    bucket that would silently skew every downstream quantile (NULL
+    buckets sort first in the cumulative, inflating n while answering
+    nothing).
+    """
+    bkt_ok = F.ceil(F.log(F.col("x")) / F.lit(_LN_GAMMA)).cast("int")
+    bkt = F.when(F.col("x") > 0, bkt_ok).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("ddsketch_histogram requires x > 0; got x="),
+                F.col("x").cast("string"),
+            )
+        ).cast("int")
+    )
     return df.groupBy("grp", bkt.alias("bkt")).agg(
         F.count("*").cast("bigint").alias("c")
     )
@@ -106,6 +125,8 @@ def quantiles_from_sketch(sk: DataFrame) -> DataFrame:
 
 
 def q_ddsketch_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION sketch path: one corpus pass into the geometric
+    histogram, quantiles answered from the ≤groups×buckets frame."""
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"),
         F.col("l_extendedprice").alias("x"),
@@ -114,8 +135,58 @@ def q_ddsketch_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("grp", "l_returnflag")
 
 
+def q_ddsketch_quantiles_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REGISTERED form (VERDICT r10 item 7): per group, the sketch
+    quantiles NEXT TO the exact order statistics at the same target
+    rank, the relative errors, and the within_alpha pass flag — the
+    rows-only driver record then encodes the α contract itself.
+
+    The exact side is scale-honest: prices are exact cents, so the
+    exact quantile folds from the map-side-combinable (grp, cents)
+    value-grain histogram through the digit-bucketed cumulative
+    (``winsorize.grouped_cumsum`` — no data-unbounded ordered window),
+    NOT a corpus sort.  Both sides are one corpus pass each; the join
+    is groups-sized.
+    """
+    from .winsorize import grouped_cumsum, price_histogram
+
+    sk = q_ddsketch_quantiles_price(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    cum = grouped_cumsum(price_histogram(li))
+
+    aggs = []
+    for q in QS:
+        rank = F.floor(F.lit(q) * (F.col("n") - 1)) + 1
+        hit = (F.col("cum") >= rank) & (F.col("cum") - F.col("c") < rank)
+        aggs.append(
+            (F.min(F.when(hit, F.col("cents"))).cast("double") / 100.0)
+            .alias(f"p{int(q * 100)}_exact")
+        )
+    exact = cum.groupBy("grp").agg(*aggs).withColumnRenamed(
+        "grp", "l_returnflag"
+    )
+
+    out = sk.join(F.broadcast(exact), "l_returnflag")
+    cols = [F.col("l_returnflag"), F.col("n_rows"), F.col("n_buckets")]
+    ok = F.lit(True)
+    for q in QS:
+        s, e = f"p{int(q * 100)}_sketch", f"p{int(q * 100)}_exact"
+        rel = F.abs(F.col(s) - F.col(e)) / F.col(e)
+        cols += [
+            F.col(s),
+            F.col(e),
+            F.round(rel, 6).alias(f"p{int(q * 100)}_rel_err"),
+        ]
+        ok = ok & (rel <= F.lit(ALPHA))
+    cols += [F.lit(ALPHA).alias("alpha"), ok.alias("within_alpha")]
+    return out.select(*cols).orderBy("l_returnflag")
+
+
 QUERIES = {
-    "ddsketch_quantiles_price": q_ddsketch_quantiles_price,
+    "ddsketch_quantiles_price": q_ddsketch_quantiles_verdict,
 }
 
 # No ORACLES entry: approximate sketch (see module docstring).

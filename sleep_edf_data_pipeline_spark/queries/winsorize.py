@@ -55,8 +55,29 @@ def grouped_cumsum(hist: DataFrame) -> DataFrame:
     (grp, cents, c) histogram (PSI's ``_bucketed_cumsum``
     decomposition with grp added to every partitioning): no
     data-unbounded ordered window anywhere.  Returns
-    (grp, cents, c, cum, n)."""
-    d = hist.withColumn("_bkt", F.length(F.col("cents").cast("string")))
+    (grp, cents, c, cum, n).
+
+    PRECONDITION (ADVICE r10): ``cents`` must be a NON-NEGATIVE
+    integer key.  The bucket key is the decimal string length, which
+    orders values correctly only when digit count is monotone in
+    value — a negative key like -5 has string length 2 and would be
+    cumulated after every single-digit positive.  Enforced below with
+    a loud per-row check because the helper is shared by three
+    operators (winsorize, quantile_transform, hll_rollup) plus the
+    ddsketch verdict, and a future signed-value caller would
+    otherwise silently get wrong cumulative sums.
+    """
+    guarded = F.when(F.col("cents") >= 0, F.col("cents")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("grouped_cumsum requires non-negative keys; got "),
+                F.col("cents").cast("string"),
+            )
+        ).cast("bigint")
+    )
+    d = hist.withColumn("cents", guarded).withColumn(
+        "_bkt", F.length(F.col("cents").cast("string"))
+    )
     wb = (
         Window.partitionBy("grp", "_bkt")
         .orderBy("cents")

@@ -30,13 +30,40 @@ _VACUUM_EVERY = 8
 
 
 class StreamingQuantileMonitor:
-    """foreachBatch sink folding the (grp, bkt) DDSketch histogram."""
+    """foreachBatch sink folding the (grp, bkt) DDSketch histogram.
+
+    Restart safety (ADVICE r10): the at-least-once re-delivery guard
+    (``last_batch_id``) rides INSIDE each committed snapshot as a
+    constant ``_last_batch_id`` column, so it survives a process
+    restart with the same atomicity as the histogram itself (one CAS
+    commit covers both).  Reattach with :meth:`attach` — a fresh
+    ``__init__`` against an existing path starts a NEW fold lineage
+    and must use a fresh path.
+    """
 
     def __init__(self, path: str):
         self.path = path
         self.version: int | None = None
         self.last_batch_id: int | None = None
         self._commits = 0
+
+    @classmethod
+    def attach(cls, spark: SparkSession, path: str) -> "StreamingQuantileMonitor":
+        """Rehydrate (version, last_batch_id) from the current snapshot
+        after a process restart, so a re-delivered Structured Streaming
+        batch is still skipped instead of double-folded."""
+        from ..writers.versioned import current_version
+
+        m = cls(path)
+        m.version = current_version(path)
+        if m.version is not None:
+            row = (
+                read_versioned(spark, path, m.version)
+                .agg(F.max("_last_batch_id").alias("b"))
+                .collect()[0]
+            )
+            m.last_batch_id = None if row["b"] is None else int(row["b"])
+        return m
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """The foreachBatch callback (pass to ``.foreachBatch``).
@@ -48,17 +75,20 @@ class StreamingQuantileMonitor:
             return  # re-delivered batch: folding twice would double-count
         partial = ddsketch_histogram(batch_df.select("grp", "x"))
         if self.version is None:
-            self.version = commit_versioned(partial, self.path, None)
+            merged = partial
         else:
             prev = read_versioned(
                 batch_df.sparkSession, self.path, self.version
-            )
+            ).drop("_last_batch_id")
             merged = (
                 prev.unionByName(partial)
                 .groupBy("grp", "bkt")
                 .agg(F.sum("c").cast("bigint").alias("c"))
             )
-            self.version = commit_versioned(merged, self.path, self.version)
+        stamped = merged.withColumn(
+            "_last_batch_id", F.lit(batch_id).cast("bigint")
+        )
+        self.version = commit_versioned(stamped, self.path, self.version)
         self.last_batch_id = batch_id
         self._commits += 1
         if self._commits % _VACUUM_EVERY == 0:
@@ -67,7 +97,9 @@ class StreamingQuantileMonitor:
 
     def sketch(self, spark: SparkSession) -> DataFrame:
         """The folded (grp, bkt, c) sketch state."""
-        return read_versioned(spark, self.path, self.version)
+        return read_versioned(spark, self.path, self.version).drop(
+            "_last_batch_id"
+        )
 
     def quantiles(self, spark: SparkSession) -> DataFrame:
         """Answer the registered quantiles from state via the batch
@@ -78,5 +110,7 @@ class StreamingQuantileMonitor:
         )
 
     def state(self) -> tuple[int | None, int | None]:
-        """Snapshot hook for restart-safe deployments."""
+        """(version, last_batch_id) snapshot — informational; restarts
+        rehydrate via :meth:`attach`, which reads both from the
+        committed snapshot itself."""
         return self.version, self.last_batch_id

@@ -31,13 +31,36 @@ _VACUUM_EVERY = 8
 
 
 class StreamingWinsorMonitor:
-    """foreachBatch sink folding the (grp, cents) price histogram."""
+    """foreachBatch sink folding the (grp, cents) price histogram.
+
+    Restart safety (ADVICE r10): the re-delivery guard rides inside
+    each committed snapshot as a constant ``_last_batch_id`` column —
+    see ``streaming/quantiles.py``; reattach with :meth:`attach`.
+    """
 
     def __init__(self, path: str):
         self.path = path
         self.version: int | None = None
         self.last_batch_id: int | None = None
         self._commits = 0
+
+    @classmethod
+    def attach(cls, spark: SparkSession, path: str) -> "StreamingWinsorMonitor":
+        """Rehydrate (version, last_batch_id) from the current snapshot
+        after a process restart, so a re-delivered Structured Streaming
+        batch is still skipped instead of double-folded."""
+        from ..writers.versioned import current_version
+
+        m = cls(path)
+        m.version = current_version(path)
+        if m.version is not None:
+            row = (
+                read_versioned(spark, path, m.version)
+                .agg(F.max("_last_batch_id").alias("b"))
+                .collect()[0]
+            )
+            m.last_batch_id = None if row["b"] is None else int(row["b"])
+        return m
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """The foreachBatch callback (pass to ``.foreachBatch``).
@@ -49,17 +72,20 @@ class StreamingWinsorMonitor:
             return  # re-delivered batch: folding twice would double-count
         partial = price_histogram(batch_df.select("grp", "cents"))
         if self.version is None:
-            self.version = commit_versioned(partial, self.path, None)
+            merged = partial
         else:
             prev = read_versioned(
                 batch_df.sparkSession, self.path, self.version
-            )
+            ).drop("_last_batch_id")
             merged = (
                 prev.unionByName(partial)
                 .groupBy("grp", "cents")
                 .agg(F.sum("c").cast("bigint").alias("c"))
             )
-            self.version = commit_versioned(merged, self.path, self.version)
+        stamped = merged.withColumn(
+            "_last_batch_id", F.lit(batch_id).cast("bigint")
+        )
+        self.version = commit_versioned(stamped, self.path, self.version)
         self.last_batch_id = batch_id
         self._commits += 1
         if self._commits % _VACUUM_EVERY == 0:
@@ -68,7 +94,9 @@ class StreamingWinsorMonitor:
 
     def histogram(self, spark: SparkSession) -> DataFrame:
         """The folded (grp, cents, c) histogram state."""
-        return read_versioned(spark, self.path, self.version)
+        return read_versioned(spark, self.path, self.version).drop(
+            "_last_batch_id"
+        )
 
     def winsorized(self, spark: SparkSession) -> DataFrame:
         """Answer the winsorized statistics from state via the batch
@@ -82,5 +110,7 @@ class StreamingWinsorMonitor:
         return out
 
     def state(self) -> tuple[int | None, int | None]:
-        """Snapshot hook for restart-safe deployments."""
+        """(version, last_batch_id) snapshot — informational; restarts
+        rehydrate via :meth:`attach`, which reads both from the
+        committed snapshot itself."""
         return self.version, self.last_batch_id
