@@ -95,101 +95,101 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.hll_rollup",
     "sleep_edf_data_pipeline_spark.queries.vocab_coverage",
     "sleep_edf_data_pipeline_spark.queries.asof_forward",
+    # r11 debuts — appended at the END so the pinned round-11 window is
+    # untouched; rotate into the window in round 12 (see plan above).
+    "sleep_edf_data_pipeline_spark.queries.unigram_lm",
 ]
 
-# ROUND-11 ROTATION PLAN (execute at the START of round 11, never
-# mid-round): after the round-10 window below runs, the stale pools
-# computed from CORRECTNESS_r0{1..9}.json "latest green row per name"
-# are: 11 r06-stale names left by this round's backfill
-# (above_average_orders, correlated_above_cust_avg,
-# customers_with_urgent_orders, customers_without_orders,
-# distinct_counts, nation_set_ops, orders_per_customer,
-# priority_set_ops_all, regional_revenue, top_revenue_orders,
-# volume_shipping), then the 47-name r07 pool ages in.  Compose
-# round 11 as:
-# 1) the round-10 debuts (registered after the round-10 window was
-#    pinned — all locally driver_sim hash-green at 3 SFs in round 10,
-#    never driver-rowed): intra_doc_dedup, ddsketch_quantiles_price
-#    (no-oracle sketch, rows-only), kcenter_coreset,
-#    dedup_cascade_verdict, winsorized_price_stats,
-#    quantile_rank_transform, hll_rollup_distinct (no-oracle sketch,
-#    rows-only), cum_distinct_users, vocab_coverage_curve,
-#    asof_next_conversion, hll_rolling_wau (no-oracle sketch,
-#    rows-only);
-# 2) any query whose plan is rewritten after its round-10 driver row;
-# 3) the 11 r06-stale names above;
-# 4) backfill to exactly 50 with the stalest of the 47-name r07 pool
-#    (prefer LLM-data ops first: semdedup_prune, cross_split_leakage,
-#    bloom_decontaminate, pq/ivfpq family, cdc_chunks, bpe_merge_pairs,
-#    normalize_text_nfc, ...).  11 + 0 + 11 + 28 = exactly 50 if no
-#    plans are rewritten post-row.
+# ROUND-12 ROTATION PLAN (execute at the START of round 12, never
+# mid-round): after the round-11 window below runs, the stale pool is
+# the 20 r07-latest names the round-11 backfill did not reach
+# (acf_user_value, approx_distinct_parts*, approx_quantiles_price*,
+# classifier_calibration, community_quality, csv_roundtrip_agg,
+# episode_bounds, episode_detection, episode_ranking, gaps_islands,
+# incremental_customer_summary, link_negative_sampling, moving_average,
+# orc_roundtrip_agg, revenue_trend_ols, scd2_customer_priority,
+# sleep_metrics, staging_cast, top_event_paths, transition_flag;
+# * = no-oracle sketches — convert each to verdict-row form, the
+# round-11 heavy_hitters_cms precedent, BEFORE rowing them; same for
+# mad_outliers_approx when the r08 pool ages in), then the 50-name r08
+# pool ages in.  Compose round 12 as:
+# 1) the round-11 debuts (registered after the round-11 window was
+#    pinned);
+# 2) any query whose plan is rewritten after its round-11 driver row;
+# 3) the 20 r07-stale names above;
+# 4) backfill to exactly 50 with the stalest r08 names (LLM-data ops
+#    first).
 # Update tests/test_registry_window.py pins in the same commit.
 
 #: The driver-verification window: collect() hoists these 50 names to
 #: the front, in this order.  Every name must exist in some module.
 #:
-#: ROUND-10 WINDOW (executing the round-9 rotation plan; the stale
-#: pool was recomputed from the correctness records as 46 names, not
-#: the 48 the plan estimated — mad_outliers_approx and lsh_buckets
-#: were re-rowed in round 9's audit group):
-#: 1) the 15 round-9 debuts (locally hash-green at 3 SFs, never
-#:    driver-rowed);
-#: 2) no audit-rewritten plans (none postdate their r9 driver row);
-#: 3) backfill with 35 of the 46-name r06-stale pool, LLM-data and
-#:    reference-parity ops first, leaving 11 for round 11.
+#: ROUND-11 WINDOW (executing the round-10 rotation plan verbatim):
+#: 1) the 11 round-10 debuts (locally hash-green at 3 SFs in round 10,
+#:    never driver-rowed); the three no-oracle sketches among them now
+#:    emit tolerance-VERDICT rows (VERDICT r10 item 7) so their
+#:    rows-only driver record carries the est-vs-exact contract;
+#: 2) heavy_hitters_cms — rewritten after its round-10 driver row to
+#:    emit verdict rows (same item 7), so it re-rows;
+#: 3) the 11 r06-stale names;
+#: 4) backfill with 27 of the 47-name r07-stale pool, LLM-data ops
+#:    first (dedup/decontam/PQ/tokenizer/drift/graph), leaving 20 for
+#:    round 12.
 _WINDOW = [
-    # -- round-9 debuts, never driver-rowed (15) ----------------------
-    "line_dedup_stats",
-    "decontaminate_semantic",
-    "rrf_fusion",
-    "kmeans_silhouette",
-    "corpus_keep_verdict",
-    "sq_topk_rescore",
-    "sq_recall_eval",
-    "readability_scores",
-    "ngram_novelty",
-    "wordpiece_encode_stats",
-    "edge_similarity_scores",
-    "zorder_layout_stats",
-    "pareto_frontier",
-    "chi2_drift_by_source",
-    "priority_sample_estimate",
-    # -- r06-stale backfill (35 of 46) --------------------------------
-    "asof_last_order",
-    "audio_features",
-    "document_chunks_udtf",
-    "dsir_importance_weights",
-    "event_type_pivot",
-    "events_near_orders",
-    "full_outer_reconciliation",
-    "fuzzy_name_dedup",
+    # -- round-10 debuts, never driver-rowed (11) ---------------------
+    "intra_doc_dedup",
+    "ddsketch_quantiles_price",
+    "kcenter_coreset",
+    "dedup_cascade_verdict",
+    "winsorized_price_stats",
+    "quantile_rank_transform",
+    "hll_rollup_distinct",
+    "cum_distinct_users",
+    "hll_rolling_wau",
+    "vocab_coverage_curve",
+    "asof_next_conversion",
+    # -- rewritten after its r10 row (verdict-row form) (1) -----------
     "heavy_hitters_cms",
-    "hourly_densified",
-    "hourly_event_agg",
-    "json_props_agg",
-    "linear_interpolation",
-    "lineitem_rollup",
-    "locf_gap_fill",
-    "minhash_signatures",
-    "modern_agg_suite",
-    "orders_cube",
-    "part_attributes_unpivot",
-    "pricing_summary",
-    "product_profit",
-    "quantity_band_agg",
-    "quantity_quantiles",
-    "range_frame_spend",
-    "scalar_functions",
-    "ship_latency_percentiles",
-    "shipping_grouping_sets",
-    "simhash_fingerprints",
-    "sleep_features",
-    "sleep_summary",
-    "sliding_window_agg",
-    "top_orders_per_customer",
-    "value_outliers",
-    "weighted_discount_udaf",
-    "window_function_suite",
+    # -- r06-stale (the 11 left by round 10's backfill) ---------------
+    "above_average_orders",
+    "correlated_above_cust_avg",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
+    "distinct_counts",
+    "nation_set_ops",
+    "orders_per_customer",
+    "priority_set_ops_all",
+    "regional_revenue",
+    "top_revenue_orders",
+    "volume_shipping",
+    # -- r07-stale backfill (27 of 47, LLM-data ops first) ------------
+    "semdedup_prune",
+    "cross_split_leakage",
+    "bloom_decontaminate",
+    "decontaminate_auto",
+    "pq_codes",
+    "pq_topk_adc",
+    "ivfpq_topk",
+    "ivfpq_residual_topk",
+    "cdc_chunks",
+    "bpe_merge_pairs",
+    "normalize_text_nfc",
+    "dedup_exact",
+    "incremental_dedup",
+    "image_dhash_neardups",
+    "hard_negatives",
+    "kmeans_clusters",
+    "bigram_lm_surprisal",
+    "token_entropy_by_source",
+    "pmi_cooccurrence",
+    "inverted_index_postings",
+    "temperature_mixture_weights",
+    "psi_drift_by_source",
+    "ks_two_sample",
+    "cusum_changepoint",
+    "bfs_distances",
+    "triangle_counts",
+    "label_propagation_communities",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -5,53 +5,64 @@ The external driver hash-verifies only the first 50 entries of
 queries would silently change WHICH queries get driver rows.  This pin
 makes any window change an explicit, reviewed edit.
 
-Round-10 window = the round-9 rotation plan executed: the 15 round-9
-debuts that have never had a driver row, then 35 of the 46-name
-r06-stale pool (recomputed from the correctness records; the plan's
-estimate of 48 double-counted mad_outliers_approx and lsh_buckets,
-which round 9's audit group re-rowed).  See the rotation rationale in
-registry.py.
+Round-11 window = the round-10 rotation plan executed: the 11 round-10
+debuts that have never had a driver row, heavy_hitters_cms (rewritten
+to verdict-row form after its round-10 row, VERDICT r10 item 7), the
+11 r06-stale names, then 27 of the 47-name r07-stale pool (LLM-data
+ops first).  See the rotation rationale in registry.py.
 """
 
 from sleep_edf_data_pipeline_spark import registry
 
-ROUND10_WINDOW = [
-    # round-9 debuts, never driver-rowed (15)
-    "line_dedup_stats", "decontaminate_semantic", "rrf_fusion",
-    "kmeans_silhouette", "corpus_keep_verdict", "sq_topk_rescore",
-    "sq_recall_eval", "readability_scores", "ngram_novelty",
-    "wordpiece_encode_stats", "edge_similarity_scores",
-    "zorder_layout_stats", "pareto_frontier", "chi2_drift_by_source",
-    "priority_sample_estimate",
-    # r06-stale backfill (35 of 46)
-    "asof_last_order", "audio_features", "document_chunks_udtf",
-    "dsir_importance_weights", "event_type_pivot", "events_near_orders",
-    "full_outer_reconciliation", "fuzzy_name_dedup",
-    "heavy_hitters_cms", "hourly_densified", "hourly_event_agg",
-    "json_props_agg", "linear_interpolation", "lineitem_rollup",
-    "locf_gap_fill", "minhash_signatures", "modern_agg_suite",
-    "orders_cube", "part_attributes_unpivot", "pricing_summary",
-    "product_profit", "quantity_band_agg", "quantity_quantiles",
-    "range_frame_spend", "scalar_functions", "ship_latency_percentiles",
-    "shipping_grouping_sets", "simhash_fingerprints", "sleep_features",
-    "sleep_summary", "sliding_window_agg", "top_orders_per_customer",
-    "value_outliers", "weighted_discount_udaf", "window_function_suite",
+ROUND11_WINDOW = [
+    # round-10 debuts, never driver-rowed (11)
+    "intra_doc_dedup", "ddsketch_quantiles_price", "kcenter_coreset",
+    "dedup_cascade_verdict", "winsorized_price_stats",
+    "quantile_rank_transform", "hll_rollup_distinct",
+    "cum_distinct_users", "hll_rolling_wau", "vocab_coverage_curve",
+    "asof_next_conversion",
+    # rewritten after its r10 row (verdict-row form) (1)
+    "heavy_hitters_cms",
+    # r06-stale (11)
+    "above_average_orders", "correlated_above_cust_avg",
+    "customers_with_urgent_orders", "customers_without_orders",
+    "distinct_counts", "nation_set_ops", "orders_per_customer",
+    "priority_set_ops_all", "regional_revenue", "top_revenue_orders",
+    "volume_shipping",
+    # r07-stale backfill (27 of 47)
+    "semdedup_prune", "cross_split_leakage", "bloom_decontaminate",
+    "decontaminate_auto", "pq_codes", "pq_topk_adc", "ivfpq_topk",
+    "ivfpq_residual_topk", "cdc_chunks", "bpe_merge_pairs",
+    "normalize_text_nfc", "dedup_exact", "incremental_dedup",
+    "image_dhash_neardups", "hard_negatives", "kmeans_clusters",
+    "bigram_lm_surprisal", "token_entropy_by_source",
+    "pmi_cooccurrence", "inverted_index_postings",
+    "temperature_mixture_weights", "psi_drift_by_source",
+    "ks_two_sample", "cusum_changepoint", "bfs_distances",
+    "triangle_counts", "label_propagation_communities",
 ]
 
-#: heavy_hitters_cms is a by-design rows-only sketch (a Count-Min
-#: sketch cannot hash-match an exact oracle); its exact twin
-#: heavy_hitters_exact was driver-rowed green in round 9, and the
-#: sketch-vs-exact delta is bounded in tests/test_sketch_tolerance.py
-#: and the committed SKETCH_TOLERANCE.json.
-ROWS_ONLY_IN_WINDOW = {"heavy_hitters_cms"}
+#: The four no-oracle sketches in the window are by-design rows-only
+#: (an approximate sketch cannot hash-match an exact oracle) — but as
+#: of round 11 each EMITS its tolerance verdict as rows (est vs exact
+#: twin, bound, within_bound flag), so the rows-only driver record
+#: carries the contract instead of an unreadable estimate.  The exact
+#: twins are oracle-green and the measured deltas live in
+#: SKETCH_TOLERANCE.json / tests/test_sketch_tolerance.py.
+ROWS_ONLY_IN_WINDOW = {
+    "heavy_hitters_cms",
+    "ddsketch_quantiles_price",
+    "hll_rollup_distinct",
+    "hll_rolling_wau",
+}
 
 
 def test_driver_window_is_exactly_the_planned_50():
     queries, oracles = registry.collect()
-    assert list(queries)[:50] == ROUND10_WINDOW
+    assert list(queries)[:50] == ROUND11_WINDOW
     # every window entry except the by-design rows-only sketches is
     # oracle-backed
-    no_oracle = [n for n in ROUND10_WINDOW if n not in oracles]
+    no_oracle = [n for n in ROUND11_WINDOW if n not in oracles]
     assert sorted(no_oracle) == sorted(ROWS_ONLY_IN_WINDOW)
 
 
@@ -59,6 +70,6 @@ def test_window_hoist_preserves_full_registry():
     queries, oracles = registry.collect()
     # exact pin (ADVICE r5): update explicitly when queries are added,
     # matching the window-pin philosophy above.
-    assert len(queries) == 219
-    assert len(oracles) == 212
+    assert len(queries) == 221
+    assert len(oracles) == 214
     assert all(name in queries for name in oracles)
