@@ -177,6 +177,11 @@ HEADLINE = [
     # r10 debut: forward as-of with tolerance — union + carry-backward
     # window, zero joins, one user shuffle
     "asof_next_conversion",
+    # r11 debut pair: unigram-LM (SentencePiece-style) tokenizer —
+    # fixed-2-iteration hard EM, per-distinct-word Viterbi fold (JVM
+    # higher-order functions), bounded vocab collects only
+    "unigram_lm_vocab",
+    "unigram_lm_encode_stats",
     # r09 debut: semantic decontamination — k-means-blocked broadcast
     # eval join (shares the semdedup codebook constants)
     "decontaminate_semantic",

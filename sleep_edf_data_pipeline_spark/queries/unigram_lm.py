@@ -1,0 +1,491 @@
+"""Round-11: Unigram-LM (SentencePiece-style) tokenizer trainer.
+
+Completes the tokenizer-training triad (VERDICT r10 item 4): BPE
+train+apply (``queries/tokenizer_apply.py``) and WordPiece greedy
+inference (``queries/wordpiece.py``) exist; this adds the third
+industrial algorithm — the unigram language model (Kudo 2018,
+"Subword Regularization"; the SentencePiece default): seed a candidate
+vocabulary, then iterate EM where each word is re-segmented into the
+maximum-likelihood piece sequence under the current piece
+probabilities and piece counts are re-estimated from those
+segmentations.
+
+Determinism discipline (the ``kmeans_clusters`` fixed-point model):
+
+* HARD EM (Viterbi re-estimation), FIXED ``EM_ITERS`` iterations — no
+  data-dependent convergence test, so both engines replay the exact
+  same computation.
+* NO transcendental functions anywhere: the classic sum-of-log-probs
+  Viterbi objective is replaced by the equivalent max-PRODUCT of
+  probabilities.  Every probability is one correctly-rounded DOUBLE
+  division of exact BIGINT counts, and the DP multiplies doubles in a
+  fixed order — IEEE-754 ``*`` and ``/`` are correctly rounded, so
+  Spark and DuckDB produce bit-identical scores (``ln``/``exp`` carry
+  no such guarantee and are banned here; see the verify-skill float
+  gotchas).  Underflow is impossible at realistic word lengths
+  (min prob ~1e-9, 30 pieces → 1e-270 ≫ 4.9e-324).
+* Deterministic tie-break: among equal-probability segmentation
+  prefixes the LONGEST piece wins (candidates checked length-4 first),
+  mirrored verbatim in the oracle's CASE chain.
+* Coverage by construction: every distinct single character of the
+  corpus is seeded into the vocabulary and kept through pruning with a
+  +1 count floor (the byte-fallback analog), so the L=1 candidate
+  always exists and no word can fail to segment.
+
+Scale shape (100 TB): per EM iteration, ONE pass over the DISTINCT
+words (Viterbi is a per-word ``F.aggregate`` fold — JVM higher-order
+functions, no Python) followed by a map-side-combinable piece-count
+aggregation; the word-frequency table itself is one corpus pass,
+persisted across iterations.  Driver state is one bounded collect per
+iteration — the ≤``SEED_SINGLES_CAP + UNI_MULTI`` piece counts (the
+codebook discipline: the vocabulary, never the corpus).  The final
+iteration's counts stay a DataFrame.
+
+Oracle: the DuckDB twin replays the identical seed, both EM
+iterations (recursive-CTE Viterbi DP carrying a 4-slot D-window, then
+a recursive backtrace walk emitting the chosen pieces), the identical
++1 single-char floor and zero-count pruning — hash-exact including
+tie behavior.
+
+Reference scope: no tokenizer surface in the reference
+(blaiseclarke/sleep-edf-data-pipeline); extends SURVEY §2.7's
+tokenizer family per the build brief's text-analysis mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import tokens
+from ..tables import spread, table
+
+#: Multi-character seed pieces (lengths 2..4), top-K by
+#: (count DESC, gram ASC) — the WordPiece seeding rule, deterministic.
+UNI_MULTI = 120
+
+#: Fixed EM iterations (hard EM / Viterbi re-estimation).
+EM_ITERS = 2
+
+#: Piece lengths, longest first at segmentation time (1 = fallback).
+UNI_LENS = (4, 3, 2, 1)
+
+#: Safety cap on the single-char seed tier (alphabet-sized in any real
+#: corpus; the cap only bounds the driver collect if a pathological
+#: corpus has thousands of distinct codepoints).
+SEED_SINGLES_CAP = 512
+
+
+def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id").select(
+        "source", "text"
+    )
+    return docs.select(
+        "source",
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda x: x != F.lit(""))
+        ).alias("w"),
+    )
+
+
+def _seed_vocab(words: DataFrame) -> dict[str, int]:
+    """Seed piece → corpus-occurrence count: ALL single characters
+    (coverage tier) plus the top-``UNI_MULTI`` grams of lengths 2..4
+    by (count DESC, gram ASC).  Gram explode is linear in corpus
+    characters; both top-Ks are TakeOrdered — nothing sorts globally.
+    """
+    w = F.col("w")
+    per_len = [
+        F.when(
+            F.length(w) >= L,
+            F.transform(
+                F.sequence(F.lit(1), F.length(w) - L + 1),
+                # closure factory: 1-arg lambda so Spark never passes
+                # the array index (verify-skill gotcha)
+                (lambda ll: lambda j: w.substr(j, F.lit(ll)))(L),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        for L in UNI_LENS
+        if L > 1
+    ]
+    multi = (
+        words.select(F.explode(F.flatten(F.array(*per_len))).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), F.asc("g"))
+        .limit(UNI_MULTI)
+        .collect()
+    )
+    singles = (
+        words.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w)),
+                    lambda j: w.substr(j, F.lit(1)),
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), F.asc("g"))
+        .limit(SEED_SINGLES_CAP)
+        .collect()
+    )
+    return {r["g"]: r["c"] for r in singles} | {r["g"]: r["c"] for r in multi}
+
+
+def _probs(counts: dict[str, int]) -> dict[str, float]:
+    """count/total as one correctly-rounded double division each —
+    bit-identical to the oracle's CAST(c AS DOUBLE)/CAST(t AS DOUBLE).
+    """
+    total = sum(counts.values())
+    return {p: c / total for p, c in counts.items()}
+
+
+def _viterbi_states(prob_map: Column, w: Column) -> Column:
+    """Forward Viterbi DP over the word's character positions.
+
+    Returns ``array<struct<d double, back int>>`` of length
+    ``len(w)+1``: entry j holds D[j-1] — the max product probability of
+    segmenting the first j-1 characters — and the length of the piece
+    chosen to end there.  Candidates are checked longest-first, and a
+    longer piece wins ties (strict ``greatest`` + first-match CASE).
+    """
+    init = F.array(
+        F.struct(
+            F.lit(1.0).alias("d"), F.lit(0).cast("int").alias("back")
+        )
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        cands = []
+        for L in UNI_LENS:
+            piece = w.substr(i - F.lit(L) + 1, F.lit(L))
+            prev = F.element_at(acc, i - F.lit(L) + 1)
+            p = F.element_at(prob_map, piece)
+            cand = F.when(
+                (i - F.lit(L) >= 0) & p.isNotNull(),
+                prev.getField("d") * p,
+            )
+            cands.append((L, F.coalesce(cand, F.lit(0.0))))
+        best = F.greatest(*[c for _, c in cands])
+        back = F.lit(1).cast("int")
+        # build the CASE longest-first: L=4, then 3, then 2, else 1
+        chain = F.when(cands[0][1] == best, F.lit(UNI_LENS[0]).cast("int"))
+        for L, c in cands[1:-1]:
+            chain = chain.when(c == best, F.lit(L).cast("int"))
+        back = chain.otherwise(back)
+        return F.concat(
+            acc, F.array(F.struct(best.alias("d"), back.alias("back")))
+        )
+
+    return F.aggregate(F.sequence(F.lit(1), F.length(w)), init, step)
+
+
+def _backtrace_pieces(states: Column, w: Column) -> Column:
+    """Walk the backpointers from the end of the word, emitting the
+    chosen pieces (reverse order — irrelevant to counting)."""
+    n = F.length(w)
+    init = F.struct(
+        n.cast("int").alias("pos"),
+        F.array().cast("array<string>").alias("ps"),
+    )
+
+    def step(acc: Column, _i: Column) -> Column:
+        pos = acc.getField("pos")
+        bk = F.element_at(states, pos + 1).getField("back")
+        return F.when(pos <= 0, acc).otherwise(
+            F.struct(
+                (pos - bk).cast("int").alias("pos"),
+                F.concat(
+                    acc.getField("ps"),
+                    F.array(w.substr(pos - bk + 1, bk)),
+                ).alias("ps"),
+            )
+        )
+
+    return F.aggregate(F.sequence(F.lit(1), n), init, step).getField("ps")
+
+
+def _map_literal(probs: dict[str, float]) -> Column:
+    flat: list[Column] = []
+    for k in sorted(probs):
+        flat += [F.lit(k), F.lit(probs[k])]
+    return F.create_map(*flat)
+
+
+def _estep_counts(wfreq: DataFrame, probs: dict[str, float]) -> DataFrame:
+    """(piece, c) — occurrence-weighted piece counts of each distinct
+    word's Viterbi segmentation under ``probs``."""
+    w = F.col("w")
+    states = _viterbi_states(_map_literal(probs), w)
+    enc = wfreq.select(
+        "freq", F.explode(_backtrace_pieces(states, w)).alias("piece")
+    )
+    return enc.groupBy("piece").agg(
+        F.sum("freq").cast("bigint").alias("c")
+    )
+
+
+def _smooth_prune(
+    vocab: dict[str, int], estep: dict[str, int]
+) -> dict[str, int]:
+    """M-step counts: the E-step count, +1 floor for single characters
+    (coverage), pieces at zero pruned."""
+    out = {}
+    for p in vocab:
+        c = estep.get(p, 0) + (1 if len(p) == 1 else 0)
+        if c > 0:
+            out[p] = c
+    return out
+
+
+def _train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict[str, int], dict[str, float], DataFrame]:
+    """Shared trainer: returns (wfreq, final vocab counts after
+    EM_ITERS-1 re-estimations, their probs, the words-with-source
+    frame).  The LAST E-step is left to the caller so its counts can
+    stay a DataFrame."""
+    words = _words(spark, sf_dir)
+    wfreq = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .persist()
+    )
+    counts = _seed_vocab(words)
+    for _ in range(EM_ITERS - 1):
+        estep = {
+            r["piece"]: r["c"]
+            for r in _estep_counts(wfreq, _probs(counts)).collect()
+        }
+        counts = _smooth_prune(counts, estep)
+    return wfreq, counts, _probs(counts), words
+
+
+def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained vocabulary: per piece, its FINAL-iteration Viterbi
+    count (occurrence-weighted), the +1-floored count the next
+    probability estimate would use, and that probability.  The final
+    E-step stays distributed; only the ≤vocab-sized earlier iterations
+    collect."""
+    wfreq, counts, probs, _ = _train(spark, sf_dir)
+    final = _estep_counts(wfreq, probs)
+    vocab_rows = [(p, len(p)) for p in sorted(counts)]
+    vocab_df = spark.createDataFrame(
+        vocab_rows, "piece string, piece_len int"
+    )
+    # broadcast the RIGHT side (a left join can only build on the right;
+    # both frames are vocab-sized, so either way nothing shuffles big)
+    out = vocab_df.join(F.broadcast(final), "piece", "left").select(
+        "piece",
+        "piece_len",
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("count_viterbi"),
+        (
+            F.coalesce("c", F.lit(0))
+            + F.when(F.col("piece_len") == 1, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("count_smoothed"),
+    )
+    # global window over the VOCAB-sized frame (≤ a few hundred rows;
+    # never the corpus) — the bounded analog of a scalar total
+    w_tot = F.sum("count_smoothed").over(Window.partitionBy()).cast("double")
+    return (
+        out.withColumn(
+            "prob", F.col("count_smoothed").cast("double") / w_tot
+        )
+        .filter(F.col("count_smoothed") > 0)
+        .orderBy(F.desc("count_viterbi"), F.asc("piece"))
+    )
+
+
+def q_unigram_lm_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply twin: per source, segmentation statistics of the final
+    EM iteration (pieces per word, chars per piece, single-piece
+    words) — the WordPiece-stats shape, so tokenizers are comparable
+    column for column."""
+    wfreq, _, probs, words = _train(spark, sf_dir)
+    w = F.col("w")
+    states = _viterbi_states(_map_literal(probs), w)
+    per_word = wfreq.select(
+        "w", F.size(_backtrace_pieces(states, w)).cast("bigint").alias("np")
+    )
+    joined = words.join(per_word, "w")
+    return joined.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("np").cast("bigint").alias("n_pieces"),
+        F.sum(F.when(F.col("np") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("single_piece_words"),
+        F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+        (F.sum("np").cast("double") / F.count("*").cast("double")).alias(
+            "avg_pieces_per_word"
+        ),
+        (
+            F.sum(F.length("w")).cast("double")
+            / F.sum("np").cast("double")
+        ).alias("avg_chars_per_piece"),
+    )
+
+
+# --------------------------------------------------------------- oracles
+def _sql_iteration(i: int, probs_cte: str) -> str:
+    """One EM iteration's SQL: Viterbi DP (recursive, 4-slot D window),
+    backtrace walk (recursive), occurrence-weighted piece counts.
+
+    Every CTE referenced from inside a RECURSIVE term is MATERIALIZED:
+    DuckDB inlines plain CTEs, which would re-evaluate the whole
+    upstream (gram counting included) at EVERY recursion level — the
+    un-hinted form did not finish at sf0.001."""
+    return f"""
+dp{i}(w, i, d0, d1, d2, d3, back) AS (
+    SELECT w, 0, CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), 0
+    FROM dwords
+  UNION ALL
+    SELECT w, i + 1, best_d, d0, d1, d2,
+           CASE WHEN c4 = best_d THEN 4
+                WHEN c3 = best_d THEN 3
+                WHEN c2 = best_d THEN 2
+                ELSE 1 END
+    FROM (
+        SELECT r.w, r.i, r.d0, r.d1, r.d2,
+               coalesce(r.d0 * p1.p, 0.0) AS c1,
+               coalesce(r.d1 * p2.p, 0.0) AS c2,
+               coalesce(r.d2 * p3.p, 0.0) AS c3,
+               coalesce(r.d3 * p4.p, 0.0) AS c4,
+               greatest(coalesce(r.d0 * p1.p, 0.0),
+                        coalesce(r.d1 * p2.p, 0.0),
+                        coalesce(r.d2 * p3.p, 0.0),
+                        coalesce(r.d3 * p4.p, 0.0)) AS best_d
+        FROM dp{i} r
+        LEFT JOIN {probs_cte} p1 ON p1.piece = substr(r.w, r.i + 1, 1)
+        LEFT JOIN {probs_cte} p2 ON r.i >= 1
+             AND p2.piece = substr(r.w, r.i, 2)
+        LEFT JOIN {probs_cte} p3 ON r.i >= 2
+             AND p3.piece = substr(r.w, r.i - 1, 3)
+        LEFT JOIN {probs_cte} p4 ON r.i >= 3
+             AND p4.piece = substr(r.w, r.i - 2, 4)
+        WHERE r.i < len(r.w)
+    )
+),
+dpf{i} AS MATERIALIZED (SELECT w, i, back FROM dp{i}),
+bw{i}(w, pos, piece) AS (
+    SELECT w, CAST(len(w) AS INT), CAST(NULL AS VARCHAR) FROM dwords
+  UNION ALL
+    SELECT r.w, CAST(r.pos - d.back AS INT),
+           substr(r.w, r.pos - d.back + 1, d.back)
+    FROM bw{i} r JOIN dpf{i} d ON d.w = r.w AND d.i = r.pos
+    WHERE r.pos > 0
+),
+counts{i} AS MATERIALIZED (
+    SELECT b.piece, CAST(sum(f.freq) AS BIGINT) AS c
+    FROM bw{i} b JOIN wfreq f ON f.w = b.w
+    WHERE b.piece IS NOT NULL
+    GROUP BY b.piece
+)"""
+
+
+_SQL_COMMON = f"""
+words AS MATERIALIZED (
+    SELECT source, t.x AS w
+    FROM documents,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x != '')) AS t(x)
+),
+wfreq AS MATERIALIZED (
+    SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY w
+),
+dwords AS MATERIALIZED (SELECT w FROM wfreq),
+multi_grams AS (
+    SELECT substr(w, CAST(o.j AS INT), CAST(ll.L AS INT)) AS g
+    FROM words,
+         unnest([2, 3, 4]) AS ll(L),
+         unnest(range(1, greatest(len(w) - ll.L + 1, 0) + 1)) AS o(j)
+),
+seed_multi AS MATERIALIZED (
+    SELECT g AS piece, c FROM (
+        SELECT g, CAST(count(*) AS BIGINT) AS c FROM multi_grams GROUP BY g)
+    QUALIFY row_number() OVER (ORDER BY c DESC, g ASC) <= {UNI_MULTI}
+),
+seed_single AS MATERIALIZED (
+    SELECT g AS piece, c FROM (
+        SELECT substr(w, CAST(o.j AS INT), 1) AS g, CAST(count(*) AS BIGINT) AS c
+        FROM words, unnest(range(1, len(w) + 1)) AS o(j) GROUP BY g)
+    QUALIFY row_number() OVER (ORDER BY c DESC, g ASC) <= {SEED_SINGLES_CAP}
+),
+vocab0 AS MATERIALIZED (
+    SELECT piece, c FROM seed_single UNION ALL SELECT piece, c FROM seed_multi
+),
+probs0 AS MATERIALIZED (
+    SELECT piece, CAST(c AS DOUBLE) /
+           (SELECT CAST(sum(c) AS DOUBLE) FROM vocab0) AS p
+    FROM vocab0
+),
+{_sql_iteration(1, "probs0")},
+vocab1 AS MATERIALIZED (
+    SELECT v.piece,
+           coalesce(c.c, 0)
+             + CASE WHEN len(v.piece) = 1 THEN 1 ELSE 0 END AS c
+    FROM vocab0 v LEFT JOIN counts1 c ON c.piece = v.piece
+),
+vocab1k AS MATERIALIZED (SELECT piece, c FROM vocab1 WHERE c > 0),
+probs1 AS MATERIALIZED (
+    SELECT piece, CAST(c AS DOUBLE) /
+           (SELECT CAST(sum(c) AS DOUBLE) FROM vocab1k) AS p
+    FROM vocab1k
+),
+{_sql_iteration(2, "probs1")}
+"""
+
+ORACLE_UNIGRAM_LM_VOCAB = f"""
+WITH RECURSIVE
+{_SQL_COMMON},
+finalv AS (
+    SELECT v.piece, len(v.piece) AS piece_len,
+           CAST(coalesce(c.c, 0) AS BIGINT) AS count_viterbi,
+           CAST(coalesce(c.c, 0)
+                + CASE WHEN len(v.piece) = 1 THEN 1 ELSE 0 END
+                AS BIGINT) AS count_smoothed
+    FROM vocab1k v LEFT JOIN counts2 c ON c.piece = v.piece
+)
+SELECT piece, CAST(piece_len AS INT) AS piece_len, count_viterbi,
+       count_smoothed,
+       CAST(count_smoothed AS DOUBLE) /
+           (SELECT CAST(sum(count_smoothed) AS DOUBLE) FROM finalv) AS prob
+FROM finalv
+WHERE count_smoothed > 0
+ORDER BY count_viterbi DESC, piece ASC
+"""
+
+ORACLE_UNIGRAM_LM_ENCODE_STATS = f"""
+WITH RECURSIVE
+{_SQL_COMMON},
+np AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS np
+    FROM bw2 WHERE piece IS NOT NULL GROUP BY w
+)
+SELECT words.source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(np.np) AS BIGINT) AS n_pieces,
+       CAST(sum(CASE WHEN np.np = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS single_piece_words,
+       CAST(sum(len(words.w)) AS BIGINT) AS n_chars,
+       CAST(sum(np.np) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS avg_pieces_per_word,
+       CAST(sum(len(words.w)) AS DOUBLE) / CAST(sum(np.np) AS DOUBLE)
+           AS avg_chars_per_piece
+FROM words JOIN np ON np.w = words.w
+GROUP BY words.source
+"""
+
+QUERIES = {
+    "unigram_lm_vocab": q_unigram_lm_vocab,
+    "unigram_lm_encode_stats": q_unigram_lm_encode_stats,
+}
+
+ORACLES = {
+    "unigram_lm_vocab": ORACLE_UNIGRAM_LM_VOCAB,
+    "unigram_lm_encode_stats": ORACLE_UNIGRAM_LM_ENCODE_STATS,
+}
