@@ -125,6 +125,14 @@ SMOKE = [
     "vocab_coverage_curve",
     # r10 debut: forward as-of conversion join — one user shuffle
     "asof_next_conversion",
+    # r11 debuts: the unigram-LM trainer (per-distinct-word Viterbi
+    # folds; the vocab collects are scale-free, so the wall should
+    # track the word-frequency pass ~linearly) and the KN-smoothed
+    # bigram scorer (one gram pass + type-table joins — the
+    # bigram_lm_surprisal shape with two extra type aggregations)
+    "unigram_lm_vocab",
+    "unigram_lm_encode_stats",
+    "kn_bigram_surprisal",
     "audio_features",
     "multimodal_features",
     "decontaminate_auto",
@@ -345,6 +353,11 @@ DEDUP100 = [
     "minhash_lsh_neardups",
     "simhash_neardups",
     "ngram_jaccard_neardups",
+    # r11 (verdict item 3): the composed cascade was the one r10 debut
+    # whose 100x behavior was inherited from its stages rather than
+    # measured (the round-10 attempt hit a co-tenant load spike); the
+    # cascade reads only documents, so the dedup100 corpus fits it.
+    "dedup_cascade_verdict",
 ]
 
 #: Selection-layer queries for the 100x decade (documents-only corpus):
@@ -461,8 +474,26 @@ def dedup100(spark, out_path: str) -> None:
             file=sys.stderr,
         )
     queries, _ = registry.collect()
-    results = {}
-    for name in DEDUP100:
+    names = list(DEDUP100)
+    prior = {}
+    if "--only" in sys.argv:
+        i = sys.argv.index("--only")
+        keep = set(sys.argv[i + 1].split(","))
+        unknown = keep - set(names)
+        if unknown:
+            sys.exit(
+                f"scale_smoke.py: --only names not in DEDUP100: {sorted(unknown)}"
+            )
+        names = [n for n in names if n in keep]
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                prior = {
+                    k: v
+                    for k, v in json.load(f).get("queries", {}).items()
+                    if k in DEDUP100
+                }
+    results = dict(prior)
+    for name in names:
         fn = queries[name]
         t = {}
         for label, d, reps in (
@@ -725,6 +756,64 @@ def edges10(spark, out_path: str) -> None:
     print(json.dumps(results))
 
 
+#: Iterative graph queries for the node-scaled decade (VERDICT r10
+#: item 8): the fixed-dim decade corpus holds the part/node set
+#: constant, so their prior 10x rows only grew edge MULTIPLICITY.
+#: The EDGES10 corpus scales nodes AND edges 10x with per-node degree
+#: invariant — exactly the axis that grows per-round frontier/label/
+#: degree state.
+NODES10 = [
+    "pagerank_copurchase",
+    "kcore_membership",
+    "bfs_distances",
+    "label_propagation_communities",
+]
+
+
+def nodes10(spark, out_path: str) -> None:
+    """Node-scaled decade for the iterative graph family.
+
+    All four queries read only lineitem, so they run unchanged against
+    the EDGES10 corpus (10x parts, 10x edges, copy-invariant degree).
+    Expectations: per-round state (ranks / labels / degrees / frontier)
+    grows 10x, so ~linear wall growth is the pass bar.  BFS is the one
+    asymmetry: the 10 copies are disconnected replicas and BFS explores
+    only the hub's copy, so its OUTPUT stays copy-sized while every
+    per-round edge relaxation still scans the 10x edge list — rows are
+    recorded so the asymmetry is visible, not hidden.
+    """
+    if "--regen" in sys.argv or not os.path.isdir(
+        f"{EDGES10}/lineitem.parquet"
+    ):
+        t0 = time.perf_counter()
+        generate_edges10(spark)
+        print(
+            f"# generated {EDGES10} in {time.perf_counter() - t0:.0f}s",
+            file=sys.stderr,
+        )
+    queries, _ = registry.collect()
+    results = {}
+    for name in NODES10:
+        fn = queries[name]
+        t = {}
+        for label, d, reps in (("sf0.1", BASE, 2), ("nodes10", EDGES10, 2)):
+            best, rows = float("inf"), 0
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                rows = fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            t[label] = round(best, 3)
+            t[f"{label}_rows"] = rows
+            spark.catalog.clearCache()
+        t["x10"] = round(t["nodes10"] / t["sf0.1"], 2)
+        results[name] = t
+        print(f"# {name}: {t}", file=sys.stderr)
+    with open(out_path, "w") as f:
+        json.dump({"base": BASE, "corpus": EDGES10, "queries": results}, f, indent=1)
+        f.write("\n")
+    print(json.dumps(results))
+
+
 def events100(spark, out_path: str) -> None:
     """Skewed second decade for the heavy-hitter pair: wall clocks AND
     sketch-vs-exact recovery on a corpus that HAS heavy hitters."""
@@ -869,6 +958,14 @@ def main() -> None:
             out_path
             if sys.argv[-1].endswith(".json")
             else "SCALE_SMOKE_EDGES10.json",
+        )
+        return
+    if "--nodes10" in sys.argv:
+        nodes10(
+            spark,
+            out_path
+            if sys.argv[-1].endswith(".json")
+            else "SCALE_SMOKE_NODES10.json",
         )
         return
     if "--events100" in sys.argv:

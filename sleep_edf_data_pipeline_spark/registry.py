@@ -98,6 +98,7 @@ _MODULES = [
     # r11 debuts — appended at the END so the pinned round-11 window is
     # untouched; rotate into the window in round 12 (see plan above).
     "sleep_edf_data_pipeline_spark.queries.unigram_lm",
+    "sleep_edf_data_pipeline_spark.queries.kn_bigram",
 ]
 
 # ROUND-12 ROTATION PLAN (execute at the START of round 12, never

@@ -1,0 +1,131 @@
+"""Streaming HLL distinct-rollup monitor (foreachBatch sketch fold).
+
+The streaming face of ``queries/hll_rollup``: the per-day HLL states
+are MERGEABLE (Datasketches HLL union takes the register-wise max —
+commutative and associative), so folding per-batch (day, sk) partials
+with ``hll_union_agg`` over ANY micro-batching of the event stream
+yields a state whose REGISTER CONTENT equals the batch sketch's, and
+therefore identical estimates.  Unlike the integer-histogram monitors
+(chi2/PSI/DDSketch/winsorize), byte-level state equality is NOT the
+pinned contract here: an HLL sketch's serialized form can differ by
+merge order (sparse→dense mode promotion happens at different points)
+while the register maxima — and every estimate — are identical.  The
+replay-equivalence tests pin ESTIMATE equality, and say so.
+
+Same state discipline as the sibling monitors: the folded state is
+the days-sized (day, sk) frame, never the events; the at-least-once
+re-delivery guard rides inside each committed snapshot as a constant
+``_last_batch_id`` column (restart-rehydrated via :meth:`attach`,
+ADVICE r10); snapshots vacuumed every ``_VACUUM_EVERY`` commits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.hll_rollup import HLL_LGK
+from ..writers.versioned import commit_versioned, read_versioned, vacuum
+
+#: Snapshot-vacuum cadence (see streaming/occupancy.py).
+_VACUUM_EVERY = 8
+
+
+class StreamingDistinctMonitor:
+    """foreachBatch sink folding per-day HLL sketches + event counts."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.version: int | None = None
+        self.last_batch_id: int | None = None
+        self._commits = 0
+
+    @classmethod
+    def attach(cls, spark: SparkSession, path: str) -> "StreamingDistinctMonitor":
+        """Rehydrate (version, last_batch_id) from the current snapshot
+        after a process restart, so a re-delivered Structured Streaming
+        batch is still skipped instead of double-folded."""
+        from ..writers.versioned import current_version
+
+        m = cls(path)
+        m.version = current_version(path)
+        if m.version is not None:
+            row = (
+                read_versioned(spark, path, m.version)
+                .agg(F.max("_last_batch_id").alias("b"))
+                .collect()[0]
+            )
+            m.last_batch_id = None if row["b"] is None else int(row["b"])
+        return m
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """The foreachBatch callback (pass to ``.foreachBatch``).
+
+        ``batch_df`` carries ``day`` (date) and ``user_id`` columns
+        (pre-projected by the caller, e.g. ``to_date(ts)``).
+        """
+        if self.last_batch_id is not None and batch_id <= self.last_batch_id:
+            return  # re-delivered batch: double-folding inflates counts
+        partial = batch_df.groupBy("day").agg(
+            F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        if self.version is None:
+            merged = partial
+        else:
+            prev = read_versioned(
+                batch_df.sparkSession, self.path, self.version
+            ).drop("_last_batch_id")
+            merged = (
+                prev.unionByName(partial)
+                .groupBy("day")
+                .agg(
+                    # all partials share HLL_LGK (hll_union_agg's 2nd
+                    # arg is allowDifferentLgConfigK, not lgK)
+                    F.hll_union_agg("sk").alias("sk"),
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                )
+            )
+        stamped = merged.withColumn(
+            "_last_batch_id", F.lit(batch_id).cast("bigint")
+        )
+        self.version = commit_versioned(stamped, self.path, self.version)
+        self.last_batch_id = batch_id
+        self._commits += 1
+        if self._commits % _VACUUM_EVERY == 0:
+            # each commit rewrites the days-sized state; keep the newest
+            vacuum(self.path, keep_last=1)
+
+    def sketches(self, spark: SparkSession) -> DataFrame:
+        """The folded (day, sk, n_events) state."""
+        return read_versioned(spark, self.path, self.version).drop(
+            "_last_batch_id"
+        )
+
+    def rollup(self, spark: SparkSession) -> DataFrame:
+        """Answer the daily + cumulative distinct estimates from state
+        — the batch query's own tail (ordered union window over the
+        ≤days frame), bit-identical estimates to
+        ``q_hll_rollup_distinct`` over the union of batches."""
+        from pyspark.sql import Window
+
+        w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            self.sketches(spark)
+            .select(
+                "day",
+                "n_events",
+                F.hll_sketch_estimate("sk")
+                .cast("bigint")
+                .alias("est_day_users"),
+                F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+                .cast("bigint")
+                .alias("est_cum_users"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def state(self) -> tuple[int | None, int | None]:
+        """(version, last_batch_id) snapshot — informational; restarts
+        rehydrate via :meth:`attach`."""
+        return self.version, self.last_batch_id

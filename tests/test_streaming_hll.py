@@ -1,0 +1,101 @@
+"""Streaming HLL monitor: fold ≡ batch estimates, order-free, restart."""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _day_frame(spark):
+    from sleep_edf_data_pipeline_spark.queries.hll_rollup import _events_day
+
+    return _events_day(spark, SF_DIR)
+
+
+def _batch_rollup(spark):
+    from sleep_edf_data_pipeline_spark.queries.hll_rollup import (
+        q_hll_rollup_distinct,
+    )
+
+    return sorted(map(tuple, q_hll_rollup_distinct(spark, SF_DIR).collect()))
+
+
+def test_streaming_hll_matches_batch_estimates(spark, tmp_path):
+    """Replaying events through the foreachBatch monitor in
+    micro-batches must yield the SAME daily/cumulative estimates as
+    the batch rollup.  The pinned contract is ESTIMATE equality, not
+    state-byte equality: HLL union is a register-wise max (order-free
+    in content), but the serialized form can differ by merge order
+    (sparse->dense promotion timing) — see streaming/hll.py."""
+    from sleep_edf_data_pipeline_spark.streaming.hll import (
+        StreamingDistinctMonitor,
+    )
+
+    days = _day_frame(spark)
+    src = str(tmp_path / "events_stream")
+    days.repartition(4).write.parquet(src)
+
+    mon = StreamingDistinctMonitor(str(tmp_path / "hll_state"))
+    q = (
+        spark.readStream.schema(days.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(mon.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert mon.last_batch_id is not None and mon.last_batch_id >= 1
+
+    got = sorted(map(tuple, mon.rollup(spark).collect()))
+    assert got == _batch_rollup(spark)
+
+
+def test_streaming_hll_fold_is_order_free(spark, tmp_path):
+    """Folding the micro-batches in REVERSE order yields the same
+    estimates (HLL union is commutative/associative in register
+    content)."""
+    from sleep_edf_data_pipeline_spark.streaming.hll import (
+        StreamingDistinctMonitor,
+    )
+
+    days = _day_frame(spark).persist()
+    batches = [
+        days.filter(F.dayofmonth("day") % 3 == r) for r in range(3)
+    ]
+    fwd = StreamingDistinctMonitor(str(tmp_path / "fwd"))
+    for i, b in enumerate(batches):
+        fwd.process_batch(b, i)
+    rev = StreamingDistinctMonitor(str(tmp_path / "rev"))
+    for i, b in enumerate(reversed(batches)):
+        rev.process_batch(b, i)
+    got_f = sorted(map(tuple, fwd.rollup(spark).collect()))
+    got_r = sorted(map(tuple, rev.rollup(spark).collect()))
+    days.unpersist()
+    assert got_f == got_r == _batch_rollup(spark)
+
+
+def test_streaming_hll_attach_rehydrates_redelivery_guard(spark, tmp_path):
+    """attach() must recover last_batch_id from the committed snapshot
+    so a re-delivered batch after a restart is a no-op."""
+    from sleep_edf_data_pipeline_spark.streaming.hll import (
+        StreamingDistinctMonitor,
+    )
+
+    path = str(tmp_path / "hll")
+    b0 = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2)], "day string, user_id bigint"
+    ).select(F.col("day").cast("date"), "user_id")
+    b1 = spark.createDataFrame(
+        [("2024-01-02", 3)], "day string, user_id bigint"
+    ).select(F.col("day").cast("date"), "user_id")
+    mon = StreamingDistinctMonitor(path)
+    mon.process_batch(b0, 0)
+    mon.process_batch(b1, 1)
+    before = sorted(map(tuple, mon.rollup(spark).collect()))
+
+    fresh = StreamingDistinctMonitor.attach(spark, path)
+    assert (fresh.version, fresh.last_batch_id) == (mon.version, 1)
+    fresh.process_batch(b1, 1)  # re-delivery after "restart": no-op
+    assert fresh.version == mon.version
+    assert sorted(map(tuple, fresh.rollup(spark).collect())) == before
