@@ -182,6 +182,13 @@ HEADLINE = [
     # higher-order functions), bounded vocab collects only
     "unigram_lm_vocab",
     "unigram_lm_encode_stats",
+    # r11 debut: Kneser-Ney bigram surprisal — one gram pass + type
+    # aggregations, the bigram_lm_surprisal shape
+    "kn_bigram_surprisal",
+    # r11 debut: LSH candidate-recall contract — the heavy side is the
+    # lossless prefix-filter truth join (pair-output-bound, ~7M pairs
+    # at sf0.1); DuckDB pays brute-force all-pairs for the same rows
+    "lsh_neardup_recall",
     # r09 debut: semantic decontamination — k-means-blocked broadcast
     # eval join (shares the semdedup codebook constants)
     "decontaminate_semantic",

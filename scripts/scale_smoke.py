@@ -133,6 +133,10 @@ SMOKE = [
     "unigram_lm_vocab",
     "unigram_lm_encode_stats",
     "kn_bigram_surprisal",
+    # r11 debut: LSH recall contract — pair-output-bound (its truth
+    # side is the lossless prefix-filter join; expect the
+    # ngram_jaccard-style ~pair-density scaling, not corpus-linear)
+    "lsh_neardup_recall",
     "audio_features",
     "multimodal_features",
     "decontaminate_auto",

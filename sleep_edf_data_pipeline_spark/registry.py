@@ -99,6 +99,7 @@ _MODULES = [
     # untouched; rotate into the window in round 12 (see plan above).
     "sleep_edf_data_pipeline_spark.queries.unigram_lm",
     "sleep_edf_data_pipeline_spark.queries.kn_bigram",
+    "sleep_edf_data_pipeline_spark.queries.lsh_recall",
 ]
 
 # ROUND-12 ROTATION PLAN (execute at the START of round 12, never
