@@ -402,6 +402,13 @@ SELECT100 = [
     # fold cost is per-character, claim decade-flat-to-linear
     "ngram_novelty",
     "wordpiece_encode_stats",
+    # r11 debuts, second decade: the unigram-LM trainer's Viterbi
+    # passes run over DISTINCT words (sublinear in occurrences — the
+    # 100x corpus suffixes vocabularies per copy, so distinct words
+    # grow ~100x: this is the stress axis for the fold + vocab train);
+    # KN rides the same gram-histogram shape as bigram_lm_surprisal
+    "unigram_lm_vocab",
+    "kn_bigram_surprisal",
 ]
 
 

@@ -88,11 +88,17 @@ def _words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _seed_vocab(words: DataFrame) -> dict[str, int]:
+def _seed_vocab(wfreq: DataFrame) -> dict[str, int]:
     """Seed piece → corpus-occurrence count: ALL single characters
     (coverage tier) plus the top-``UNI_MULTI`` grams of lengths 2..4
-    by (count DESC, gram ASC).  Gram explode is linear in corpus
-    characters; both top-Ks are TakeOrdered — nothing sorts globally.
+    by (count DESC, gram ASC).
+
+    Counts are OCCURRENCE counts, but computed from the persisted
+    DISTINCT-word table weighted by word frequency — identical values
+    to a raw-corpus gram explode (Σ freq · within-word multiplicity),
+    without re-tokenizing the corpus: the corpus is scanned ONCE (the
+    wfreq build); both seed passes run over distinct words only.
+    Both top-Ks are TakeOrdered — nothing sorts globally.
     """
     w = F.col("w")
     per_len = [
@@ -109,24 +115,27 @@ def _seed_vocab(words: DataFrame) -> dict[str, int]:
         if L > 1
     ]
     multi = (
-        words.select(F.explode(F.flatten(F.array(*per_len))).alias("g"))
+        wfreq.select(
+            "freq", F.explode(F.flatten(F.array(*per_len))).alias("g")
+        )
         .groupBy("g")
-        .agg(F.count("*").cast("bigint").alias("c"))
+        .agg(F.sum("freq").cast("bigint").alias("c"))
         .orderBy(F.desc("c"), F.asc("g"))
         .limit(UNI_MULTI)
         .collect()
     )
     singles = (
-        words.select(
+        wfreq.select(
+            "freq",
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.length(w)),
                     lambda j: w.substr(j, F.lit(1)),
                 )
-            ).alias("g")
+            ).alias("g"),
         )
         .groupBy("g")
-        .agg(F.count("*").cast("bigint").alias("c"))
+        .agg(F.sum("freq").cast("bigint").alias("c"))
         .orderBy(F.desc("c"), F.asc("g"))
         .limit(SEED_SINGLES_CAP)
         .collect()
@@ -253,7 +262,7 @@ def _train(
         .agg(F.count("*").cast("bigint").alias("freq"))
         .persist()
     )
-    counts = _seed_vocab(words)
+    counts = _seed_vocab(wfreq)
     for _ in range(EM_ITERS - 1):
         estep = {
             r["piece"]: r["c"]
