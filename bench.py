@@ -241,6 +241,9 @@ HEADLINE = [
     "acf_user_value",
     "orc_roundtrip_agg",
     "csv_roundtrip_agg",
+    # r11 debut: the JSONL interchange roundtrip (native json source;
+    # spark-avro's module jar is absent in this environment)
+    "json_roundtrip_agg",
     # r06 session-4 debut: train/val/test near-dup leakage audit
     "cross_split_leakage",
     # r06 session-4 debut: inverted-index posting-list build

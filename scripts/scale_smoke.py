@@ -240,6 +240,8 @@ SMOKE = [
     "acf_user_value",
     "orc_roundtrip_agg",
     "csv_roundtrip_agg",
+    # r11: the JSONL roundtrip — write-bound like its siblings
+    "json_roundtrip_agg",
     # r06 session-4: the leakage audit rides the LSH pass — its decade
     # row should track minhash_lsh_neardups' (pair-output-bound).
     "cross_split_leakage",

@@ -841,6 +841,176 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # --- streaming DDSketch quantile monitor (r10): geometric-bucket
+    # histogram fold, quantiles from state via the batch tail.
+    from sleep_edf_data_pipeline_spark.queries.quantile_sketch import (
+        q_ddsketch_quantiles_price,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.quantiles import (
+        StreamingQuantileMonitor,
+    )
+
+    prices = table(spark, SF_DIR, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    prices.repartition(N_FILES).write.parquet(f"{STAGE}/prices_dd")
+    n_prices = spark.read.parquet(f"{STAGE}/prices_dd").count()
+    dmon = StreamingQuantileMonitor(f"{STAGE}/dd_state")
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema("grp string, x double")
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .parquet(f"{STAGE}/prices_dd")
+        .writeStream.foreachBatch(dmon.process_batch)
+        .option("checkpointLocation", f"{STAGE}/_ckpt_dd")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(f"streaming ddsketch monitor failed: {exc}")
+    wall = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    got_dd = sorted(map(tuple, dmon.quantiles(spark).collect()))
+    dd_query_s = time.perf_counter() - t1
+    spark.catalog.clearCache()
+    want_dd = sorted(
+        map(
+            tuple,
+            q_ddsketch_quantiles_price(spark, SF_DIR)
+            .withColumnRenamed("l_returnflag", "grp")
+            .collect(),
+        )
+    )
+    spark.catalog.clearCache()
+    if got_dd != want_dd:
+        raise RuntimeError("streaming ddsketch quantiles from state != batch")
+    results["streaming_ddsketch_monitor"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": n_prices,
+        "rows_per_sec": round(n_prices / wall) if wall else None,
+        "micro_batches": (dmon.last_batch_id or 0) + 1,
+        "quantile_query_s": round(dd_query_s, 3),
+        "exact_vs_batch": True,
+    }
+    print(
+        "# streaming_ddsketch_monitor: "
+        f"{results['streaming_ddsketch_monitor']}",
+        file=sys.stderr,
+    )
+
+    # --- streaming winsorize monitor (r10): value-grain cents
+    # histogram fold, clipped stats from state via the batch tail.
+    from sleep_edf_data_pipeline_spark.queries.winsorize import (
+        q_winsorized_price_stats,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.winsorize import (
+        StreamingWinsorMonitor,
+    )
+
+    cents = table(spark, SF_DIR, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    cents.repartition(N_FILES).write.parquet(f"{STAGE}/cents_w")
+    n_cents = spark.read.parquet(f"{STAGE}/cents_w").count()
+    wmon = StreamingWinsorMonitor(f"{STAGE}/winsor_state")
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema("grp string, cents bigint")
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .parquet(f"{STAGE}/cents_w")
+        .writeStream.foreachBatch(wmon.process_batch)
+        .option("checkpointLocation", f"{STAGE}/_ckpt_w")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(f"streaming winsorize monitor failed: {exc}")
+    wall = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    got_w = sorted(map(tuple, wmon.winsorized(spark).collect()))
+    w_query_s = time.perf_counter() - t1
+    spark.catalog.clearCache()
+    want_w = sorted(
+        map(tuple, q_winsorized_price_stats(spark, SF_DIR).collect())
+    )
+    spark.catalog.clearCache()
+    if got_w != want_w:
+        raise RuntimeError("streaming winsorized stats from state != batch")
+    results["streaming_winsorize_monitor"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": n_cents,
+        "rows_per_sec": round(n_cents / wall) if wall else None,
+        "micro_batches": (wmon.last_batch_id or 0) + 1,
+        "stats_query_s": round(w_query_s, 3),
+        "exact_vs_batch": True,
+    }
+    print(
+        "# streaming_winsorize_monitor: "
+        f"{results['streaming_winsorize_monitor']}",
+        file=sys.stderr,
+    )
+
+    # --- streaming HLL distinct-rollup monitor (r11): per-day sketch
+    # fold; ESTIMATE equality vs batch is the contract (register-wise
+    # max is order-free; serialized bytes can differ by merge order).
+    from sleep_edf_data_pipeline_spark.queries.hll_rollup import (
+        _events_day,
+        q_hll_rollup_distinct,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.hll import (
+        StreamingDistinctMonitor,
+    )
+
+    days = _events_day(spark, SF_DIR)
+    days.repartition(N_FILES).write.parquet(f"{STAGE}/days_hll")
+    n_days_rows = spark.read.parquet(f"{STAGE}/days_hll").count()
+    hmon2 = StreamingDistinctMonitor(f"{STAGE}/hll_state")
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema("day date, user_id bigint")
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .parquet(f"{STAGE}/days_hll")
+        .writeStream.foreachBatch(hmon2.process_batch)
+        .option("checkpointLocation", f"{STAGE}/_ckpt_hll")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(f"streaming hll monitor failed: {exc}")
+    wall = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    got_h = sorted(map(tuple, hmon2.rollup(spark).collect()))
+    h_query_s = time.perf_counter() - t1
+    spark.catalog.clearCache()
+    want_h = sorted(map(tuple, q_hll_rollup_distinct(spark, SF_DIR).collect()))
+    spark.catalog.clearCache()
+    if got_h != want_h:
+        raise RuntimeError("streaming hll rollup estimates != batch")
+    results["streaming_hll_monitor"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": n_days_rows,
+        "rows_per_sec": round(n_days_rows / wall) if wall else None,
+        "micro_batches": (hmon2.last_batch_id or 0) + 1,
+        "rollup_query_s": round(h_query_s, 3),
+        "estimates_vs_batch": True,
+    }
+    print(
+        "# streaming_hll_monitor: "
+        f"{results['streaming_hll_monitor']}",
+        file=sys.stderr,
+    )
+
     with open(out_path, "w") as f:
         json.dump(
             {

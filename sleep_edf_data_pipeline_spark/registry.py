@@ -116,7 +116,9 @@ _MODULES = [
 # mad_outliers_approx when the r08 pool ages in), then the 50-name r08
 # pool ages in.  Compose round 12 as:
 # 1) the round-11 debuts (registered after the round-11 window was
-#    pinned);
+#    pinned; all locally hash-green at 3 SFs in round 11):
+#    unigram_lm_vocab, unigram_lm_encode_stats, kn_bigram_surprisal,
+#    lsh_neardup_recall;
 # 2) any query whose plan is rewritten after its round-11 driver row;
 # 3) the 20 r07-stale names above;
 # 4) backfill to exactly 50 with the stalest r08 names (LLM-data ops

@@ -59,3 +59,44 @@ def test_recall_tracks_lsh_theory(spark):
             r["recall"],
             p_theory,
         )
+
+
+def test_kn_bigram_plan_shape(spark):
+    """KN scorer scale pins (same bar as its add-one sibling): no
+    cartesian product, no sort-merge join — the type-table joins
+    broadcast, the gram histogram persists once."""
+    from sleep_edf_data_pipeline_spark.queries.kn_bigram import (
+        q_kn_bigram_surprisal,
+    )
+
+    spark.catalog.clearCache()
+    plan = (
+        q_kn_bigram_surprisal(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    spark.catalog.clearCache()
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lsh_recall_plan_shape(spark):
+    """Recall contract composes two verified kernels; the composition
+    joins pair frames on the pair key — no cartesian product anywhere
+    (the truth side's prefix filter and the LSH band join are both
+    equi-joins)."""
+    from sleep_edf_data_pipeline_spark.queries.lsh_recall import (
+        q_lsh_neardup_recall,
+    )
+
+    spark.catalog.clearCache()
+    plan = (
+        q_lsh_neardup_recall(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    spark.catalog.clearCache()
+    assert "CartesianProduct" not in plan, plan

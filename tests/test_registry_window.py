@@ -70,6 +70,6 @@ def test_window_hoist_preserves_full_registry():
     queries, oracles = registry.collect()
     # exact pin (ADVICE r5): update explicitly when queries are added,
     # matching the window-pin philosophy above.
-    assert len(queries) == 223
-    assert len(oracles) == 216
+    assert len(queries) == 224
+    assert len(oracles) == 217
     assert all(name in queries for name in oracles)
