@@ -990,20 +990,41 @@ def main() -> None:
         raise RuntimeError(f"streaming hll monitor failed: {exc}")
     wall = time.perf_counter() - t0
     t1 = time.perf_counter()
-    got_h = sorted(map(tuple, hmon2.rollup(spark).collect()))
+    got_h = {r["day"]: r for r in hmon2.rollup(spark).collect()}
     h_query_s = time.perf_counter() - t1
     spark.catalog.clearCache()
-    want_h = sorted(map(tuple, q_hll_rollup_distinct(spark, SF_DIR).collect()))
+    want_h = {
+        r["day"]: r for r in q_hll_rollup_distinct(spark, SF_DIR).collect()
+    }
     spark.catalog.clearCache()
-    if got_h != want_h:
-        raise RuntimeError("streaming hll rollup estimates != batch")
+    # contract (streaming/hll.py): identical row counts; every day and
+    # cumulative estimate within 3*rsd of the batch twin's (HIP vs
+    # composite estimator over identical registers when days span
+    # batches / single-sketch unions copy HIP wholesale)
+    from sleep_edf_data_pipeline_spark.queries.hll_rollup import HLL_RSD
+
+    if set(got_h) != set(want_h):
+        raise RuntimeError("streaming hll rollup keyset != batch")
+    max_day_rel = 0.0
+    for d, w in want_h.items():
+        g = got_h[d]
+        if g["n_events"] != w["n_events"]:
+            raise RuntimeError(f"streaming hll row counts != batch at {d}")
+        for col in ("est_day_users", "est_cum_users"):
+            if abs(g[col] - w[col]) > max(2.0, 3 * HLL_RSD * w[col]):
+                raise RuntimeError(f"streaming hll {col} out of 3*rsd at {d}")
+            if w[col]:
+                max_day_rel = max(
+                    max_day_rel, abs(g[col] - w[col]) / w[col]
+                )
     results["streaming_hll_monitor"] = {
         "wall_s": round(wall, 3),
         "rows_in": n_days_rows,
         "rows_per_sec": round(n_days_rows / wall) if wall else None,
         "micro_batches": (hmon2.last_batch_id or 0) + 1,
         "rollup_query_s": round(h_query_s, 3),
-        "estimates_vs_batch": True,
+        "max_est_rel_vs_batch": round(max_day_rel, 6),
+        "bound_3rsd": round(3 * HLL_RSD, 6),
     }
     print(
         "# streaming_hll_monitor: "

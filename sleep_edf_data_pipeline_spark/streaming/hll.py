@@ -4,13 +4,29 @@ The streaming face of ``queries/hll_rollup``: the per-day HLL states
 are MERGEABLE (Datasketches HLL union takes the register-wise max —
 commutative and associative), so folding per-batch (day, sk) partials
 with ``hll_union_agg`` over ANY micro-batching of the event stream
-yields a state whose REGISTER CONTENT equals the batch sketch's, and
-therefore identical estimates.  Unlike the integer-histogram monitors
-(chi2/PSI/DDSketch/winsorize), byte-level state equality is NOT the
-pinned contract here: an HLL sketch's serialized form can differ by
-merge order (sparse→dense mode promotion happens at different points)
-while the register maxima — and every estimate — are identical.  The
-replay-equivalence tests pin ESTIMATE equality, and say so.
+yields a state whose REGISTER CONTENT equals the batch sketch's.
+
+The equivalence contract is MEASURED, not assumed — the naive
+"identical estimates" claim is false at scale.  Register content
+equals batch under any micro-batching, but Datasketches keeps a HIP
+(historical inverse probability) estimator only on sketches that were
+never merged: a day whose items all arrived in one micro-batch — or a
+union window holding a SINGLE direct sketch, which Datasketches
+copies wholesale, HIP included — estimates via HIP on the batch side
+and via the composite estimator on the fold side.  Two valid
+estimators of identical registers differ by ~1% at lgK=12 (measured
+max 1.4% on sf0.1).  The pinned contract is therefore: every
+day/cumulative estimate within 3·rsd of the batch twin's (both are
+within the sketch's accuracy of the EXACT count), with EXACT equality
+whenever the replay keeps whole days inside single micro-batches —
+then every fold state is either direct or a union-of-one (which
+copies the input wholesale, HIP included), so both sides run the
+same estimator over the same registers (pinned at sf0.1 in the
+order-free replay test; the cross-batch-day test pins the 3·rsd tier).
+
+Unlike the integer-histogram monitors (chi2/PSI/DDSketch/winsorize),
+byte-level state equality is also NOT pinned: serialized form can
+differ by merge order (sparse→dense promotion timing).
 
 Same state discipline as the sibling monitors: the folded state is
 the days-sized (day, sk) frame, never the events; the at-least-once
@@ -105,8 +121,9 @@ class StreamingDistinctMonitor:
     def rollup(self, spark: SparkSession) -> DataFrame:
         """Answer the daily + cumulative distinct estimates from state
         — the batch query's own tail (ordered union window over the
-        ≤days frame), bit-identical estimates to
-        ``q_hll_rollup_distinct`` over the union of batches."""
+        ≤days frame).  Estimates are within 3·rsd of the batch twin's,
+        exactly equal when whole days stayed inside single
+        micro-batches — see the module contract."""
         from pyspark.sql import Window
 
         w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)

@@ -54,7 +54,8 @@ def test_streaming_hll_matches_batch_estimates(spark, tmp_path):
 def test_streaming_hll_fold_is_order_free(spark, tmp_path):
     """Folding the micro-batches in REVERSE order yields the same
     estimates (HLL union is commutative/associative in register
-    content)."""
+    content).  Batches split BY DAY, so every day state is a
+    single-batch sketch and equality to batch is exact."""
     from sleep_edf_data_pipeline_spark.streaming.hll import (
         StreamingDistinctMonitor,
     )
@@ -73,6 +74,34 @@ def test_streaming_hll_fold_is_order_free(spark, tmp_path):
     got_r = sorted(map(tuple, rev.rollup(spark).collect()))
     days.unpersist()
     assert got_f == got_r == _batch_rollup(spark)
+
+
+def test_streaming_hll_cross_batch_day_contract(spark, tmp_path):
+    """The 3·rsd tier when days SPAN micro-batches (split by user):
+    the fold's day states are merged (composite estimator) while the
+    batch twin's are direct-updated (HIP) — identical registers, two
+    valid estimators, bounded divergence; exact row counts always
+    (see streaming/hll.py)."""
+    from sleep_edf_data_pipeline_spark.queries.hll_rollup import HLL_RSD
+    from sleep_edf_data_pipeline_spark.streaming.hll import (
+        StreamingDistinctMonitor,
+    )
+
+    days = _day_frame(spark).persist()
+    batches = [days.filter(F.col("user_id") % 3 == r) for r in range(3)]
+    mon = StreamingDistinctMonitor(str(tmp_path / "xb"))
+    for i, b in enumerate(batches):
+        mon.process_batch(b, i)
+    got = {r["day"]: r for r in mon.rollup(spark).collect()}
+    days.unpersist()
+    want = {r[0]: r for r in _batch_rollup(spark)}
+    assert set(got) == set(want)
+    for d, w in want.items():
+        g = got[d]
+        # (day, n_events, est_day_users, est_cum_users)
+        assert g["n_events"] == w[1]
+        assert abs(g["est_day_users"] - w[2]) <= max(2.0, 3 * HLL_RSD * w[2]), d
+        assert abs(g["est_cum_users"] - w[3]) <= max(2.0, 3 * HLL_RSD * w[3]), d
 
 
 def test_streaming_hll_attach_rehydrates_redelivery_guard(spark, tmp_path):
