@@ -257,7 +257,10 @@ def q_approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``percentile_approx`` builds a fixed-size mergeable sketch per
     group — map-side combinable, constant memory — the 100 TB path
-    where exact percentiles would shuffle every value.
+    where exact percentiles would shuffle every value.  This is the
+    PRODUCTION path; the REGISTERED entry is the verdict form below
+    (round 11) so its rows-only driver record carries the GK rank
+    contract instead of bare estimates.
     """
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -268,6 +271,68 @@ def q_approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_p99_approx"
         ),
     )
+
+
+#: percentile_approx accuracy parameter used above; the GK guarantee
+#: is a rank error of at most n/accuracy (+1 for the discrete pick).
+APPROX_Q_ACCURACY = 10_000
+
+
+def q_approx_quantiles_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REGISTERED form: per (group, quantile), the sketch value,
+    its TRUE rank (one corpus pass of conditional counts against the
+    6-row broadcast estimate frame), the target rank q·n, the
+    n/accuracy+1 rank bound, and the within_bound flag — the
+    Greenwald-Khanna contract as driver-checkable rows.
+    """
+    est = q_approx_quantiles_price(spark, sf_dir)
+    melted = est.select(
+        "l_returnflag",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0.5).alias("quantile"),
+                    F.col("price_p50_approx").alias("approx_value"),
+                ),
+                F.struct(
+                    F.lit(0.99).alias("quantile"),
+                    F.col("price_p99_approx").alias("approx_value"),
+                ),
+            )
+        ).alias("qv"),
+    ).select("l_returnflag", "qv.quantile", "qv.approx_value")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    ranked = (
+        li.join(F.broadcast(melted), "l_returnflag")
+        .groupBy("l_returnflag", "quantile", "approx_value")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_extendedprice") <= F.col("approx_value"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rank"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    rank_err = F.abs(
+        F.col("rank").cast("double")
+        - F.col("quantile") * F.col("n").cast("double")
+    )
+    bound = F.col("n").cast("double") / F.lit(APPROX_Q_ACCURACY) + F.lit(1.0)
+    return ranked.select(
+        "l_returnflag",
+        "quantile",
+        "approx_value",
+        "rank",
+        "n",
+        F.round(rank_err, 2).alias("rank_err"),
+        F.round(bound, 2).alias("rank_bound"),
+        (rank_err <= bound).alias("within_bound"),
+    ).orderBy("l_returnflag", "quantile")
 
 
 
@@ -335,7 +400,7 @@ QUERIES = {
     "quantity_band_agg": q_quantity_band_agg,
     "events_near_orders": q_events_near_orders,
     "quantity_quantiles": q_quantity_quantiles,
-    "approx_quantiles_price": q_approx_quantiles_price,
+    "approx_quantiles_price": q_approx_quantiles_verdict,
     "full_outer_reconciliation": q_full_outer_reconciliation,
 }
 

@@ -496,4 +496,55 @@ def q_mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["mad_outliers_approx"] = q_mad_outliers_approx
+def q_mad_outliers_approx_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The REGISTERED form (round 11, the heavy_hitters_cms
+    precedent): ONE summary row reconciling the sketch-thresholded
+    flag set against the exact twin's — flag counts, disagreement
+    count, the worst disagreeing event's distance from the z=3.0
+    boundary, both contract bounds, and the within_bound flag — so
+    the rows-only driver record carries the tolerance contract
+    (disagreements only on |robust_z − 3.0| < 0.1 boundary events,
+    at most max(2, n_exact/50) of them).
+
+    Deliberately runs BOTH paths; a production caller wanting only
+    the sketch flags uses ``q_mad_outliers_approx`` above.
+    """
+    ex = q_mad_outliers(spark, sf_dir).select(
+        "event_id", F.col("robust_z").alias("z_exact")
+    )
+    ap = q_mad_outliers_approx(spark, sf_dir).select(
+        "event_id", F.col("robust_z").alias("z_approx")
+    )
+    fo = ex.join(ap, "event_id", "full_outer")
+    disagree = F.col("z_exact").isNull() | F.col("z_approx").isNull()
+    boundary_dist = F.abs(
+        F.coalesce(F.col("z_exact"), F.col("z_approx")) - F.lit(3.0)
+    )
+    agg = fo.agg(
+        F.count("z_exact").cast("bigint").alias("n_exact_flags"),
+        F.count("z_approx").cast("bigint").alias("n_approx_flags"),
+        F.sum(disagree.cast("int")).cast("bigint").alias("n_disagree"),
+        F.coalesce(
+            F.max(F.when(disagree, boundary_dist)), F.lit(0.0)
+        ).alias("max_boundary_dist"),
+    )
+    count_bound = F.greatest(
+        F.lit(2.0), F.col("n_exact_flags").cast("double") / F.lit(50.0)
+    )
+    return agg.select(
+        "n_exact_flags",
+        "n_approx_flags",
+        "n_disagree",
+        F.round("max_boundary_dist", 4).alias("max_boundary_dist"),
+        F.lit(0.1).alias("dist_bound"),
+        F.round(count_bound, 1).alias("count_bound"),
+        (
+            (F.col("n_disagree").cast("double") <= count_bound)
+            & (F.col("max_boundary_dist") < F.lit(0.1))
+        ).alias("within_bound"),
+    )
+
+
+QUERIES["mad_outliers_approx"] = q_mad_outliers_approx_verdict

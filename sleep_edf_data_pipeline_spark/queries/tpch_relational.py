@@ -351,12 +351,45 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (no oracle: sketch-specific).
 
     The scale path for distinct counting at 100 TB; the exact twin
-    (q_distinct_counts) is the correctness anchor.
+    (q_distinct_counts) is the correctness anchor.  This is the
+    PRODUCTION path (one sketch agg, no exact pass); the REGISTERED
+    entry is the verdict form below (round 11, the heavy_hitters_cms
+    precedent) so its rows-only driver record carries the contract.
     """
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_n_parts")
     )
+
+
+#: HLL++ relative standard deviation requested above.
+APPROX_DISTINCT_RSD = 0.01
+
+
+def q_approx_distinct_parts_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The REGISTERED form: HLL++ estimate NEXT TO the exact distinct
+    count, absolute error, and the 3·rsd (floor ±2) within_bound flag
+    per group — deliberately runs the exact twin (one distinct agg);
+    production callers wanting only estimates use the function above.
+    """
+    est = q_approx_distinct_parts(spark, sf_dir)
+    exact = q_distinct_counts(spark, sf_dir).select("l_returnflag", "n_parts")
+    j = est.join(exact, "l_returnflag")
+    err = F.abs(F.col("approx_n_parts") - F.col("n_parts"))
+    bound = F.greatest(
+        F.lit(2.0),
+        F.lit(3 * APPROX_DISTINCT_RSD) * F.col("n_parts").cast("double"),
+    )
+    return j.select(
+        "l_returnflag",
+        "approx_n_parts",
+        "n_parts",
+        err.cast("bigint").alias("abs_err"),
+        F.lit(3 * APPROX_DISTINCT_RSD).alias("rel_bound_3rsd"),
+        (err.cast("double") <= bound).alias("within_bound"),
+    ).orderBy("l_returnflag")
 
 
 # --- Multi-fact snowflake join (TPC-H Q9 pattern) ---------------------------
@@ -584,7 +617,7 @@ QUERIES = {
     "nation_set_ops": q_nation_set_ops,
     "priority_set_ops_all": q_priority_set_ops_all,
     "distinct_counts": q_distinct_counts,
-    "approx_distinct_parts": q_approx_distinct_parts,
+    "approx_distinct_parts": q_approx_distinct_parts_verdict,
     "top_orders_per_customer": q_top_orders_per_customer,
     "scalar_functions": q_scalar_functions,
     "product_profit": q_product_profit,

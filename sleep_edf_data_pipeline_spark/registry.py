@@ -111,10 +111,11 @@ _MODULES = [
 # incremental_customer_summary, link_negative_sampling, moving_average,
 # orc_roundtrip_agg, revenue_trend_ols, scd2_customer_priority,
 # sleep_metrics, staging_cast, top_event_paths, transition_flag;
-# * = no-oracle sketches — convert each to verdict-row form, the
-# round-11 heavy_hitters_cms precedent, BEFORE rowing them; same for
-# mad_outliers_approx when the r08 pool ages in), then the 50-name r08
-# pool ages in.  Compose round 12 as:
+# * = no-oracle sketches — ALREADY converted to verdict-row form late
+# in round 11 (approx_distinct_parts, approx_quantiles_price, and
+# mad_outliers_approx from the r08 pool), so they enter the round-12
+# window as post-row rewrites with contract-bearing rows), then the
+# r08 pool ages in.  Compose round 12 as:
 # 1) the round-11 debuts (registered after the round-11 window was
 #    pinned; all locally hash-green at 3 SFs in round 11):
 #    unigram_lm_vocab, unigram_lm_encode_stats, kn_bigram_surprisal,

@@ -27,6 +27,10 @@ SF_DIR = "/root/testdata/sf0.001"
         ("ddsketch_quantiles_price", ("within_alpha",)),
         ("hll_rollup_distinct", ("within_bound",)),
         ("hll_rolling_wau", ("key_matched", "within_bound")),
+        # converted late in round 11, ahead of their round-12 rotation
+        ("approx_distinct_parts", ("within_bound",)),
+        ("approx_quantiles_price", ("within_bound",)),
+        ("mad_outliers_approx", ("within_bound",)),
     ],
 )
 def test_sketch_verdict_rows_all_pass(spark, name, flags):
