@@ -511,20 +511,38 @@ def q_mad_outliers_approx_verdict(
     Deliberately runs BOTH paths; a production caller wanting only
     the sketch flags uses ``q_mad_outliers_approx`` above.
     """
+    # Reconcile via UNION + hash agg, not a full-outer join: a
+    # full-outer of two flag sets cannot broadcast (both sides keep
+    # unmatched rows → Spark forces a sort-merge join), while the
+    # union groupBy is one map-side-combinable exchange over the same
+    # reduced rows — cheaper AND it keeps the round-5 plan pin (no
+    # fact-scale SortMergeJoin in the mad family).
     ex = q_mad_outliers(spark, sf_dir).select(
-        "event_id", F.col("robust_z").alias("z_exact")
+        "event_id",
+        F.col("robust_z").alias("z"),
+        F.lit(1).alias("is_exact"),
+        F.lit(0).alias("is_approx"),
     )
     ap = q_mad_outliers_approx(spark, sf_dir).select(
-        "event_id", F.col("robust_z").alias("z_approx")
+        "event_id",
+        F.col("robust_z").alias("z"),
+        F.lit(0).alias("is_exact"),
+        F.lit(1).alias("is_approx"),
     )
-    fo = ex.join(ap, "event_id", "full_outer")
-    disagree = F.col("z_exact").isNull() | F.col("z_approx").isNull()
-    boundary_dist = F.abs(
-        F.coalesce(F.col("z_exact"), F.col("z_approx")) - F.lit(3.0)
+    per_event = (
+        ex.unionByName(ap)
+        .groupBy("event_id")
+        .agg(
+            F.sum("is_exact").alias("n_ex"),
+            F.sum("is_approx").alias("n_ap"),
+            F.max("z").alias("z"),
+        )
     )
-    agg = fo.agg(
-        F.count("z_exact").cast("bigint").alias("n_exact_flags"),
-        F.count("z_approx").cast("bigint").alias("n_approx_flags"),
+    disagree = (F.col("n_ex") + F.col("n_ap")) == 1
+    boundary_dist = F.abs(F.col("z") - F.lit(3.0))
+    agg = per_event.agg(
+        F.sum("n_ex").cast("bigint").alias("n_exact_flags"),
+        F.sum("n_ap").cast("bigint").alias("n_approx_flags"),
         F.sum(disagree.cast("int")).cast("bigint").alias("n_disagree"),
         F.coalesce(
             F.max(F.when(disagree, boundary_dist)), F.lit(0.0)
