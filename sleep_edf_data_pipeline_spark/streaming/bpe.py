@@ -31,9 +31,10 @@ from pyspark.sql import functions as F
 
 from ..queries.tokenizer_apply import encode_stats_from_vocab, source_vocab
 from ..writers.versioned import commit_versioned, read_versioned
+from .restart import RestartableMonitor, stamp, unstamp
 
 
-class StreamingVocabMonitor:
+class StreamingVocabMonitor(RestartableMonitor):
     """foreachBatch sink folding the (source, tok) vocabulary grid."""
 
     def __init__(self, path: str):
@@ -47,20 +48,20 @@ class StreamingVocabMonitor:
             return  # re-delivered batch: folding twice would double-count
         partial = source_vocab(batch_df)
         if self.version is None:
-            self.version = commit_versioned(partial, self.path, None)
+            self.version = commit_versioned(stamp(partial, batch_id), self.path, None)
         else:
-            prev = read_versioned(batch_df.sparkSession, self.path, self.version)
+            prev = unstamp(read_versioned(batch_df.sparkSession, self.path, self.version))
             merged = (
                 prev.unionByName(partial)
                 .groupBy("source", "tok")
                 .agg(F.sum("freq").cast("bigint").alias("freq"))
             )
-            self.version = commit_versioned(merged, self.path, self.version)
+            self.version = commit_versioned(stamp(merged, batch_id), self.path, self.version)
         self.last_batch_id = batch_id
 
     def vocab(self, spark: SparkSession) -> DataFrame:
         """The folded (source, tok, freq) state."""
-        return read_versioned(spark, self.path, self.version)
+        return unstamp(read_versioned(spark, self.path, self.version))
 
     def encode_stats(self, spark: SparkSession) -> DataFrame:
         """Train + apply from the folded state — same shared tail as

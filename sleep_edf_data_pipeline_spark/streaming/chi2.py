@@ -24,12 +24,13 @@ from pyspark.sql import functions as F
 
 from ..queries.chi2_drift import chi2_histogram, chi2_tail
 from ..writers.versioned import commit_versioned, read_versioned, vacuum
+from .restart import RestartableMonitor, stamp, unstamp
 
 #: Snapshot-vacuum cadence (see streaming/occupancy.py).
 _VACUUM_EVERY = 8
 
 
-class StreamingChi2Monitor:
+class StreamingChi2Monitor(RestartableMonitor):
     """foreachBatch sink folding the (source, x) count histogram."""
 
     def __init__(self, path: str):
@@ -52,17 +53,17 @@ class StreamingChi2Monitor:
             )
         )
         if self.version is None:
-            self.version = commit_versioned(partial, self.path, None)
+            self.version = commit_versioned(stamp(partial, batch_id), self.path, None)
         else:
-            prev = read_versioned(
+            prev = unstamp(read_versioned(
                 batch_df.sparkSession, self.path, self.version
-            )
+            ))
             merged = (
                 prev.unionByName(partial)
                 .groupBy("source", "x")
                 .agg(F.sum("c").cast("bigint").alias("c"))
             )
-            self.version = commit_versioned(merged, self.path, self.version)
+            self.version = commit_versioned(stamp(merged, batch_id), self.path, self.version)
         self.last_batch_id = batch_id
         self._commits += 1
         if self._commits % _VACUUM_EVERY == 0:
@@ -71,7 +72,7 @@ class StreamingChi2Monitor:
 
     def grid(self, spark: SparkSession) -> DataFrame:
         """The folded (source, x, c) histogram state."""
-        return read_versioned(spark, self.path, self.version)
+        return unstamp(read_versioned(spark, self.path, self.version))
 
     def chi2(self, spark: SparkSession) -> DataFrame:
         """Per-source chi-squared from state — same shared tail as the

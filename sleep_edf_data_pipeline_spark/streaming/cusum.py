@@ -28,9 +28,10 @@ from ..queries.drift_stats import (
     quantize_events,
 )
 from ..writers.versioned import commit_versioned, read_versioned
+from .restart import RestartableMonitor, stamp, unstamp
 
 
-class StreamingCusumMonitor:
+class StreamingCusumMonitor(RestartableMonitor):
     """foreachBatch sink folding CUSUM day-partials into versioned state."""
 
     def __init__(self, path: str):
@@ -44,9 +45,9 @@ class StreamingCusumMonitor:
             return  # re-delivered batch: folding twice would double-count
         partials = cusum_day_partials(quantize_events(batch_df))
         if self.version is None:
-            self.version = commit_versioned(partials, self.path, None)
+            self.version = commit_versioned(stamp(partials, batch_id), self.path, None)
         else:
-            prev = read_versioned(batch_df.sparkSession, self.path, self.version)
+            prev = unstamp(read_versioned(batch_df.sparkSession, self.path, self.version))
             merged = (
                 prev.unionByName(partials)
                 .groupBy("event_type", "day")
@@ -55,12 +56,12 @@ class StreamingCusumMonitor:
                     F.sum("bcnt").cast("decimal(38,0)").alias("bcnt"),
                 )
             )
-            self.version = commit_versioned(merged, self.path, self.version)
+            self.version = commit_versioned(stamp(merged, batch_id), self.path, self.version)
         self.last_batch_id = batch_id
 
     def partials(self, spark: SparkSession) -> DataFrame:
         """The folded (event_type, day, bsum, bcnt) state."""
-        return read_versioned(spark, self.path, self.version)
+        return unstamp(read_versioned(spark, self.path, self.version))
 
     def changepoint(self, spark: SparkSession) -> DataFrame:
         """Day-resolution change point per type from the folded state."""

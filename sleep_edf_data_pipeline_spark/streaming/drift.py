@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..queries.drift_stats import psi_between
 from ..writers.versioned import commit_versioned, read_versioned
+from .restart import RestartableMonitor, stamp, unstamp
 
 
 def length_hist(docs: DataFrame) -> DataFrame:
@@ -31,7 +32,7 @@ def length_hist(docs: DataFrame) -> DataFrame:
     )
 
 
-class StreamingDriftMonitor:
+class StreamingDriftMonitor(RestartableMonitor):
     """foreachBatch sink: score each batch vs the reference, then fold."""
 
     def __init__(self, path: str, alert_threshold: float = 0.25):
@@ -51,16 +52,16 @@ class StreamingDriftMonitor:
         bh = length_hist(batch_df).persist()
         if self.version is None:
             psi = None
-            self.version = commit_versioned(bh, self.path, None)
+            self.version = commit_versioned(stamp(bh, batch_id), self.path, None)
         else:
-            ref = read_versioned(spark, self.path, self.version)
+            ref = unstamp(read_versioned(spark, self.path, self.version))
             psi = psi_between(ref, bh)
             merged = (
                 ref.unionByName(bh)
                 .groupBy("len")
                 .agg(F.sum("c").cast("bigint").alias("c"))
             )
-            self.version = commit_versioned(merged, self.path, self.version)
+            self.version = commit_versioned(stamp(merged, batch_id), self.path, self.version)
         bh.unpersist()
         self.last_batch_id = batch_id
         self.history.append(
@@ -73,4 +74,4 @@ class StreamingDriftMonitor:
 
     def reference(self, spark: SparkSession) -> DataFrame:
         """The accumulated reference histogram (latest snapshot)."""
-        return read_versioned(spark, self.path)
+        return unstamp(read_versioned(spark, self.path))

@@ -27,9 +27,10 @@ from pyspark.sql import functions as F
 
 from ..queries.embedding_drift import centroid_grid, drift_from_grid
 from ..writers.versioned import commit_versioned, read_versioned
+from .restart import RestartableMonitor, stamp, unstamp
 
 
-class StreamingEmbeddingDriftMonitor:
+class StreamingEmbeddingDriftMonitor(RestartableMonitor):
     """foreachBatch sink folding the (label, dim) centroid grid."""
 
     def __init__(self, path: str):
@@ -43,9 +44,9 @@ class StreamingEmbeddingDriftMonitor:
             return  # re-delivered batch: folding twice would double-count
         partial = centroid_grid(batch_df)
         if self.version is None:
-            self.version = commit_versioned(partial, self.path, None)
+            self.version = commit_versioned(stamp(partial, batch_id), self.path, None)
         else:
-            prev = read_versioned(batch_df.sparkSession, self.path, self.version)
+            prev = unstamp(read_versioned(batch_df.sparkSession, self.path, self.version))
             merged = (
                 prev.unionByName(partial)
                 .groupBy("label", "dim")
@@ -54,12 +55,12 @@ class StreamingEmbeddingDriftMonitor:
                     F.sum("n").cast("bigint").alias("n"),
                 )
             )
-            self.version = commit_versioned(merged, self.path, self.version)
+            self.version = commit_versioned(stamp(merged, batch_id), self.path, self.version)
         self.last_batch_id = batch_id
 
     def grid(self, spark: SparkSession) -> DataFrame:
         """The folded (label, dim, s, n) state."""
-        return read_versioned(spark, self.path, self.version)
+        return unstamp(read_versioned(spark, self.path, self.version))
 
     def drift(self, spark: SparkSession) -> DataFrame:
         """Per-label centroid cosine vs global from the folded state —

@@ -42,12 +42,13 @@ from pyspark.sql import functions as F
 
 from ..queries.hll_rollup import HLL_LGK
 from ..writers.versioned import commit_versioned, read_versioned, vacuum
+from .restart import RestartableMonitor, stamp, unstamp
 
 #: Snapshot-vacuum cadence (see streaming/occupancy.py).
 _VACUUM_EVERY = 8
 
 
-class StreamingDistinctMonitor:
+class StreamingDistinctMonitor(RestartableMonitor):
     """foreachBatch sink folding per-day HLL sketches + event counts."""
 
     def __init__(self, path: str):
@@ -55,24 +56,6 @@ class StreamingDistinctMonitor:
         self.version: int | None = None
         self.last_batch_id: int | None = None
         self._commits = 0
-
-    @classmethod
-    def attach(cls, spark: SparkSession, path: str) -> "StreamingDistinctMonitor":
-        """Rehydrate (version, last_batch_id) from the current snapshot
-        after a process restart, so a re-delivered Structured Streaming
-        batch is still skipped instead of double-folded."""
-        from ..writers.versioned import current_version
-
-        m = cls(path)
-        m.version = current_version(path)
-        if m.version is not None:
-            row = (
-                read_versioned(spark, path, m.version)
-                .agg(F.max("_last_batch_id").alias("b"))
-                .collect()[0]
-            )
-            m.last_batch_id = None if row["b"] is None else int(row["b"])
-        return m
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """The foreachBatch callback (pass to ``.foreachBatch``).
@@ -89,9 +72,9 @@ class StreamingDistinctMonitor:
         if self.version is None:
             merged = partial
         else:
-            prev = read_versioned(
+            prev = unstamp(read_versioned(
                 batch_df.sparkSession, self.path, self.version
-            ).drop("_last_batch_id")
+            ))
             merged = (
                 prev.unionByName(partial)
                 .groupBy("day")
@@ -102,10 +85,9 @@ class StreamingDistinctMonitor:
                     F.sum("n_events").cast("bigint").alias("n_events"),
                 )
             )
-        stamped = merged.withColumn(
-            "_last_batch_id", F.lit(batch_id).cast("bigint")
+        self.version = commit_versioned(
+            stamp(merged, batch_id), self.path, self.version
         )
-        self.version = commit_versioned(stamped, self.path, self.version)
         self.last_batch_id = batch_id
         self._commits += 1
         if self._commits % _VACUUM_EVERY == 0:
@@ -114,9 +96,7 @@ class StreamingDistinctMonitor:
 
     def sketches(self, spark: SparkSession) -> DataFrame:
         """The folded (day, sk, n_events) state."""
-        return read_versioned(spark, self.path, self.version).drop(
-            "_last_batch_id"
-        )
+        return unstamp(read_versioned(spark, self.path, self.version))
 
     def rollup(self, spark: SparkSession) -> DataFrame:
         """Answer the daily + cumulative distinct estimates from state

@@ -32,12 +32,13 @@ from pyspark.sql import functions as F
 
 from ..queries.url_dedup import profile_from_per, with_canonical_host
 from ..writers.versioned import commit_versioned, read_versioned, vacuum
+from .restart import RestartableMonitor, stamp, unstamp
 
 #: Snapshot-vacuum cadence (see streaming/occupancy.py).
 _VACUUM_EVERY = 8
 
 
-class StreamingHostAuditMonitor:
+class StreamingHostAuditMonitor(RestartableMonitor):
     """foreachBatch sink folding (host, canonical_url) crawl state."""
 
     def __init__(self, path: str):
@@ -64,11 +65,11 @@ class StreamingHostAuditMonitor:
             )
         )
         if self.version is None:
-            self.version = commit_versioned(partial, self.path, None)
+            self.version = commit_versioned(stamp(partial, batch_id), self.path, None)
         else:
-            prev = read_versioned(
+            prev = unstamp(read_versioned(
                 batch_df.sparkSession, self.path, self.version
-            )
+            ))
             merged = (
                 prev.unionByName(partial)
                 .groupBy("host", "cu")
@@ -77,7 +78,7 @@ class StreamingHostAuditMonitor:
                     F.sum("n_chars").cast("bigint").alias("n_chars"),
                 )
             )
-            self.version = commit_versioned(merged, self.path, self.version)
+            self.version = commit_versioned(stamp(merged, batch_id), self.path, self.version)
         self.last_batch_id = batch_id
         self._commits += 1
         if self._commits % _VACUUM_EVERY == 0:
@@ -86,7 +87,7 @@ class StreamingHostAuditMonitor:
 
     def grid(self, spark: SparkSession) -> DataFrame:
         """The folded (host, cu, n_docs, n_chars) state."""
-        return read_versioned(spark, self.path, self.version)
+        return unstamp(read_versioned(spark, self.path, self.version))
 
     def profile(self, spark: SparkSession) -> DataFrame:
         """The domain table from state — same shared tail as the batch

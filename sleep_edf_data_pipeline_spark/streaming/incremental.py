@@ -28,6 +28,7 @@ from ..plans.incremental import (
     order_summary_partial,
 )
 from ..writers.versioned import commit_versioned, read_versioned
+from .restart import RestartableMonitor, stamp, unstamp
 
 _MERGE_KW = dict(
     keys=["o_custkey"],
@@ -37,7 +38,7 @@ _MERGE_KW = dict(
 )
 
 
-class StreamingOrderSummary:
+class StreamingOrderSummary(RestartableMonitor):
     """foreachBatch sink folding per-batch partials into a stored MV."""
 
     def __init__(self, path: str):
@@ -51,13 +52,13 @@ class StreamingOrderSummary:
             return  # at-least-once re-delivery; folding twice double-counts
         partial = order_summary_partial(batch_df)
         if self.version is None:
-            self.version = commit_versioned(partial, self.path, None)
+            self.version = commit_versioned(stamp(partial, batch_id), self.path, None)
         else:
-            stored = read_versioned(
+            stored = unstamp(read_versioned(
                 batch_df.sparkSession, self.path, self.version
-            )
+            ))
             merged = merge_partials([stored, partial], **_MERGE_KW)
-            self.version = commit_versioned(merged, self.path, self.version)
+            self.version = commit_versioned(stamp(merged, batch_id), self.path, self.version)
         self.last_batch_id = batch_id
 
     def state(self) -> tuple[int | None, int | None]:
@@ -66,4 +67,4 @@ class StreamingOrderSummary:
 
     def summary(self, spark: SparkSession) -> DataFrame:
         """The served view: derived measures over the stored partial."""
-        return finish_order_summary(read_versioned(spark, self.path))
+        return finish_order_summary(unstamp(read_versioned(spark, self.path)))

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..queries.drift_stats import KS_A, KS_B, ks_from_pair, pair_hist
 from ..writers.versioned import commit_versioned, read_versioned, vacuum
+from .restart import RestartableMonitor, stamp, unstamp
 
 
 def pair_hist_partial(
@@ -43,7 +44,7 @@ def pair_hist_partial(
 _VACUUM_EVERY = 8
 
 
-class StreamingKSMonitor:
+class StreamingKSMonitor(RestartableMonitor):
     """foreachBatch sink folding the two-source length histogram."""
 
     def __init__(self, path: str, a: str = KS_A, b: str = KS_B):
@@ -60,9 +61,9 @@ class StreamingKSMonitor:
             return  # re-delivered batch: folding twice would double-count
         partial = pair_hist_partial(batch_df, self.a, self.b)
         if self.version is None:
-            self.version = commit_versioned(partial, self.path, None)
+            self.version = commit_versioned(stamp(partial, batch_id), self.path, None)
         else:
-            prev = read_versioned(batch_df.sparkSession, self.path, self.version)
+            prev = unstamp(read_versioned(batch_df.sparkSession, self.path, self.version))
             merged = (
                 prev.unionByName(partial)
                 .groupBy("len")
@@ -71,7 +72,7 @@ class StreamingKSMonitor:
                     F.sum("cb").cast("bigint").alias("cb"),
                 )
             )
-            self.version = commit_versioned(merged, self.path, self.version)
+            self.version = commit_versioned(stamp(merged, batch_id), self.path, self.version)
         self.last_batch_id = batch_id
         self._commits += 1
         if self._commits % _VACUUM_EVERY == 0:
@@ -81,7 +82,7 @@ class StreamingKSMonitor:
 
     def pair(self, spark: SparkSession) -> DataFrame:
         """The folded (len, ca, cb) state."""
-        return read_versioned(spark, self.path, self.version)
+        return unstamp(read_versioned(spark, self.path, self.version))
 
     def ks(self, spark: SparkSession) -> DataFrame:
         """Exact KS statistic from the folded state — same tail (and

@@ -30,12 +30,13 @@ from pyspark.sql import functions as F
 
 from ..queries.line_dedup import line_grain_partials, retention_from_partials
 from ..writers.versioned import commit_versioned, read_versioned, vacuum
+from .restart import RestartableMonitor, stamp, unstamp
 
 #: Snapshot-vacuum cadence (see streaming/occupancy.py).
 _VACUUM_EVERY = 8
 
 
-class StreamingLineDedupMonitor:
+class StreamingLineDedupMonitor(RestartableMonitor):
     """foreachBatch sink folding (line_hash, doc_id) retention state."""
 
     def __init__(self, path: str):
@@ -54,11 +55,11 @@ class StreamingLineDedupMonitor:
             return  # re-delivered batch: folding twice would double-count
         partial = line_grain_partials(batch_df.select("doc_id", "text"))
         if self.version is None:
-            self.version = commit_versioned(partial, self.path, None)
+            self.version = commit_versioned(stamp(partial, batch_id), self.path, None)
         else:
-            prev = read_versioned(
+            prev = unstamp(read_versioned(
                 batch_df.sparkSession, self.path, self.version
-            )
+            ))
             merged = (
                 prev.unionByName(partial)
                 .groupBy("line_hash", "doc_id")
@@ -68,7 +69,7 @@ class StreamingLineDedupMonitor:
                     F.max("len").alias("len"),
                 )
             )
-            self.version = commit_versioned(merged, self.path, self.version)
+            self.version = commit_versioned(stamp(merged, batch_id), self.path, self.version)
         self.last_batch_id = batch_id
         self._commits += 1
         if self._commits % _VACUUM_EVERY == 0:
@@ -77,7 +78,7 @@ class StreamingLineDedupMonitor:
 
     def grid(self, spark: SparkSession) -> DataFrame:
         """The folded (line_hash, doc_id, occ, min_idx, len) state."""
-        return read_versioned(spark, self.path, self.version)
+        return unstamp(read_versioned(spark, self.path, self.version))
 
     def retention(self, spark: SparkSession) -> DataFrame:
         """Per-document retention profile from state — same shared

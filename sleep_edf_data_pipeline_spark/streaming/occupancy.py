@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..queries.occupancy import net_grid, peak_from_net
 from ..writers.versioned import commit_versioned, read_versioned, vacuum
+from .restart import RestartableMonitor, stamp, unstamp
 
 #: Snapshot-vacuum cadence: every N commits, drop all but the newest
 #: snapshot.  Each commit rewrites the full grid, so without vacuuming
@@ -38,7 +39,7 @@ from ..writers.versioned import commit_versioned, read_versioned, vacuum
 _VACUUM_EVERY = 8
 
 
-class StreamingOccupancyMonitor:
+class StreamingOccupancyMonitor(RestartableMonitor):
     """foreachBatch sink folding the netted boundary-delta grid."""
 
     def __init__(self, path: str):
@@ -57,17 +58,17 @@ class StreamingOccupancyMonitor:
             return  # re-delivered batch: folding twice would double-count
         partial = net_grid(batch_df).select("t", "net")
         if self.version is None:
-            self.version = commit_versioned(partial, self.path, None)
+            self.version = commit_versioned(stamp(partial, batch_id), self.path, None)
         else:
-            prev = read_versioned(
+            prev = unstamp(read_versioned(
                 batch_df.sparkSession, self.path, self.version
-            ).select("t", "net")
+            )).select("t", "net")
             merged = (
                 prev.unionByName(partial)
                 .groupBy("t")
                 .agg(F.sum("net").cast("bigint").alias("net"))
             )
-            self.version = commit_versioned(merged, self.path, self.version)
+            self.version = commit_versioned(stamp(merged, batch_id), self.path, self.version)
         self.last_batch_id = batch_id
         self._commits += 1
         if self._commits % _VACUUM_EVERY == 0:
@@ -78,7 +79,7 @@ class StreamingOccupancyMonitor:
     def grid(self, spark: SparkSession) -> DataFrame:
         """The folded (t, net, day, hour) state."""
         return (
-            read_versioned(spark, self.path, self.version)
+            unstamp(read_versioned(spark, self.path, self.version))
             .select("t", "net")
             .withColumn("day", F.to_date("t"))
             .withColumn("hour", F.hour("t"))

@@ -24,12 +24,13 @@ from pyspark.sql import functions as F
 
 from ..queries.quantile_sketch import ddsketch_histogram, quantiles_from_sketch
 from ..writers.versioned import commit_versioned, read_versioned, vacuum
+from .restart import RestartableMonitor, stamp, unstamp
 
 #: Snapshot-vacuum cadence (see streaming/occupancy.py).
 _VACUUM_EVERY = 8
 
 
-class StreamingQuantileMonitor:
+class StreamingQuantileMonitor(RestartableMonitor):
     """foreachBatch sink folding the (grp, bkt) DDSketch histogram.
 
     Restart safety (ADVICE r10): the at-least-once re-delivery guard
@@ -47,24 +48,6 @@ class StreamingQuantileMonitor:
         self.last_batch_id: int | None = None
         self._commits = 0
 
-    @classmethod
-    def attach(cls, spark: SparkSession, path: str) -> "StreamingQuantileMonitor":
-        """Rehydrate (version, last_batch_id) from the current snapshot
-        after a process restart, so a re-delivered Structured Streaming
-        batch is still skipped instead of double-folded."""
-        from ..writers.versioned import current_version
-
-        m = cls(path)
-        m.version = current_version(path)
-        if m.version is not None:
-            row = (
-                read_versioned(spark, path, m.version)
-                .agg(F.max("_last_batch_id").alias("b"))
-                .collect()[0]
-            )
-            m.last_batch_id = None if row["b"] is None else int(row["b"])
-        return m
-
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """The foreachBatch callback (pass to ``.foreachBatch``).
 
@@ -77,18 +60,17 @@ class StreamingQuantileMonitor:
         if self.version is None:
             merged = partial
         else:
-            prev = read_versioned(
+            prev = unstamp(read_versioned(
                 batch_df.sparkSession, self.path, self.version
-            ).drop("_last_batch_id")
+            ))
             merged = (
                 prev.unionByName(partial)
                 .groupBy("grp", "bkt")
                 .agg(F.sum("c").cast("bigint").alias("c"))
             )
-        stamped = merged.withColumn(
-            "_last_batch_id", F.lit(batch_id).cast("bigint")
+        self.version = commit_versioned(
+            stamp(merged, batch_id), self.path, self.version
         )
-        self.version = commit_versioned(stamped, self.path, self.version)
         self.last_batch_id = batch_id
         self._commits += 1
         if self._commits % _VACUUM_EVERY == 0:
@@ -97,9 +79,7 @@ class StreamingQuantileMonitor:
 
     def sketch(self, spark: SparkSession) -> DataFrame:
         """The folded (grp, bkt, c) sketch state."""
-        return read_versioned(spark, self.path, self.version).drop(
-            "_last_batch_id"
-        )
+        return unstamp(read_versioned(spark, self.path, self.version))
 
     def quantiles(self, spark: SparkSession) -> DataFrame:
         """Answer the registered quantiles from state via the batch

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..queries.readability import readability_partials, scores_from_partials
 from ..writers.versioned import commit_versioned, read_versioned, vacuum
+from .restart import RestartableMonitor, stamp, unstamp
 
 #: Snapshot-vacuum cadence (see streaming/occupancy.py).
 _VACUUM_EVERY = 8
@@ -33,7 +34,7 @@ _VACUUM_EVERY = 8
 _SUM_COLS = ("n_docs", "n_words", "wps_u", "spw_u", "flesch_u", "fk_u", "fog_u")
 
 
-class StreamingReadabilityMonitor:
+class StreamingReadabilityMonitor(RestartableMonitor):
     """foreachBatch sink folding per-source readability sums."""
 
     def __init__(self, path: str):
@@ -52,11 +53,11 @@ class StreamingReadabilityMonitor:
             return  # re-delivered batch: folding twice would double-count
         partial = readability_partials(batch_df.select("source", "text"))
         if self.version is None:
-            self.version = commit_versioned(partial, self.path, None)
+            self.version = commit_versioned(stamp(partial, batch_id), self.path, None)
         else:
-            prev = read_versioned(
+            prev = unstamp(read_versioned(
                 batch_df.sparkSession, self.path, self.version
-            )
+            ))
             merged = (
                 prev.unionByName(partial)
                 .groupBy("source")
@@ -67,7 +68,7 @@ class StreamingReadabilityMonitor:
                     ]
                 )
             )
-            self.version = commit_versioned(merged, self.path, self.version)
+            self.version = commit_versioned(stamp(merged, batch_id), self.path, self.version)
         self.last_batch_id = batch_id
         self._commits += 1
         if self._commits % _VACUUM_EVERY == 0:
@@ -76,7 +77,7 @@ class StreamingReadabilityMonitor:
 
     def grid(self, spark: SparkSession) -> DataFrame:
         """The folded per-source partial-sum state."""
-        return read_versioned(spark, self.path, self.version)
+        return unstamp(read_versioned(spark, self.path, self.version))
 
     def scores(self, spark: SparkSession) -> DataFrame:
         """Per-source readability profile from state — same shared

@@ -25,12 +25,13 @@ from pyspark.sql import functions as F
 
 from ..queries.winsorize import price_histogram, winsorized_from_histogram
 from ..writers.versioned import commit_versioned, read_versioned, vacuum
+from .restart import RestartableMonitor, stamp, unstamp
 
 #: Snapshot-vacuum cadence (see streaming/occupancy.py).
 _VACUUM_EVERY = 8
 
 
-class StreamingWinsorMonitor:
+class StreamingWinsorMonitor(RestartableMonitor):
     """foreachBatch sink folding the (grp, cents) price histogram.
 
     Restart safety (ADVICE r10): the re-delivery guard rides inside
@@ -44,24 +45,6 @@ class StreamingWinsorMonitor:
         self.last_batch_id: int | None = None
         self._commits = 0
 
-    @classmethod
-    def attach(cls, spark: SparkSession, path: str) -> "StreamingWinsorMonitor":
-        """Rehydrate (version, last_batch_id) from the current snapshot
-        after a process restart, so a re-delivered Structured Streaming
-        batch is still skipped instead of double-folded."""
-        from ..writers.versioned import current_version
-
-        m = cls(path)
-        m.version = current_version(path)
-        if m.version is not None:
-            row = (
-                read_versioned(spark, path, m.version)
-                .agg(F.max("_last_batch_id").alias("b"))
-                .collect()[0]
-            )
-            m.last_batch_id = None if row["b"] is None else int(row["b"])
-        return m
-
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """The foreachBatch callback (pass to ``.foreachBatch``).
 
@@ -74,18 +57,17 @@ class StreamingWinsorMonitor:
         if self.version is None:
             merged = partial
         else:
-            prev = read_versioned(
+            prev = unstamp(read_versioned(
                 batch_df.sparkSession, self.path, self.version
-            ).drop("_last_batch_id")
+            ))
             merged = (
                 prev.unionByName(partial)
                 .groupBy("grp", "cents")
                 .agg(F.sum("c").cast("bigint").alias("c"))
             )
-        stamped = merged.withColumn(
-            "_last_batch_id", F.lit(batch_id).cast("bigint")
+        self.version = commit_versioned(
+            stamp(merged, batch_id), self.path, self.version
         )
-        self.version = commit_versioned(stamped, self.path, self.version)
         self.last_batch_id = batch_id
         self._commits += 1
         if self._commits % _VACUUM_EVERY == 0:
@@ -94,9 +76,7 @@ class StreamingWinsorMonitor:
 
     def histogram(self, spark: SparkSession) -> DataFrame:
         """The folded (grp, cents, c) histogram state."""
-        return read_versioned(spark, self.path, self.version).drop(
-            "_last_batch_id"
-        )
+        return unstamp(read_versioned(spark, self.path, self.version))
 
     def winsorized(self, spark: SparkSession) -> DataFrame:
         """Answer the winsorized statistics from state via the batch
