@@ -29,10 +29,12 @@ one final division per doc.
 Scale shape (100 TB): ONE corpus pass builds the per-doc bigram
 histogram (map-side combinable); bigram counts, context totals, both
 continuation-type counts and the type total all aggregate FROM that
-histogram (types, not tokens); the scored type table broadcasts back
-onto the per-doc histogram.  At a vocabulary scale where the type
-table outgrows a broadcast, the same join co-partitions on gram — the
-plan degrades to one extra shuffle, never to a corpus re-scan.
+histogram (types, not tokens); the scored type table joins back onto
+the per-doc histogram with NO pinned broadcast hint (ADVICE r11) — AQE
+broadcasts it while it fits and, at a vocabulary scale where the type
+table outgrows a broadcast, the same join co-partitions on gram: the
+plan degrades to one extra shuffle, never to a corpus re-scan or an
+executor OOM.  The only pinned broadcast is the 1-row n1_all total.
 
 Reference scope: no LM-scoring surface in the reference
 (blaiseclarke/sleep-edf-data-pipeline); extends SURVEY §2.7's
@@ -96,9 +98,15 @@ def q_kn_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         + d * F.col("n1_ctx").cast("double") * p_cont
     )
     p_kn = num / F.col("c_ctx").cast("double")
+    # ADVICE r11: no broadcast hints on the type-table joins —
+    # ctx_stats, cont_counts and scored are all vocabulary- or
+    # bigram-type-sized and a pinned broadcast would OOM at corpus
+    # scale; AQE broadcasts them while they fit and degrades to a
+    # co-partitioned shuffle when they don't (the docstring's claim,
+    # now true).  Only n1_all (exactly 1 row) keeps its pin.
     scored = (
-        typed.join(F.broadcast(ctx_stats), "ctx")
-        .join(F.broadcast(cont_counts), "nxt")
+        typed.join(ctx_stats, "ctx")
+        .join(cont_counts, "nxt")
         .crossJoin(F.broadcast(n1_all))
         .select(
             "gram",
@@ -108,7 +116,7 @@ def q_kn_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        hist.join(F.broadcast(scored), "gram")
+        hist.join(scored, "gram")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("bigint").alias("n_bigrams"),

@@ -71,8 +71,9 @@ EM_ITERS = 2
 UNI_LENS = (4, 3, 2, 1)
 
 #: Safety cap on the single-char seed tier (alphabet-sized in any real
-#: corpus; the cap only bounds the driver collect if a pathological
-#: corpus has thousands of distinct codepoints).
+#: corpus).  A corpus with MORE distinct codepoints than the cap
+#: raises (ADVICE r11): truncating the coverage tier would let words
+#: fail to segment, where the two engines' substr semantics diverge.
 SEED_SINGLES_CAP = 512
 
 
@@ -137,9 +138,23 @@ def _seed_vocab(wfreq: DataFrame) -> dict[str, int]:
         .groupBy("g")
         .agg(F.sum("freq").cast("bigint").alias("c"))
         .orderBy(F.desc("c"), F.asc("g"))
-        .limit(SEED_SINGLES_CAP)
+        .limit(SEED_SINGLES_CAP + 1)
         .collect()
     )
+    # ADVICE r11: the "no word can fail to segment" invariant holds
+    # only while EVERY distinct character is seeded.  Past the cap the
+    # Viterbi best would be 0.0, the all-tie CASE would pick back=4
+    # regardless of feasibility, and the backtrace's substr with a
+    # non-positive start diverges between Spark and DuckDB — so fail
+    # loudly instead of returning cross-engine-unstable output.  (The
+    # oracle SQL caps its seed_single tier identically; raising here
+    # keeps both engines inside the contract's domain.)
+    if len(singles) > SEED_SINGLES_CAP:
+        raise ValueError(
+            f"unigram_lm: corpus has more than {SEED_SINGLES_CAP} "
+            "distinct characters; raise SEED_SINGLES_CAP to preserve "
+            "the full-coverage segmentation invariant"
+        )
     return {r["g"]: r["c"] for r in singles} | {r["g"]: r["c"] for r in multi}
 
 
@@ -309,12 +324,14 @@ def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_unigram_lm_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apply twin: per source, segmentation statistics of the final
-    EM iteration (pieces per word, chars per piece, single-piece
-    words) — the WordPiece-stats shape, so tokenizers are comparable
-    column for column."""
-    wfreq, _, probs, words = _train(spark, sf_dir)
+def _encode_stats(
+    wfreq: DataFrame, words: DataFrame, probs: dict[str, float]
+) -> DataFrame:
+    """The APPLY stage: per-source segmentation statistics of ``probs``
+    over the distinct-word table — shared verbatim by the monolithic
+    ``unigram_lm_encode_stats`` and the persisted-artifact roundtrip
+    (queries/unigram_lm_roundtrip.py), so the roundtrip's value-hash
+    equality proves the artifact carried the model losslessly."""
     w = F.col("w")
     states = _viterbi_states(_map_literal(probs), w)
     per_word = wfreq.select(
@@ -336,6 +353,15 @@ def q_unigram_lm_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("np").cast("double")
         ).alias("avg_chars_per_piece"),
     )
+
+
+def q_unigram_lm_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply twin: per source, segmentation statistics of the final
+    EM iteration (pieces per word, chars per piece, single-piece
+    words) — the WordPiece-stats shape, so tokenizers are comparable
+    column for column."""
+    wfreq, _, probs, words = _train(spark, sf_dir)
+    return _encode_stats(wfreq, words, probs)
 
 
 # --------------------------------------------------------------- oracles

@@ -100,101 +100,103 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.unigram_lm",
     "sleep_edf_data_pipeline_spark.queries.kn_bigram",
     "sleep_edf_data_pipeline_spark.queries.lsh_recall",
+    # r12 debuts — appended at the END so the pinned round-12 window is
+    # untouched; rotate into the window in round 13 (see plan above).
+    "sleep_edf_data_pipeline_spark.queries.lsh_recall_sampled",
+    "sleep_edf_data_pipeline_spark.queries.unigram_lm_roundtrip",
 ]
 
-# ROUND-12 ROTATION PLAN (execute at the START of round 12, never
-# mid-round): after the round-11 window below runs, the stale pool is
-# the 20 r07-latest names the round-11 backfill did not reach
-# (acf_user_value, approx_distinct_parts*, approx_quantiles_price*,
-# classifier_calibration, community_quality, csv_roundtrip_agg,
-# episode_bounds, episode_detection, episode_ranking, gaps_islands,
-# incremental_customer_summary, link_negative_sampling, moving_average,
-# orc_roundtrip_agg, revenue_trend_ols, scd2_customer_priority,
-# sleep_metrics, staging_cast, top_event_paths, transition_flag;
-# * = no-oracle sketches — ALREADY converted to verdict-row form late
-# in round 11 (approx_distinct_parts, approx_quantiles_price, and
-# mad_outliers_approx from the r08 pool), so they enter the round-12
-# window as post-row rewrites with contract-bearing rows), then the
-# r08 pool ages in.  Compose round 12 as:
-# 1) the round-11 debuts (registered after the round-11 window was
-#    pinned; all locally hash-green at 3 SFs in round 11):
-#    unigram_lm_vocab, unigram_lm_encode_stats, kn_bigram_surprisal,
-#    lsh_neardup_recall;
-# 2) any query whose plan is rewritten after its round-11 driver row;
-# 3) the 20 r07-stale names above;
-# 4) backfill to exactly 50 with the stalest r08 names (LLM-data ops
+# ROUND-13 ROTATION PLAN (execute at the START of round 13, never
+# mid-round): after the round-12 window below runs, the stale pool is
+# the 25 r08-latest names the round-12 backfill did not reach
+# (cluster_size_histogram, corpus_shuffle_order, customer_distribution,
+# data_quality_checks, diagnostics, document_chunks,
+# domain_mixture_weights, dominant_small_part_suppliers,
+# forecast_revenue, frame_sampling, importance_resample,
+# important_stock, json_props_stats, length_bucket_packing,
+# multimodal_resize, part_supplier_diversity, peak_concurrent_sessions,
+# priority_order_counts, promo_revenue_share, ranking_suite,
+# returned_item_customers, session_window_agg_bucketed,
+# shipping_priority_buckets, stratified_sample, waiting_suppliers),
+# then the r09 pool ages in.  Compose round 13 as:
+# 1) the round-12 debuts (registered after the round-12 window was
+#    pinned — see the r12-debut module block in _MODULES above);
+# 2) any query whose plan is rewritten after its round-12 driver row;
+# 3) the 25 r08-stale names above;
+# 4) backfill to exactly 50 with the stalest r09 names (LLM-data ops
 #    first).
 # Update tests/test_registry_window.py pins in the same commit.
 
 #: The driver-verification window: collect() hoists these 50 names to
 #: the front, in this order.  Every name must exist in some module.
 #:
-#: ROUND-11 WINDOW (executing the round-10 rotation plan verbatim):
-#: 1) the 11 round-10 debuts (locally hash-green at 3 SFs in round 10,
-#:    never driver-rowed); the three no-oracle sketches among them now
-#:    emit tolerance-VERDICT rows (VERDICT r10 item 7) so their
-#:    rows-only driver record carries the est-vs-exact contract;
-#: 2) heavy_hitters_cms — rewritten after its round-10 driver row to
-#:    emit verdict rows (same item 7), so it re-rows;
-#: 3) the 11 r06-stale names;
-#: 4) backfill with 27 of the 47-name r07-stale pool, LLM-data ops
-#:    first (dedup/decontam/PQ/tokenizer/drift/graph), leaving 20 for
-#:    round 12.
+#: ROUND-12 WINDOW (executing the round-11 rotation plan, plus the
+#: VERDICT r11 item-1 correction: the plan omitted json_roundtrip_agg
+#: from the debut list — it is the 5th never-driver-rowed r11 debut):
+#: 1) the 5 round-11 debuts (all locally hash-green vs DuckDB at
+#:    sf0.01/sf0.001 in round 11, never driver-rowed);
+#: 2) the 20 r07-stale names.  approx_distinct_parts and
+#:    approx_quantiles_price were converted to tolerance-VERDICT-row
+#:    form late in round 11 (after their last r07 rows), so they row
+#:    as no_oracle with contract-bearing rows — exact twins are
+#:    oracle-green;
+#: 3) backfill with 25 of the 50-name r08-stale pool, LLM-data ops
+#:    first (dedup/decontam/ANN/tokenizer/quality/graph), leaving 25
+#:    for round 13.
 _WINDOW = [
-    # -- round-10 debuts, never driver-rowed (11) ---------------------
-    "intra_doc_dedup",
-    "ddsketch_quantiles_price",
-    "kcenter_coreset",
-    "dedup_cascade_verdict",
-    "winsorized_price_stats",
-    "quantile_rank_transform",
-    "hll_rollup_distinct",
-    "cum_distinct_users",
-    "hll_rolling_wau",
-    "vocab_coverage_curve",
-    "asof_next_conversion",
-    # -- rewritten after its r10 row (verdict-row form) (1) -----------
-    "heavy_hitters_cms",
-    # -- r06-stale (the 11 left by round 10's backfill) ---------------
-    "above_average_orders",
-    "correlated_above_cust_avg",
-    "customers_with_urgent_orders",
-    "customers_without_orders",
-    "distinct_counts",
-    "nation_set_ops",
-    "orders_per_customer",
-    "priority_set_ops_all",
-    "regional_revenue",
-    "top_revenue_orders",
-    "volume_shipping",
-    # -- r07-stale backfill (27 of 47, LLM-data ops first) ------------
-    "semdedup_prune",
-    "cross_split_leakage",
-    "bloom_decontaminate",
-    "decontaminate_auto",
-    "pq_codes",
-    "pq_topk_adc",
-    "ivfpq_topk",
-    "ivfpq_residual_topk",
-    "cdc_chunks",
-    "bpe_merge_pairs",
-    "normalize_text_nfc",
-    "dedup_exact",
-    "incremental_dedup",
-    "image_dhash_neardups",
-    "hard_negatives",
-    "kmeans_clusters",
-    "bigram_lm_surprisal",
-    "token_entropy_by_source",
-    "pmi_cooccurrence",
-    "inverted_index_postings",
-    "temperature_mixture_weights",
-    "psi_drift_by_source",
-    "ks_two_sample",
-    "cusum_changepoint",
-    "bfs_distances",
-    "triangle_counts",
-    "label_propagation_communities",
+    # -- round-11 debuts, never driver-rowed (5) ----------------------
+    "unigram_lm_vocab",
+    "unigram_lm_encode_stats",
+    "kn_bigram_surprisal",
+    "lsh_neardup_recall",
+    "json_roundtrip_agg",
+    # -- r07-stale (the 20 left by round 11's backfill) ---------------
+    "acf_user_value",
+    "approx_distinct_parts",
+    "approx_quantiles_price",
+    "classifier_calibration",
+    "community_quality",
+    "csv_roundtrip_agg",
+    "episode_bounds",
+    "episode_detection",
+    "episode_ranking",
+    "gaps_islands",
+    "incremental_customer_summary",
+    "link_negative_sampling",
+    "moving_average",
+    "orc_roundtrip_agg",
+    "revenue_trend_ols",
+    "scd2_customer_priority",
+    "sleep_metrics",
+    "staging_cast",
+    "top_event_paths",
+    "transition_flag",
+    # -- r08-stale backfill (25 of 50, LLM-data ops first) ------------
+    "minhash_lsh_neardups",
+    "ngram_jaccard_neardups",
+    "dedup_canonical_docs",
+    "dedup_clusters",
+    "fuzzy_name_dedup_symspell",
+    "embedding_neardups",
+    "duplicate_spans",
+    "doc_fingerprints",
+    "decontaminate_overlap",
+    "gopher_quality_flags",
+    "quality_classifier",
+    "language_id",
+    "pii_scrub",
+    "repetition_stats",
+    "bpe_encode_stats",
+    "unigram_logprob_scores",
+    "vocab_growth_curve",
+    "tfidf_top_terms",
+    "bm25_topk",
+    "ann_recall_eval",
+    "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
+    "kcore_membership",
+    "multimodal_features",
+    "embedding_drift_by_label",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

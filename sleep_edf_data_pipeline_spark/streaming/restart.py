@@ -23,7 +23,7 @@ reduced (grid/histogram/vocab-sized), never the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..writers.versioned import current_version, read_versioned
@@ -58,10 +58,13 @@ class RestartableMonitor:
         m = cls(path, **kwargs)
         m.version = current_version(path)
         if m.version is not None:
-            row = (
-                read_versioned(spark, path, m.version)
-                .agg(F.max(GUARD_COL).alias("b"))
-                .collect()[0]
-            )
-            m.last_batch_id = None if row["b"] is None else int(row["b"])
+            snap = read_versioned(spark, path, m.version)
+            # ADVICE r11: a pre-upgrade snapshot lacks the guard column
+            # (AnalysisException on F.max), and an empty snapshot yields
+            # max=NULL — both degrade to "no guard recovered"
+            # (last_batch_id=None), i.e. the pre-round-11 behaviour of
+            # trusting the checkpoint's replay, never a crash.
+            if GUARD_COL in snap.columns:
+                row = snap.agg(F.max(GUARD_COL).alias("b")).collect()[0]
+                m.last_batch_id = None if row["b"] is None else int(row["b"])
         return m

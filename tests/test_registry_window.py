@@ -5,64 +5,61 @@ The external driver hash-verifies only the first 50 entries of
 queries would silently change WHICH queries get driver rows.  This pin
 makes any window change an explicit, reviewed edit.
 
-Round-11 window = the round-10 rotation plan executed: the 11 round-10
-debuts that have never had a driver row, heavy_hitters_cms (rewritten
-to verdict-row form after its round-10 row, VERDICT r10 item 7), the
-11 r06-stale names, then 27 of the 47-name r07-stale pool (LLM-data
-ops first).  See the rotation rationale in registry.py.
+Round-12 window = the round-11 rotation plan executed, plus the
+VERDICT r11 item-1 correction (json_roundtrip_agg was the 5th
+never-driver-rowed r11 debut but was omitted from the plan's debut
+list): the 5 round-11 debuts, the 20 r07-stale names, then 25 of the
+50-name r08-stale pool (LLM-data ops first).  See the rotation
+rationale in registry.py.
 """
 
 from sleep_edf_data_pipeline_spark import registry
 
-ROUND11_WINDOW = [
-    # round-10 debuts, never driver-rowed (11)
-    "intra_doc_dedup", "ddsketch_quantiles_price", "kcenter_coreset",
-    "dedup_cascade_verdict", "winsorized_price_stats",
-    "quantile_rank_transform", "hll_rollup_distinct",
-    "cum_distinct_users", "hll_rolling_wau", "vocab_coverage_curve",
-    "asof_next_conversion",
-    # rewritten after its r10 row (verdict-row form) (1)
-    "heavy_hitters_cms",
-    # r06-stale (11)
-    "above_average_orders", "correlated_above_cust_avg",
-    "customers_with_urgent_orders", "customers_without_orders",
-    "distinct_counts", "nation_set_ops", "orders_per_customer",
-    "priority_set_ops_all", "regional_revenue", "top_revenue_orders",
-    "volume_shipping",
-    # r07-stale backfill (27 of 47)
-    "semdedup_prune", "cross_split_leakage", "bloom_decontaminate",
-    "decontaminate_auto", "pq_codes", "pq_topk_adc", "ivfpq_topk",
-    "ivfpq_residual_topk", "cdc_chunks", "bpe_merge_pairs",
-    "normalize_text_nfc", "dedup_exact", "incremental_dedup",
-    "image_dhash_neardups", "hard_negatives", "kmeans_clusters",
-    "bigram_lm_surprisal", "token_entropy_by_source",
-    "pmi_cooccurrence", "inverted_index_postings",
-    "temperature_mixture_weights", "psi_drift_by_source",
-    "ks_two_sample", "cusum_changepoint", "bfs_distances",
-    "triangle_counts", "label_propagation_communities",
+ROUND12_WINDOW = [
+    # round-11 debuts, never driver-rowed (5)
+    "unigram_lm_vocab", "unigram_lm_encode_stats",
+    "kn_bigram_surprisal", "lsh_neardup_recall", "json_roundtrip_agg",
+    # r07-stale (20)
+    "acf_user_value", "approx_distinct_parts", "approx_quantiles_price",
+    "classifier_calibration", "community_quality", "csv_roundtrip_agg",
+    "episode_bounds", "episode_detection", "episode_ranking",
+    "gaps_islands", "incremental_customer_summary",
+    "link_negative_sampling", "moving_average", "orc_roundtrip_agg",
+    "revenue_trend_ols", "scd2_customer_priority", "sleep_metrics",
+    "staging_cast", "top_event_paths", "transition_flag",
+    # r08-stale backfill (25 of 50, LLM-data ops first)
+    "minhash_lsh_neardups", "ngram_jaccard_neardups",
+    "dedup_canonical_docs", "dedup_clusters",
+    "fuzzy_name_dedup_symspell", "embedding_neardups",
+    "duplicate_spans", "doc_fingerprints", "decontaminate_overlap",
+    "gopher_quality_flags", "quality_classifier", "language_id",
+    "pii_scrub", "repetition_stats", "bpe_encode_stats",
+    "unigram_logprob_scores", "vocab_growth_curve", "tfidf_top_terms",
+    "bm25_topk", "ann_recall_eval", "cosine_topk_bruteforce",
+    "cosine_topk_ivf", "kcore_membership", "multimodal_features",
+    "embedding_drift_by_label",
 ]
 
-#: The four no-oracle sketches in the window are by-design rows-only
-#: (an approximate sketch cannot hash-match an exact oracle) — but as
-#: of round 11 each EMITS its tolerance verdict as rows (est vs exact
-#: twin, bound, within_bound flag), so the rows-only driver record
-#: carries the contract instead of an unreadable estimate.  The exact
-#: twins are oracle-green and the measured deltas live in
-#: SKETCH_TOLERANCE.json / tests/test_sketch_tolerance.py.
+#: The two no-oracle sketches in the window are by-design rows-only
+#: (an approximate sketch cannot hash-match an exact oracle) — both
+#: were converted late in round 11 to EMIT their tolerance verdict as
+#: rows (est vs exact twin, bound, within_bound flag), so the
+#: rows-only driver record carries the contract instead of an
+#: unreadable estimate.  The exact twins are oracle-green and the
+#: measured deltas live in SKETCH_TOLERANCE.json /
+#: tests/test_sketch_tolerance.py.
 ROWS_ONLY_IN_WINDOW = {
-    "heavy_hitters_cms",
-    "ddsketch_quantiles_price",
-    "hll_rollup_distinct",
-    "hll_rolling_wau",
+    "approx_distinct_parts",
+    "approx_quantiles_price",
 }
 
 
 def test_driver_window_is_exactly_the_planned_50():
     queries, oracles = registry.collect()
-    assert list(queries)[:50] == ROUND11_WINDOW
+    assert list(queries)[:50] == ROUND12_WINDOW
     # every window entry except the by-design rows-only sketches is
     # oracle-backed
-    no_oracle = [n for n in ROUND11_WINDOW if n not in oracles]
+    no_oracle = [n for n in ROUND12_WINDOW if n not in oracles]
     assert sorted(no_oracle) == sorted(ROWS_ONLY_IN_WINDOW)
 
 
@@ -70,6 +67,6 @@ def test_window_hoist_preserves_full_registry():
     queries, oracles = registry.collect()
     # exact pin (ADVICE r5): update explicitly when queries are added,
     # matching the window-pin philosophy above.
-    assert len(queries) == 224
-    assert len(oracles) == 217
+    assert len(queries) == 226
+    assert len(oracles) == 219
     assert all(name in queries for name in oracles)

@@ -25,14 +25,20 @@ def test_streaming_hll_matches_batch_estimates(spark, tmp_path):
     the batch rollup.  The pinned contract is ESTIMATE equality, not
     state-byte equality: HLL union is a register-wise max (order-free
     in content), but the serialized form can differ by merge order
-    (sparse->dense promotion timing) — see streaming/hll.py."""
+    (sparse->dense promotion timing) — see streaming/hll.py.
+
+    ADVICE r11: exact estimate equality is documented only when each
+    day arrives whole (HIP vs composite estimator diverge within 3·rsd
+    when a day's registers are MERGED across batches), so the stream
+    files partition BY DAY — every day is single-batch here; the
+    cross-batch-day test below pins the 3·rsd tier."""
     from sleep_edf_data_pipeline_spark.streaming.hll import (
         StreamingDistinctMonitor,
     )
 
     days = _day_frame(spark)
     src = str(tmp_path / "events_stream")
-    days.repartition(4).write.parquet(src)
+    days.repartition(4, "day").write.parquet(src)
 
     mon = StreamingDistinctMonitor(str(tmp_path / "hll_state"))
     q = (

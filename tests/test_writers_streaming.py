@@ -520,10 +520,16 @@ def test_streaming_episodes_transform_with_state(spark, tmp_path):
     the open episode must survive the batch boundary inside a named
     ValueState (RocksDB provider — required by the v2 API).
 
-    The v2 API's Python driver worker speaks protobuf to the JVM; in
-    environments without the protobuf package the operator cannot run
-    (its fold logic is still covered — _fold_episodes is shared with
-    the applyInPandasWithState path tested above).
+    The v2 API's Python driver worker speaks protobuf to the JVM.
+    This container ships no protobuf distribution, so conftest.py
+    installs the tests/_vendor/pbshim compatibility shim (the Cloud
+    SDK's vendored pure-Python runtime + a runtime_version stand-in)
+    into the test process AND — via PYTHONPATH/sitecustomize — into
+    the Python workers Spark spawns; the importorskip below is the
+    honest fallback for environments where neither a real runtime nor
+    the SDK copy exists (the fold logic is still covered there —
+    _fold_episodes is shared with the applyInPandasWithState path
+    tested above).
     """
     pytest.importorskip("google.protobuf")
     import os as _os
