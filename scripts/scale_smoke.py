@@ -827,6 +827,89 @@ def nodes10(spark, out_path: str) -> None:
     print(json.dumps(results))
 
 
+EDGES100 = "/tmp/scale_edges100"
+
+#: The two iterative graph queries whose per-round REWRITE cost is
+#: linear in node state — the 100 TB risk VERDICT r11 item 5 asks to
+#: pin past the 10x row (kcore measured 2.15x at 10x; one more decade
+#: decides "linear in state" vs "superlinear").
+NODES100 = [
+    "kcore_membership",
+    "label_propagation_communities",
+]
+
+
+def generate_edges100(spark) -> None:
+    """100 copies of sf0.1 lineitem, orderkey+partkey offset per copy:
+    nodes AND edges 100x, per-node degree copy-invariant — the
+    ``generate_edges10`` axis, one more decade.  Built from EDGES10
+    (10 copies of the 10x corpus) so the union stays 10-wide."""
+    if not os.path.isdir(f"{EDGES10}/lineitem.parquet"):
+        generate_edges10(spark)
+    os.makedirs(EDGES100, exist_ok=True)
+    base = spark.read.parquet(f"{EDGES10}/lineitem.parquet")
+    okey = 1_000_000_000
+    pkey = 100_000_000
+    parts = [
+        base.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * okey))
+        .withColumn("l_partkey", F.col("l_partkey") + F.lit(i * pkey))
+        for i in range(10)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(256).write.mode("overwrite").parquet(
+        f"{EDGES100}/lineitem.parquet"
+    )
+
+
+def nodes100(spark, out_path: str) -> None:
+    """Node-scaled CENTURY for the per-round-rewrite graph queries.
+
+    Pass bar: wall growth ~linear in node/edge state across BOTH
+    decades (sf0.1 -> nodes10 -> nodes100).  nodes100 runs once per
+    query (minutes-scale walls; the sf0.1/nodes10 bests use the usual
+    best-of-2)."""
+    if "--regen" in sys.argv or not os.path.isdir(
+        f"{EDGES100}/lineitem.parquet"
+    ):
+        t0 = time.perf_counter()
+        generate_edges100(spark)
+        print(
+            f"# generated {EDGES100} in {time.perf_counter() - t0:.0f}s",
+            file=sys.stderr,
+        )
+    queries, _ = registry.collect()
+    results = {}
+    for name in NODES100:
+        fn = queries[name]
+        t = {}
+        for label, d, reps in (
+            ("sf0.1", BASE, 2),
+            ("nodes10", EDGES10, 2),
+            ("nodes100", EDGES100, 1),
+        ):
+            best, rows = float("inf"), 0
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                rows = fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            t[label] = round(best, 3)
+            t[f"{label}_rows"] = rows
+        t["x10"] = round(t["nodes10"] / t["sf0.1"], 2)
+        t["x100"] = round(t["nodes100"] / t["sf0.1"], 2)
+        t["x100_per_decade"] = round(t["nodes100"] / t["nodes10"], 2)
+        results[name] = t
+        print(f"# {name}: {t}", file=sys.stderr)
+    with open(out_path, "w") as f:
+        json.dump(
+            {"base": BASE, "corpus": EDGES100, "queries": results}, f, indent=1
+        )
+        f.write("\n")
+    print(json.dumps(results))
+
+
 def events100(spark, out_path: str) -> None:
     """Skewed second decade for the heavy-hitter pair: wall clocks AND
     sketch-vs-exact recovery on a corpus that HAS heavy hitters."""
@@ -979,6 +1062,14 @@ def main() -> None:
             out_path
             if sys.argv[-1].endswith(".json")
             else "SCALE_SMOKE_NODES10.json",
+        )
+        return
+    if "--nodes100" in sys.argv:
+        nodes100(
+            spark,
+            out_path
+            if sys.argv[-1].endswith(".json")
+            else "SCALE_SMOKE_NODES100.json",
         )
         return
     if "--events100" in sys.argv:

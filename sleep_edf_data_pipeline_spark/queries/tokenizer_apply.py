@@ -131,6 +131,17 @@ def encode_stats_from_vocab(vocab: DataFrame) -> DataFrame:
     # pattern as embedding_drift's grid)
     vocab = vocab.persist()
     merge_arr = merges_from_vocab(vocab)
+    return encode_stats_from_merges(vocab, merge_arr)
+
+
+def encode_stats_from_merges(
+    vocab: DataFrame, merge_arr: DataFrame
+) -> DataFrame:
+    """The pure APPLY stage: encode a (source, tok, freq) grid under an
+    EXTERNALLY supplied 1-row merge-array frame — shared by the
+    monolithic path above and the persisted-artifact roundtrip
+    (queries/tokenizer_roundtrip.py), whose value-hash equality proves
+    the artifact carried the merge table losslessly."""
     enc = vocab.crossJoin(F.broadcast(merge_arr)).select(
         "source",
         "freq",

@@ -139,9 +139,16 @@ def _encode_state(vocab: list[str]) -> Column:
     return F.aggregate(F.sequence(F.lit(1), F.length(w)), init, step)
 
 
-def q_wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    words = _words(spark, sf_dir)
-    vocab = train_wordpiece_vocab(words)
+def encode_stats_from_pieces(
+    words: DataFrame, vocab: list[str]
+) -> DataFrame:
+    """The pure APPLY stage: per-source greedy-encode statistics under
+    an externally supplied piece list — shared by the monolithic query
+    below and the persisted-artifact roundtrip
+    (queries/tokenizer_roundtrip.py), whose value-hash equality proves
+    the artifact carried the vocabulary losslessly.  The per-length
+    membership arrays are order-insensitive, so the caller's piece
+    order is irrelevant."""
     st = _encode_state(vocab)
     per_word = words.select(
         "source",
@@ -162,6 +169,12 @@ def q_wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chars_per_piece"
         ),
     )
+
+
+def q_wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _words(spark, sf_dir)
+    vocab = train_wordpiece_vocab(words)
+    return encode_stats_from_pieces(words, vocab)
 
 
 _LENS_SQL = ", ".join(str(L) for L in WP_LENS)

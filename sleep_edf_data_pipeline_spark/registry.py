@@ -104,6 +104,7 @@ _MODULES = [
     # untouched; rotate into the window in round 13 (see plan above).
     "sleep_edf_data_pipeline_spark.queries.lsh_recall_sampled",
     "sleep_edf_data_pipeline_spark.queries.unigram_lm_roundtrip",
+    "sleep_edf_data_pipeline_spark.queries.tokenizer_roundtrip",
 ]
 
 # ROUND-13 ROTATION PLAN (execute at the START of round 13, never
