@@ -505,19 +505,33 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import kmeans
 
     emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
-    from ..operators.clustering import assign_clusters
-
     key = _corpus_key(sf_dir)
     if key not in _COARSE:
         _, centroids = kmeans(emb, k=IVF_K, iters=IVF_ITERS)
         _COARSE[key] = centroids
     coarse = _COARSE[key]
-    assigned = assign_clusters(emb, coarse)
     if key not in _PQ_BOOKS:
         _PQ_BOOKS[key] = train_pq_codebooks(
             emb, dim=PQ_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS
         )
     books = _PQ_BOOKS[key]
+    return ivfpq_search(spark, emb, coarse, books)
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    emb: DataFrame,
+    coarse: list,
+    books: list,
+) -> DataFrame:
+    """The pure ENCODE+SEARCH stage of IVF-PQ under externally supplied
+    coarse centroids + PQ codebooks — shared by the monolithic
+    ``ivfpq_topk`` above and the persisted-codebook roundtrip
+    (queries/ann_roundtrip.py), whose value-hash equality proves the
+    artifact carried both models losslessly."""
+    from ..operators.clustering import assign_clusters
+
+    assigned = assign_clusters(emb, coarse)
     coded = pq_encode(
         assigned.select("vec_id", "cluster", "embedding"), books
     ).select("vec_id", "cluster", *[f"code_{j}" for j in range(PQ_M)])
