@@ -258,6 +258,18 @@ HEADLINE = [
     "classifier_calibration",
     # r06 session-4 debut: CUSUM sequential change-point per event type
     "cusum_changepoint",
+    # r12 debut: the 100 TB-runnable LSH recall audit — fixed-size
+    # min-md5-keyed doc sample, flat where the exact form is
+    # pair-output-bound
+    "lsh_neardup_recall_sampled",
+    # r12 debuts: train → versioned-artifact persist → apply
+    # roundtrips for the tokenizer triad and the IVF-PQ index model
+    # (production train-once/serve-many shape; each oracle is the
+    # monolithic form's SQL, so the artifact path must be lossless)
+    "unigram_lm_roundtrip_stats",
+    "bpe_roundtrip_stats",
+    "wordpiece_roundtrip_stats",
+    "ivfpq_roundtrip_topk",
 ]
 
 
