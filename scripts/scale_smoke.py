@@ -242,6 +242,15 @@ SMOKE = [
     "csv_roundtrip_agg",
     # r11: the JSONL roundtrip — write-bound like its siblings
     "json_roundtrip_agg",
+    # r12 debuts: the sampled recall audit's decade row must stay FLAT
+    # (that is its whole contract — fixed-size truth universe) where
+    # lsh_neardup_recall records ~10x; the roundtrips should track
+    # their monolithic twins (artifact I/O is vocab/model-sized).
+    "lsh_neardup_recall_sampled",
+    "unigram_lm_roundtrip_stats",
+    "bpe_roundtrip_stats",
+    "wordpiece_roundtrip_stats",
+    "ivfpq_roundtrip_topk",
     # r06 session-4: the leakage audit rides the LSH pass — its decade
     # row should track minhash_lsh_neardups' (pair-output-bound).
     "cross_split_leakage",
