@@ -121,8 +121,12 @@ _MODULES = [
 # returned_item_customers, session_window_agg_bucketed,
 # shipping_priority_buckets, stratified_sample, waiting_suppliers),
 # then the r09 pool ages in.  Compose round 13 as:
-# 1) the round-12 debuts (registered after the round-12 window was
-#    pinned — see the r12-debut module block in _MODULES above);
+# 1) the round-12 debuts, ENUMERATED so none can be omitted the way
+#    json_roundtrip_agg was from the r12 plan (VERDICT r11 item 1):
+#    lsh_neardup_recall_sampled, unigram_lm_roundtrip_stats,
+#    bpe_roundtrip_stats, wordpiece_roundtrip_stats,
+#    ivfpq_roundtrip_topk — all five locally hash-green vs DuckDB at
+#    3 SFs in round 12, never driver-rowed;
 # 2) any query whose plan is rewritten after its round-12 driver row;
 # 3) the 25 r08-stale names above;
 # 4) backfill to exactly 50 with the stalest r09 names (LLM-data ops
