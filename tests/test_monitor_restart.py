@@ -161,3 +161,42 @@ def test_monitor_restart_rehydrates_guard(spark, tmp_path, name):
     assert (fresh.version, fresh.last_batch_id) == (3, 2)
     df.unpersist()
     spark.catalog.clearCache()
+
+
+def test_attach_tolerates_pre_upgrade_snapshot(spark, tmp_path):
+    """ADVICE r11: a snapshot committed BEFORE the guard column existed
+    (no ``_last_batch_id``) must attach with last_batch_id=None — the
+    pre-guard behaviour of trusting checkpoint replay — never raise an
+    unresolved-column AnalysisException."""
+    from sleep_edf_data_pipeline_spark.streaming.chi2 import (
+        StreamingChi2Monitor,
+    )
+    from sleep_edf_data_pipeline_spark.writers.versioned import (
+        commit_versioned,
+    )
+
+    path = str(tmp_path / "legacy")
+    mon = StreamingChi2Monitor(path)
+    mon.process_batch(_docs(spark).select("source", "n_chars"), 0)
+    # simulate a pre-upgrade deployment: re-commit the state WITHOUT
+    # the guard column
+    from sleep_edf_data_pipeline_spark.streaming.restart import (
+        GUARD_COL,
+        unstamp,
+    )
+    from sleep_edf_data_pipeline_spark.writers.versioned import (
+        read_versioned,
+    )
+
+    legacy = unstamp(read_versioned(spark, path, 1))
+    assert GUARD_COL not in legacy.columns
+    v2 = commit_versioned(legacy, path, 1)
+    assert v2 == 2
+
+    fresh = StreamingChi2Monitor.attach(spark, path)
+    assert fresh.version == 2
+    assert fresh.last_batch_id is None
+    # and the stream proceeds normally from there
+    fresh.process_batch(_docs(spark).select("source", "n_chars"), 1)
+    assert (fresh.version, fresh.last_batch_id) == (3, 1)
+    spark.catalog.clearCache()

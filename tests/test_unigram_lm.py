@@ -95,3 +95,40 @@ def test_trainer_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_seed_cap_overflow_raises(spark):
+    """ADVICE r11: past SEED_SINGLES_CAP distinct characters the
+    coverage invariant ("every char is seeded, no word can fail to
+    segment") breaks and the two engines' substr semantics diverge in
+    the all-zero Viterbi tie — the trainer must fail loudly instead of
+    returning cross-engine-unstable output."""
+    import pytest
+
+    from sleep_edf_data_pipeline_spark.queries.unigram_lm import (
+        SEED_SINGLES_CAP,
+        _seed_vocab,
+    )
+
+    chars = [chr(0x4E00 + i) for i in range(SEED_SINGLES_CAP + 8)]
+    wfreq = spark.createDataFrame(
+        [(c, 1) for c in chars], "w string, freq bigint"
+    )
+    with pytest.raises(ValueError, match="distinct characters"):
+        _seed_vocab(wfreq)
+
+
+def test_seed_cap_boundary_is_exact(spark):
+    """Exactly SEED_SINGLES_CAP distinct characters still trains (the
+    +1-row probe must not false-positive at the boundary)."""
+    from sleep_edf_data_pipeline_spark.queries.unigram_lm import (
+        SEED_SINGLES_CAP,
+        _seed_vocab,
+    )
+
+    chars = [chr(0x4E00 + i) for i in range(SEED_SINGLES_CAP)]
+    wfreq = spark.createDataFrame(
+        [(c, 1) for c in chars], "w string, freq bigint"
+    )
+    vocab = _seed_vocab(wfreq)
+    assert len([p for p in vocab if len(p) == 1]) == SEED_SINGLES_CAP
