@@ -270,6 +270,10 @@ HEADLINE = [
     "bpe_roundtrip_stats",
     "wordpiece_roundtrip_stats",
     "ivfpq_roundtrip_topk",
+    # r12 debut: JL sign-projection distortion audit — exact-BIGINT
+    # projections on the bounded vec_id<64 slice (filter pushed to the
+    # scan); constant cost in the corpus by construction
+    "jl_distortion_audit",
 ]
 
 

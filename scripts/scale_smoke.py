@@ -251,6 +251,7 @@ SMOKE = [
     "bpe_roundtrip_stats",
     "wordpiece_roundtrip_stats",
     "ivfpq_roundtrip_topk",
+    "jl_distortion_audit",
     # r06 session-4: the leakage audit rides the LSH pass — its decade
     # row should track minhash_lsh_neardups' (pair-output-bound).
     "cross_split_leakage",

@@ -106,6 +106,7 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.unigram_lm_roundtrip",
     "sleep_edf_data_pipeline_spark.queries.tokenizer_roundtrip",
     "sleep_edf_data_pipeline_spark.queries.ann_roundtrip",
+    "sleep_edf_data_pipeline_spark.queries.jl_projection",
 ]
 
 # ROUND-13 ROTATION PLAN (execute at the START of round 13, never

@@ -67,6 +67,6 @@ def test_window_hoist_preserves_full_registry():
     queries, oracles = registry.collect()
     # exact pin (ADVICE r5): update explicitly when queries are added,
     # matching the window-pin philosophy above.
-    assert len(queries) == 229
-    assert len(oracles) == 222
+    assert len(queries) == 230
+    assert len(oracles) == 223
     assert all(name in queries for name in oracles)
