@@ -374,6 +374,11 @@ DEDUP100 = [
     # measured (the round-10 attempt hit a co-tenant load spike); the
     # cascade reads only documents, so the dedup100 corpus fits it.
     "dedup_cascade_verdict",
+    # r12: the sampled recall audit's whole contract is flatness at
+    # 100x duplicate-pair density (where minhash_lsh_neardups records
+    # 438 s); measured 2.38 -> 2.46 s manually in round 12, kept here
+    # so the row is reproducible.
+    "lsh_neardup_recall_sampled",
 ]
 
 #: Selection-layer queries for the 100x decade (documents-only corpus):
