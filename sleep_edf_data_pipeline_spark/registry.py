@@ -126,8 +126,10 @@ _MODULES = [
 #    json_roundtrip_agg was from the r12 plan (VERDICT r11 item 1):
 #    lsh_neardup_recall_sampled, unigram_lm_roundtrip_stats,
 #    bpe_roundtrip_stats, wordpiece_roundtrip_stats,
-#    ivfpq_roundtrip_topk — all five locally hash-green vs DuckDB at
-#    3 SFs in round 12, never driver-rowed;
+#    ivfpq_roundtrip_topk, jl_distortion_audit — all six locally
+#    hash-green vs DuckDB at 3 SFs in round 12, never driver-rowed
+#    (cross-check the list against every module in the r12-debut block
+#    of _MODULES above before pinning the window);
 # 2) any query whose plan is rewritten after its round-12 driver row;
 # 3) the 25 r08-stale names above;
 # 4) backfill to exactly 50 with the stalest r09 names (LLM-data ops

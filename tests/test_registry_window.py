@@ -63,6 +63,40 @@ def test_driver_window_is_exactly_the_planned_50():
     assert sorted(no_oracle) == sorted(ROWS_ONLY_IN_WINDOW)
 
 
+#: The round-12 debut modules (registered after the round-12 window
+#: was pinned).  The rotation-plan guard below keeps the plan comment's
+#: debut enumeration mechanically complete — the failure mode that
+#: dropped json_roundtrip_agg from the r12 plan (VERDICT r11 item 1).
+R12_DEBUT_MODULES = [
+    "sleep_edf_data_pipeline_spark.queries.lsh_recall_sampled",
+    "sleep_edf_data_pipeline_spark.queries.unigram_lm_roundtrip",
+    "sleep_edf_data_pipeline_spark.queries.tokenizer_roundtrip",
+    "sleep_edf_data_pipeline_spark.queries.ann_roundtrip",
+    "sleep_edf_data_pipeline_spark.queries.jl_projection",
+]
+
+
+def test_rotation_plan_enumerates_every_r12_debut():
+    import importlib
+    import inspect
+
+    # the debut-module list above must itself be current: everything in
+    # _MODULES after the r11 block is a debut module
+    tail = registry._MODULES[registry._MODULES.index(
+        "sleep_edf_data_pipeline_spark.queries.lsh_recall"
+    ) + 1:]
+    assert tail == R12_DEBUT_MODULES
+
+    src = inspect.getsource(registry)
+    plan = src.split("ROUND-13 ROTATION PLAN", 1)[1].split("_WINDOW = [", 1)[0]
+    for modname in R12_DEBUT_MODULES:
+        for qname in importlib.import_module(modname).QUERIES:
+            assert qname in plan, (
+                f"round-13 rotation plan omits debut {qname!r} "
+                f"(from {modname}) — the json_roundtrip_agg failure mode"
+            )
+
+
 def test_window_hoist_preserves_full_registry():
     queries, oracles = registry.collect()
     # exact pin (ADVICE r5): update explicitly when queries are added,
