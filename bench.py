@@ -274,6 +274,9 @@ HEADLINE = [
     # projections on the bounded vec_id<64 slice (filter pushed to the
     # scan); constant cost in the corpus by construction
     "jl_distortion_audit",
+    # r12 debut: the nprobe-recall tuning table (3 sweep settings over
+    # the shared trained index + one shared exact ground-truth pass)
+    "ivfpq_probe_recall_curve",
 ]
 
 

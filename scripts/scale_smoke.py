@@ -252,6 +252,7 @@ SMOKE = [
     "wordpiece_roundtrip_stats",
     "ivfpq_roundtrip_topk",
     "jl_distortion_audit",
+    "ivfpq_probe_recall_curve",
     # r06 session-4: the leakage audit rides the LSH pass — its decade
     # row should track minhash_lsh_neardups' (pair-output-bound).
     "cross_split_leakage",

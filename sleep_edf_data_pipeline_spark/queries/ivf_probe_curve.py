@@ -1,0 +1,242 @@
+"""Round-12: IVF-PQ nprobe-recall tuning curve.
+
+Every production IVF deployment publishes this table before choosing
+an operating point: recall@k against exact ground truth as a function
+of how many coarse cells each query probes.  ``ann_recall_eval`` /
+``pq_recall_eval`` measure single operating points; this query sweeps
+``nprobe`` ∈ {1, 2, 4} over the SAME trained index (the memoized
+coarse k-means + PQ codebooks behind the driver-green ``ivfpq_topk``)
+and emits one row per setting — the recall-vs-cost frontier (cost is
+``nprobe``/IVF_K of the corpus scanned, by construction).
+
+Determinism: every per-setting top-5 set reuses the already
+hash-green ivfpq ranking discipline (round-6 distances, (d, neighbor)
+tie-breaks), recall hits are exact set-intersection COUNTS, and the
+only float output is one division of exact integers per row.
+
+WHAT THE MEASURED CURVE ACTUALLY SHOWS (and why that is the point):
+with the production pipeline's FIXED ADC shortlist
+(IVFPQ_SHORTLIST=50) the curve is NOT monotone — e.g. at sf0.1
+recall@5 reads 0.650 / 0.625 / 0.575 for nprobe 1/2/4.  Widening the
+probe adds candidates whose LOSSY ADC distances (m=4, k=16 codewords)
+spuriously beat true neighbors', displacing them from the shortlist
+BEFORE the exact re-rank sees them.  This is the real, well-known
+shortlist-truncation effect, and surfacing it is the tuning table's
+job: for THIS pipeline, scaling nprobe without scaling the shortlist
+(or the codebook resolution) buys corpus-scan cost and loses recall.
+The test pins the measured values so the tradeoff stays visible.
+
+Scale shape (100 TB): the sweep multiplies only the CANDIDATE scan
+(nprobe/IVF_K of the codes table per setting — the same fraction the
+production query would pay at that setting); training, encode, and
+the ground-truth pass are shared once across the sweep.  Ground truth
+is the bounded PQ_QUERIES×corpus exact scan the recall family already
+uses — the audit's one corpus-scale term, constant in ``nprobe``.
+
+Reference scope: no ANN surface in the reference
+(blaiseclarke/sleep-edf-data-pipeline); extends SURVEY §2.7's
+similarity family per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.clustering import kmeans
+from ..operators.quantization import train_pq_codebooks
+from ..tables import spread, table
+from .quantization_queries import (
+    _COARSE,
+    _EXACT_D,
+    _PQ_BOOKS,
+    _codes_cte,
+    _corpus_key,
+    _exact_sq,
+    IVF_ITERS,
+    IVF_K,
+    IVFPQ_SHORTLIST,
+    PQ_DIM,
+    PQ_ITERS,
+    PQ_K,
+    PQ_M,
+    PQ_QUERIES,
+    PQ_SUB,
+    PQ_TOPK,
+    ivfpq_search,
+)
+
+#: The sweep — 1 cell (cheapest), the production setting (2), and the
+#: diminishing-returns point (4 of IVF_K=8 cells = half the corpus).
+NPROBE_SWEEP = (1, 2, 4)
+
+
+def q_ivfpq_probe_recall_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = spread(table(spark, sf_dir, "embeddings"), "vec_id")
+    key = _corpus_key(sf_dir)
+    if key not in _COARSE:
+        _, centroids = kmeans(emb, k=IVF_K, iters=IVF_ITERS)
+        _COARSE[key] = centroids
+    if key not in _PQ_BOOKS:
+        _PQ_BOOKS[key] = train_pq_codebooks(
+            emb, dim=PQ_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS
+        )
+    coarse, books = _COARSE[key], _PQ_BOOKS[key]
+
+    # exact ground truth, once (shared across the sweep)
+    qvec = emb.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qvec))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _exact_sq().alias("_d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("_d"), F.asc("neighbor_id")
+    )
+    truth = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    truth.count()
+
+    per_np = [
+        ivfpq_search(spark, emb, coarse, books, nprobe=np)
+        .select("query_id", "neighbor_id")
+        .withColumn("nprobe", F.lit(np).cast("int"))
+        for np in NPROBE_SWEEP
+    ]
+    swept = per_np[0]
+    for p in per_np[1:]:
+        swept = swept.unionByName(p)
+
+    hits = swept.join(truth, ["query_id", "neighbor_id"]).groupBy(
+        "nprobe"
+    ).agg(F.count("*").cast("bigint").alias("n_hits"))
+    base = swept.groupBy("nprobe").agg(
+        F.count("*").cast("bigint").alias("n_results")
+    )
+    denom = float(PQ_QUERIES * PQ_TOPK)
+    return (
+        base.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.lit(PQ_QUERIES).cast("bigint").alias("n_queries"),
+            "n_results",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(denom)
+            ).alias("mean_recall"),
+            (F.lit(float(1.0)) * F.col("nprobe") / F.lit(float(IVF_K))).alias(
+                "corpus_fraction_scanned"
+            ),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def _oracle() -> str:
+    from .similarity_queries import kmeans_assignment_ctes
+
+    coarse_ctes, coarse_final = kmeans_assignment_ctes()
+    ctes = list(coarse_ctes) + _codes_cte()
+    ctes.append(
+        "q AS (\n    SELECT vec_id AS query_id,"
+        f" [CAST(embedding[i] AS DOUBLE) for i in range(1, {PQ_DIM + 1})] AS v\n"
+        f"    FROM embeddings WHERE vec_id < {PQ_QUERIES}\n)"
+    )
+    # every coarse cell ranked per query; the sweep slices by rank
+    ctes.append(
+        "probe_rank AS (\n"
+        "    SELECT q.query_id, c.cluster,\n"
+        "        row_number() OVER (PARTITION BY q.query_id ORDER BY\n"
+        f"            list_sum([ (q.v[i] - c.c[i]) * (q.v[i] - c.c[i])"
+        f" for i in range(1, {PQ_DIM + 1}) ]), c.cluster) AS rn\n"
+        f"    FROM q CROSS JOIN c{IVF_ITERS} c\n)"
+    )
+    sweep_vals = ", ".join(str(np) for np in NPROBE_SWEEP)
+    ctes.append(f"sweep AS (SELECT unnest([{sweep_vals}]) AS np)")
+    terms = []
+    joins = []
+    for j in range(PQ_M):
+        joins.append(
+            f"JOIN s{j}_c{PQ_ITERS} b{j} ON b{j}.cluster = codes.code_{j}"
+        )
+        terms.append(
+            f"list_sum([ (q.v[{j * PQ_SUB} + i] - b{j}.c[i])"
+            f" * (q.v[{j * PQ_SUB} + i] - b{j}.c[i])"
+            f" for i in range(1, {PQ_SUB + 1}) ])"
+        )
+    ctes.append(
+        "cand AS (\n    SELECT s.np, q.query_id, codes.vec_id AS neighbor_id,\n"
+        f"        {' + '.join(terms)} AS d\n"
+        f"    FROM codes JOIN {coarse_final} asg ON asg.vec_id = codes.vec_id\n"
+        "    JOIN probe_rank p ON p.cluster = asg.cluster\n"
+        "    JOIN sweep s ON p.rn <= s.np\n"
+        "    JOIN q ON q.query_id = p.query_id "
+        + " ".join(joins)
+        + "\n    WHERE codes.vec_id != q.query_id\n)"
+    )
+    ctes.append(
+        "short AS (\n    SELECT np, query_id, neighbor_id FROM (\n"
+        "        SELECT np, query_id, neighbor_id,"
+        " row_number() OVER (PARTITION BY np, query_id"
+        " ORDER BY d, neighbor_id) AS rn\n"
+        f"        FROM cand\n    ) WHERE rn <= {IVFPQ_SHORTLIST}\n)"
+    )
+    ctes.append(
+        "ref AS (\n    SELECT s.np, s.query_id, s.neighbor_id,"
+        f" {_EXACT_D} AS d\n"
+        "    FROM short s JOIN embeddings e ON e.vec_id = s.neighbor_id\n"
+        "    JOIN q ON q.query_id = s.query_id\n)"
+    )
+    ctes.append(
+        "top AS (\n    SELECT np, query_id, neighbor_id FROM (\n"
+        "        SELECT np, query_id, neighbor_id,"
+        " row_number() OVER (PARTITION BY np, query_id"
+        " ORDER BY d, neighbor_id) AS rn\n"
+        f"        FROM ref\n    ) WHERE rn <= {PQ_TOPK}\n)"
+    )
+    ctes.append(
+        "truth AS (\n    SELECT query_id, neighbor_id FROM (\n"
+        "        SELECT q.query_id, e.vec_id AS neighbor_id,"
+        " row_number() OVER (PARTITION BY q.query_id"
+        f" ORDER BY {_EXACT_D}, e.vec_id) AS rn\n"
+        "        FROM embeddings e CROSS JOIN q\n"
+        "        WHERE e.vec_id != q.query_id\n"
+        f"    ) WHERE rn <= {PQ_TOPK}\n)"
+    )
+    denom = float(PQ_QUERIES * PQ_TOPK)
+    return (
+        "WITH\n"
+        + ",\n".join(ctes)
+        + "\nSELECT t.np AS nprobe,"
+        f" CAST({PQ_QUERIES} AS BIGINT) AS n_queries,\n"
+        "       CAST(count(*) AS BIGINT) AS n_results,\n"
+        "       CAST(sum(CASE WHEN tr.neighbor_id IS NOT NULL"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,\n"
+        "       CAST(sum(CASE WHEN tr.neighbor_id IS NOT NULL"
+        f" THEN 1 ELSE 0 END) AS DOUBLE) / {denom} AS mean_recall,\n"
+        f"       1.0 * t.np / {float(IVF_K)} AS corpus_fraction_scanned\n"
+        "FROM top t LEFT JOIN truth tr\n"
+        "  ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id\n"
+        "GROUP BY t.np\nORDER BY t.np"
+    )
+
+
+QUERIES = {
+    "ivfpq_probe_recall_curve": q_ivfpq_probe_recall_curve,
+}
+
+ORACLES = {
+    "ivfpq_probe_recall_curve": _oracle(),
+}

@@ -523,12 +523,13 @@ def ivfpq_search(
     emb: DataFrame,
     coarse: list,
     books: list,
+    nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """The pure ENCODE+SEARCH stage of IVF-PQ under externally supplied
     coarse centroids + PQ codebooks — shared by the monolithic
-    ``ivfpq_topk`` above and the persisted-codebook roundtrip
-    (queries/ann_roundtrip.py), whose value-hash equality proves the
-    artifact carried both models losslessly."""
+    ``ivfpq_topk`` above, the persisted-codebook roundtrip
+    (queries/ann_roundtrip.py), and the nprobe-recall tuning curve
+    (queries/ivf_probe_curve.py, which sweeps ``nprobe``)."""
     from ..operators.clustering import assign_clusters
 
     assigned = assign_clusters(emb, coarse)
@@ -546,8 +547,8 @@ def ivfpq_search(
     tables = dict(adc_distance_tables(qvecs, books))
 
     # Probe selection driver-side, with the oracle's arithmetic: a
-    # sequential (q[i]-c[i])^2 fold per coarse centroid, 2 smallest by
-    # (distance, cluster).
+    # sequential (q[i]-c[i])^2 fold per coarse centroid, the nprobe
+    # smallest by (distance, cluster).
     probes: list[tuple[int, list[float], list[int]]] = []
     for qid, vec in qvecs:
         dists = []
@@ -556,7 +557,7 @@ def ivfpq_search(
             for a, b in zip(vec, cent):
                 acc += (a - b) * (a - b)
             dists.append((acc, ci))
-        probed = [ci for _, ci in sorted(dists)[:IVF_NPROBE]]
+        probed = [ci for _, ci in sorted(dists)[:nprobe]]
         probes.append((qid, tables[qid], probed))
     qdf = spark.createDataFrame(
         probes, "query_id int, dtable array<double>, probed array<int>"

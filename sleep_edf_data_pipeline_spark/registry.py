@@ -107,6 +107,7 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.tokenizer_roundtrip",
     "sleep_edf_data_pipeline_spark.queries.ann_roundtrip",
     "sleep_edf_data_pipeline_spark.queries.jl_projection",
+    "sleep_edf_data_pipeline_spark.queries.ivf_probe_curve",
 ]
 
 # ROUND-13 ROTATION PLAN (execute at the START of round 13, never
@@ -126,10 +127,12 @@ _MODULES = [
 #    json_roundtrip_agg was from the r12 plan (VERDICT r11 item 1):
 #    lsh_neardup_recall_sampled, unigram_lm_roundtrip_stats,
 #    bpe_roundtrip_stats, wordpiece_roundtrip_stats,
-#    ivfpq_roundtrip_topk, jl_distortion_audit — all six locally
-#    hash-green vs DuckDB at 3 SFs in round 12, never driver-rowed
-#    (cross-check the list against every module in the r12-debut block
-#    of _MODULES above before pinning the window);
+#    ivfpq_roundtrip_topk, jl_distortion_audit,
+#    ivfpq_probe_recall_curve — all seven locally hash-green vs DuckDB
+#    at 3 SFs in round 12, never driver-rowed (cross-check the list
+#    against every module in the r12-debut block of _MODULES above
+#    before pinning the window — tests/test_registry_window.py
+#    enforces this mechanically);
 # 2) any query whose plan is rewritten after its round-12 driver row;
 # 3) the 25 r08-stale names above;
 # 4) backfill to exactly 50 with the stalest r09 names (LLM-data ops

@@ -73,6 +73,7 @@ R12_DEBUT_MODULES = [
     "sleep_edf_data_pipeline_spark.queries.tokenizer_roundtrip",
     "sleep_edf_data_pipeline_spark.queries.ann_roundtrip",
     "sleep_edf_data_pipeline_spark.queries.jl_projection",
+    "sleep_edf_data_pipeline_spark.queries.ivf_probe_curve",
 ]
 
 
@@ -101,6 +102,6 @@ def test_window_hoist_preserves_full_registry():
     queries, oracles = registry.collect()
     # exact pin (ADVICE r5): update explicitly when queries are added,
     # matching the window-pin philosophy above.
-    assert len(queries) == 230
-    assert len(oracles) == 223
+    assert len(queries) == 231
+    assert len(oracles) == 224
     assert all(name in queries for name in oracles)
