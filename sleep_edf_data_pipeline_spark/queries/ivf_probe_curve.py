@@ -14,17 +14,24 @@ hash-green ivfpq ranking discipline (round-6 distances, (d, neighbor)
 tie-breaks), recall hits are exact set-intersection COUNTS, and the
 only float output is one division of exact integers per row.
 
-WHAT THE MEASURED CURVE ACTUALLY SHOWS (and why that is the point):
-with the production pipeline's FIXED ADC shortlist
-(IVFPQ_SHORTLIST=50) the curve is NOT monotone — e.g. at sf0.1
-recall@5 reads 0.650 / 0.625 / 0.575 for nprobe 1/2/4.  Widening the
-probe adds candidates whose LOSSY ADC distances (m=4, k=16 codewords)
-spuriously beat true neighbors', displacing them from the shortlist
-BEFORE the exact re-rank sees them.  This is the real, well-known
-shortlist-truncation effect, and surfacing it is the tuning table's
-job: for THIS pipeline, scaling nprobe without scaling the shortlist
-(or the codebook resolution) buys corpus-scan cost and loses recall.
-The test pins the measured values so the tradeoff stays visible.
+WHAT THE MEASURED TABLE ACTUALLY SHOWS (and why that is the point):
+each row carries BOTH shortlist policies, derived from ONE ADC-ranked
+candidate scan per setting (they are different rank cuts of the same
+ordering — ``ivfpq_adc_ranked`` + two cheap exact refines):
+
+- ``recall_fixed_shortlist`` — the production pipeline's fixed
+  IVFPQ_SHORTLIST=50 cut — is NOT monotone: 0.650/0.625/0.575 at
+  sf0.1 for nprobe 1/2/4.  Widening the probe adds candidates whose
+  LOSSY ADC distances (m=4, k=16 codewords) spuriously beat true
+  neighbors', displacing them from the shortlist BEFORE the exact
+  re-rank sees them — the classic shortlist-truncation effect.
+- ``recall_scaled_shortlist`` — shortlist = 50·nprobe — restores
+  monotone gains (0.650/0.800/0.825 at sf0.1): candidate coverage can
+  only grow when the cut grows with the probe.
+
+The operational takeaway the table exists to surface: scale the
+shortlist with nprobe (or raise codebook resolution); the test pins
+both measured curves so the tradeoff stays visible.
 
 Scale shape (100 TB): the sweep multiplies only the CANDIDATE scan
 (nprobe/IVF_K of the codes table per setting — the same fraction the
@@ -63,7 +70,9 @@ from .quantization_queries import (
     PQ_QUERIES,
     PQ_SUB,
     PQ_TOPK,
-    ivfpq_search,
+    ivfpq_adc_ranked,
+    ivfpq_encode,
+    ivfpq_refine,
 )
 
 #: The sweep — 1 cell (cheapest), the production setting (2), and the
@@ -109,33 +118,81 @@ def q_ivfpq_probe_recall_curve(
     )
     truth.count()
 
-    per_np = [
-        ivfpq_search(spark, emb, coarse, books, nprobe=np)
-        .select("query_id", "neighbor_id")
-        .withColumn("nprobe", F.lit(np).cast("int"))
-        for np in NPROBE_SWEEP
-    ]
-    swept = per_np[0]
-    for p in per_np[1:]:
-        swept = swept.unionByName(p)
+    # ONE ADC-ranked candidate scan per setting; the production FIXED
+    # shortlist (which measurably LOSES recall as nprobe widens —
+    # displacement) and the corrected shortlist ∝ nprobe (monotone,
+    # the fix the fixed rows motivate) are different rank CUTS of the
+    # same ordering, so each gets its own cheap exact refine only.
+    def _sweep(scaled: bool) -> DataFrame:
+        parts = []
+        for np, ranked in per_np_ranked:
+            cut = IVFPQ_SHORTLIST * (np if scaled else 1)
+            parts.append(
+                ivfpq_refine(
+                    emb,
+                    ranked.filter(F.col("_rn") <= cut).select(
+                        "query_id", "neighbor_id"
+                    ),
+                )
+                .select("query_id", "neighbor_id")
+                .withColumn("nprobe", F.lit(np).cast("int"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
-    hits = swept.join(truth, ["query_id", "neighbor_id"]).groupBy(
-        "nprobe"
-    ).agg(F.count("*").cast("bigint").alias("n_hits"))
-    base = swept.groupBy("nprobe").agg(
-        F.count("*").cast("bigint").alias("n_results")
-    )
+    # encode ONCE (the write-once production artifact), probe per
+    # setting — the sweep adds no corpus re-scans beyond this pass
+    coded = ivfpq_encode(emb, coarse, books).persist()
+    coded.count()
+    per_np_ranked = []
+    for np in NPROBE_SWEEP:
+        ranked = ivfpq_adc_ranked(
+            spark,
+            emb,
+            coarse,
+            books,
+            nprobe=np,
+            max_rank=IVFPQ_SHORTLIST * np,
+            coded=coded,
+        ).persist()
+        ranked.count()  # materialize: both cuts below reuse it
+        per_np_ranked.append((np, ranked))
+
     denom = float(PQ_QUERIES * PQ_TOPK)
+
+    def _recall(swept: DataFrame, name: str) -> DataFrame:
+        hits = swept.join(truth, ["query_id", "neighbor_id"]).groupBy(
+            "nprobe"
+        ).agg(F.count("*").cast("bigint").alias(f"n_hits_{name}"))
+        base = swept.groupBy("nprobe").agg(
+            F.count("*").cast("bigint").alias(f"n_results_{name}")
+        )
+        return base.join(hits, "nprobe", "left").select(
+            "nprobe",
+            f"n_results_{name}",
+            F.coalesce(f"n_hits_{name}", F.lit(0))
+            .cast("bigint")
+            .alias(f"n_hits_{name}"),
+        )
+
+    fixed = _recall(_sweep(scaled=False), "fixed")
+    scaled = _recall(_sweep(scaled=True), "scaled")
     return (
-        base.join(hits, "nprobe", "left")
+        fixed.join(scaled, "nprobe")
         .select(
             "nprobe",
             F.lit(PQ_QUERIES).cast("bigint").alias("n_queries"),
-            "n_results",
-            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
-            (
-                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(denom)
-            ).alias("mean_recall"),
+            "n_results_fixed",
+            "n_hits_fixed",
+            (F.col("n_hits_fixed").cast("double") / F.lit(denom)).alias(
+                "recall_fixed_shortlist"
+            ),
+            "n_hits_scaled",
+            (F.col("n_hits_scaled").cast("double") / F.lit(denom)).alias(
+                "recall_scaled_shortlist"
+            ),
             (F.lit(float(1.0)) * F.col("nprobe") / F.lit(float(IVF_K))).alias(
                 "corpus_fraction_scanned"
             ),
@@ -186,26 +243,34 @@ def _oracle() -> str:
         + " ".join(joins)
         + "\n    WHERE codes.vec_id != q.query_id\n)"
     )
+    # ADC rank once per (np, query); the two shortlist policies are
+    # just different rank cuts of the same ordering
     ctes.append(
-        "short AS (\n    SELECT np, query_id, neighbor_id FROM (\n"
-        "        SELECT np, query_id, neighbor_id,"
+        "cand_ranked AS (\n    SELECT np, query_id, neighbor_id,"
         " row_number() OVER (PARTITION BY np, query_id"
-        " ORDER BY d, neighbor_id) AS rn\n"
-        f"        FROM cand\n    ) WHERE rn <= {IVFPQ_SHORTLIST}\n)"
+        " ORDER BY d, neighbor_id) AS rn\n    FROM cand\n)"
     )
-    ctes.append(
-        "ref AS (\n    SELECT s.np, s.query_id, s.neighbor_id,"
-        f" {_EXACT_D} AS d\n"
-        "    FROM short s JOIN embeddings e ON e.vec_id = s.neighbor_id\n"
-        "    JOIN q ON q.query_id = s.query_id\n)"
-    )
-    ctes.append(
-        "top AS (\n    SELECT np, query_id, neighbor_id FROM (\n"
-        "        SELECT np, query_id, neighbor_id,"
-        " row_number() OVER (PARTITION BY np, query_id"
-        " ORDER BY d, neighbor_id) AS rn\n"
-        f"        FROM ref\n    ) WHERE rn <= {PQ_TOPK}\n)"
-    )
+    tops = []
+    for name, limit in (
+        ("fixed", str(IVFPQ_SHORTLIST)),
+        ("scaled", f"{IVFPQ_SHORTLIST} * np"),
+    ):
+        ctes.append(
+            f"ref_{name} AS (\n    SELECT s.np, s.query_id, s.neighbor_id,"
+            f" {_EXACT_D} AS d\n"
+            f"    FROM cand_ranked s"
+            " JOIN embeddings e ON e.vec_id = s.neighbor_id\n"
+            f"    JOIN q ON q.query_id = s.query_id\n"
+            f"    WHERE s.rn <= {limit}\n)"
+        )
+        ctes.append(
+            f"top_{name} AS (\n    SELECT np, query_id, neighbor_id FROM (\n"
+            "        SELECT np, query_id, neighbor_id,"
+            " row_number() OVER (PARTITION BY np, query_id"
+            " ORDER BY d, neighbor_id) AS rn\n"
+            f"        FROM ref_{name}\n    ) WHERE rn <= {PQ_TOPK}\n)"
+        )
+        tops.append(name)
     ctes.append(
         "truth AS (\n    SELECT query_id, neighbor_id FROM (\n"
         "        SELECT q.query_id, e.vec_id AS neighbor_id,"
@@ -216,20 +281,32 @@ def _oracle() -> str:
         f"    ) WHERE rn <= {PQ_TOPK}\n)"
     )
     denom = float(PQ_QUERIES * PQ_TOPK)
+    for name in tops:
+        ctes.append(
+            f"agg_{name} AS (\n    SELECT t.np,"
+            " CAST(count(*) AS BIGINT) AS n_results,\n"
+            "        CAST(sum(CASE WHEN tr.neighbor_id IS NOT NULL"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_hits\n"
+            f"    FROM top_{name} t LEFT JOIN truth tr\n"
+            "      ON tr.query_id = t.query_id"
+            " AND tr.neighbor_id = t.neighbor_id\n"
+            "    GROUP BY t.np\n)"
+        )
     return (
         "WITH\n"
         + ",\n".join(ctes)
-        + "\nSELECT t.np AS nprobe,"
+        + "\nSELECT f.np AS nprobe,"
         f" CAST({PQ_QUERIES} AS BIGINT) AS n_queries,\n"
-        "       CAST(count(*) AS BIGINT) AS n_results,\n"
-        "       CAST(sum(CASE WHEN tr.neighbor_id IS NOT NULL"
-        " THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,\n"
-        "       CAST(sum(CASE WHEN tr.neighbor_id IS NOT NULL"
-        f" THEN 1 ELSE 0 END) AS DOUBLE) / {denom} AS mean_recall,\n"
-        f"       1.0 * t.np / {float(IVF_K)} AS corpus_fraction_scanned\n"
-        "FROM top t LEFT JOIN truth tr\n"
-        "  ON tr.query_id = t.query_id AND tr.neighbor_id = t.neighbor_id\n"
-        "GROUP BY t.np\nORDER BY t.np"
+        "       f.n_results AS n_results_fixed,\n"
+        "       f.n_hits AS n_hits_fixed,\n"
+        f"       CAST(f.n_hits AS DOUBLE) / {denom}"
+        " AS recall_fixed_shortlist,\n"
+        "       s.n_hits AS n_hits_scaled,\n"
+        f"       CAST(s.n_hits AS DOUBLE) / {denom}"
+        " AS recall_scaled_shortlist,\n"
+        f"       1.0 * f.np / {float(IVF_K)} AS corpus_fraction_scanned\n"
+        "FROM agg_fixed f JOIN agg_scaled s ON s.np = f.np\n"
+        "ORDER BY f.np"
     )
 
 

@@ -524,18 +524,52 @@ def ivfpq_search(
     coarse: list,
     books: list,
     nprobe: int = IVF_NPROBE,
+    shortlist: int = IVFPQ_SHORTLIST,
 ) -> DataFrame:
     """The pure ENCODE+SEARCH stage of IVF-PQ under externally supplied
     coarse centroids + PQ codebooks — shared by the monolithic
     ``ivfpq_topk`` above, the persisted-codebook roundtrip
     (queries/ann_roundtrip.py), and the nprobe-recall tuning curve
-    (queries/ivf_probe_curve.py, which sweeps ``nprobe``)."""
+    (queries/ivf_probe_curve.py, which sweeps ``nprobe`` and, for its
+    scaled variant, ``shortlist``)."""
+    from ..operators.clustering import assign_clusters
+
+    ranked = ivfpq_adc_ranked(
+        spark, emb, coarse, books, nprobe=nprobe, max_rank=shortlist
+    )
+    return ivfpq_refine(emb, ranked.select("query_id", "neighbor_id"))
+
+
+def ivfpq_encode(emb: DataFrame, coarse: list, books: list) -> DataFrame:
+    """(vec_id, cluster, code_0..code_{m-1}): the assign+PQ-encode pass
+    — the write-once artifact a production deployment materializes;
+    the probe-curve sweep persists it ONCE and probes it per setting."""
     from ..operators.clustering import assign_clusters
 
     assigned = assign_clusters(emb, coarse)
-    coded = pq_encode(
+    return pq_encode(
         assigned.select("vec_id", "cluster", "embedding"), books
     ).select("vec_id", "cluster", *[f"code_{j}" for j in range(PQ_M)])
+
+
+def ivfpq_adc_ranked(
+    spark: SparkSession,
+    emb: DataFrame,
+    coarse: list,
+    books: list,
+    nprobe: int,
+    max_rank: int,
+    coded: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, _rn): the ADC-ordered candidate ranking
+    within the nprobe probed cells, cut at ``max_rank``.  Split out of
+    ``ivfpq_search`` so the probe-curve sweep can derive BOTH shortlist
+    policies (fixed and ∝nprobe) from ONE candidate scan per setting —
+    they are just different rank cuts of the same ordering.  Pass a
+    prepared (persisted) ``coded`` frame to share the encode pass
+    across sweep settings."""
+    if coded is None:
+        coded = ivfpq_encode(emb, coarse, books)
 
     qrows = (
         emb.filter(F.col("vec_id") < PQ_QUERIES)
@@ -576,19 +610,25 @@ def ivfpq_search(
         dist = term if dist is None else dist + term
     from pyspark.sql import Window
 
-    shortlist = (
+    return (
         cand.select("query_id", F.col("vec_id").alias("neighbor_id"), dist.alias("_adc"))
         .withColumn("_rn", F.row_number().over(
             Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
         ))
-        .filter(F.col("_rn") <= IVFPQ_SHORTLIST)
-        .select("query_id", "neighbor_id")
+        .filter(F.col("_rn") <= max_rank)
+        .select("query_id", "neighbor_id", "_rn")
     )
+
+
+def ivfpq_refine(emb: DataFrame, shortlisted: DataFrame) -> DataFrame:
+    """Exact re-rank of a (query_id, neighbor_id) shortlist → top-5."""
+    from pyspark.sql import Window
+
     qvec = emb.filter(F.col("vec_id") < PQ_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     refined = (
-        shortlist.join(
+        shortlisted.join(
             emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
             "neighbor_id",
         )
