@@ -1,0 +1,70 @@
+"""Scale pins for the round-12 debut plans: the physical-plan
+properties each query's 100 TB story depends on, asserted on the
+executed plan so a regression fails here before it ships."""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sampled_recall_sample_is_takeordered(spark):
+    """The audit's only corpus-scale stage must be a TakeOrdered cut,
+    never a global sort, and the pair stages must never go cartesian."""
+    from sleep_edf_data_pipeline_spark.queries.lsh_recall_sampled import (
+        _sampled_docs,
+        q_lsh_neardup_recall_sampled,
+    )
+
+    sample_plan = _plan(_sampled_docs(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in sample_plan, sample_plan
+    assert "Sort " not in sample_plan.replace("TakeOrderedAndProject", "")
+
+    plan = _plan(q_lsh_neardup_recall_sampled(spark, SF_DIR))
+    spark.catalog.clearCache()
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_jl_audit_filter_reaches_the_scan(spark):
+    """The vec_id < 64 sample filter must push to the parquet scan
+    (constant audit cost in the corpus), and the pair join must be a
+    broadcast, never a shuffle."""
+    from sleep_edf_data_pipeline_spark.queries.jl_projection import (
+        q_jl_distortion_audit,
+    )
+
+    plan = _plan(q_jl_distortion_audit(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id," in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_probe_curve_probes_the_persisted_encode(spark):
+    """The sweep must consume the ONE persisted assign+encode pass
+    (InMemoryTableScan), not re-encode the corpus per setting."""
+    from sleep_edf_data_pipeline_spark.queries.ivf_probe_curve import (
+        q_ivfpq_probe_recall_curve,
+    )
+
+    df = q_ivfpq_probe_recall_curve(spark, SF_DIR)
+    plan = _plan(df)
+    spark.catalog.clearCache()
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tokenizer_roundtrips_read_artifact_not_corpus(spark):
+    """The roundtrip apply stages must join the vocab-sized artifact
+    via broadcast, never a corpus-side sort-merge."""
+    from sleep_edf_data_pipeline_spark.queries.tokenizer_roundtrip import (
+        q_bpe_roundtrip_stats,
+    )
+
+    plan = _plan(q_bpe_roundtrip_stats(spark, SF_DIR))
+    spark.catalog.clearCache()
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
