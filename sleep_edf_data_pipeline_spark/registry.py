@@ -108,6 +108,8 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.ann_roundtrip",
     "sleep_edf_data_pipeline_spark.queries.jl_projection",
     "sleep_edf_data_pipeline_spark.queries.ivf_probe_curve",
+    "sleep_edf_data_pipeline_spark.queries.winnowing",
+    "sleep_edf_data_pipeline_spark.queries.shard_packing",
 ]
 
 # ROUND-13 ROTATION PLAN (execute at the START of round 13, never
@@ -128,7 +130,9 @@ _MODULES = [
 #    lsh_neardup_recall_sampled, unigram_lm_roundtrip_stats,
 #    bpe_roundtrip_stats, wordpiece_roundtrip_stats,
 #    ivfpq_roundtrip_topk, jl_distortion_audit,
-#    ivfpq_probe_recall_curve — all seven locally hash-green vs DuckDB
+#    ivfpq_probe_recall_curve, winnowing_fingerprints,
+#    winnowing_neardups, shard_snake_packing — all locally
+#    hash-green vs DuckDB
 #    at 3 SFs in round 12, never driver-rowed (cross-check the list
 #    against every module in the r12-debut block of _MODULES above
 #    before pinning the window — tests/test_registry_window.py

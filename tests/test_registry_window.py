@@ -74,6 +74,8 @@ R12_DEBUT_MODULES = [
     "sleep_edf_data_pipeline_spark.queries.ann_roundtrip",
     "sleep_edf_data_pipeline_spark.queries.jl_projection",
     "sleep_edf_data_pipeline_spark.queries.ivf_probe_curve",
+    "sleep_edf_data_pipeline_spark.queries.winnowing",
+    "sleep_edf_data_pipeline_spark.queries.shard_packing",
 ]
 
 
@@ -102,6 +104,6 @@ def test_window_hoist_preserves_full_registry():
     queries, oracles = registry.collect()
     # exact pin (ADVICE r5): update explicitly when queries are added,
     # matching the window-pin philosophy above.
-    assert len(queries) == 231
-    assert len(oracles) == 224
+    assert len(queries) == 234
+    assert len(oracles) == 227
     assert all(name in queries for name in oracles)
