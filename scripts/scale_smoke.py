@@ -253,6 +253,15 @@ SMOKE = [
     "ivfpq_roundtrip_topk",
     "jl_distortion_audit",
     "ivfpq_probe_recall_curve",
+    # r12 debuts (late): winnowing — one posexplode + two doc-window
+    # passes, so wall ~linear in corpus tokens; neardups adds the
+    # fp_hash shuffle whose buckets MAXDF caps, so pair output (and
+    # wall) tracks within-copy duplicate density, which the decade
+    # corpus preserves — expect ~linear, never quadratic.  Snake
+    # packing is a scan + per-stratum windows + an 8-row reduce.
+    "winnowing_fingerprints",
+    "winnowing_neardups",
+    "shard_snake_packing",
     # r06 session-4: the leakage audit rides the LSH pass — its decade
     # row should track minhash_lsh_neardups' (pair-output-bound).
     "cross_split_leakage",

@@ -68,3 +68,45 @@ def test_tokenizer_roundtrips_read_artifact_not_corpus(spark):
     spark.catalog.clearCache()
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_winnowing_fingerprints_single_exchange_two_windows(spark):
+    """Both per-doc window passes (gram count + W-frame min) must ride
+    ONE doc_id exchange — the whole 100 TB story is one corpus shuffle."""
+    from sleep_edf_data_pipeline_spark.queries.winnowing import (
+        q_winnowing_fingerprints,
+    )
+
+    plan = _plan(q_winnowing_fingerprints(spark, SF_DIR))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 2, plan
+
+
+def test_winnowing_neardups_is_join_free(spark):
+    """The pairing pass must be the join-free shape: per-hash counts as
+    a window (not a count-filter-join that recomputes the winnow
+    subtree), pairs exploded from MAXDF-bounded lists — so the plan has
+    NO join operator and reads the documents scan exactly once."""
+    from sleep_edf_data_pipeline_spark.queries.winnowing import (
+        q_winnowing_neardups,
+    )
+
+    plan = _plan(q_winnowing_neardups(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_shard_packing_windows_are_stratified(spark):
+    """No global-order window anywhere: the rank window partitions by
+    the hash stratum, and the only unpartitioned window runs over the
+    8-row shard totals, after the aggregate."""
+    from sleep_edf_data_pipeline_spark.queries.shard_packing import (
+        q_shard_snake_packing,
+    )
+
+    df = q_shard_snake_packing(spark, SF_DIR)
+    plan = _plan(df)
+    # the corpus-side rank window must key on the stratum column
+    assert "row_number() windowspecdefinition(bucket#" in plan, plan
+    assert "CartesianProduct" not in plan, plan
