@@ -277,6 +277,11 @@ HEADLINE = [
     # r12 debut: the nprobe-recall tuning table (3 sweep settings over
     # the shared trained index + one shared exact ground-truth pass)
     "ivfpq_probe_recall_curve",
+    # r12 debuts (late): the winnowing fingerprint pair (one-shuffle
+    # sampler + join-free pairing) and the stratified shard packer
+    "winnowing_fingerprints",
+    "winnowing_neardups",
+    "shard_snake_packing",
 ]
 
 
