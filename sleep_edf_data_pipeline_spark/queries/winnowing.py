@@ -14,11 +14,13 @@ at a fraction of ``duplicate_spans``'s full-gram shuffle width.
 Engine-parity trick: "min hash, ties to the RIGHTMOST position" is a
 composite argmin no single aggregate expresses the same way in Spark
 and DuckDB, so both rank a single packed integer
-``(gh % 2^39) * 2^20 + (2^20 - pos)`` — min(key) IS (min truncated
-hash, then max pos), bit-identical in both engines, and the selected
-(hash, pos) unpack from the key with integer div/mod.  2^20 caps
-positions (1M-word docs; widen to 2^24/2^35 for book-length corpora —
-truncation only moves tie-breaks, the guarantee survives).
+``(gh % 2^39) * 2^20 + (2^20 - 1 - pos % 2^20)`` — min(key) IS (min
+truncated hash, then max pos), bit-identical in both engines, and the
+fingerprint hash unpacks with one integer div.  The position term is
+MODULAR, so a doc beyond 2^20 grams wraps the tie-break cycle instead
+of corrupting the packing: past the wrap, WHICH of several equal-hash
+positions wins a tie changes (identically in both engines) but the
+min-hash selection — and with it the guarantee — is untouched.
 
 Scale shape: one shuffle on doc_id feeds both per-doc windows (the
 W-frame min and the gram count share the partitioning); frames are
@@ -89,7 +91,7 @@ def _selected(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         (
             (F.col("gh") % F.lit(HMOD)) * F.lit(POSCAP)
-            + (F.lit(POSCAP) - F.col("pos"))
+            + (F.lit(POSCAP - 1) - F.col("pos") % F.lit(POSCAP))
         ).alias("key"),
     ).withColumn("n_grams", F.count("*").over(w_doc))
     # Full windows end at pos in [W, n_grams]; a doc with fewer than W
@@ -198,7 +200,7 @@ grams AS (
 ),
 keyed AS (
     SELECT doc_id, pos,
-           (gh % {HMOD}) * {POSCAP} + ({POSCAP} - pos) AS key,
+           (gh % {HMOD}) * {POSCAP} + ({POSCAP - 1} - pos % {POSCAP}) AS key,
            count(*) OVER (PARTITION BY doc_id) AS n_grams
     FROM grams
 ),

@@ -117,3 +117,28 @@ def test_registered_with_oracle(name):
 
     queries, oracles = registry.collect()
     assert name in queries and name in oracles
+
+
+def test_guarantee_survives_position_wrap(spark, tmp_path, monkeypatch):
+    """Docs longer than POSCAP grams wrap the packed key's tie-break
+    cycle; the min-hash selection — and the sharing guarantee — must
+    survive.  Pinned with a tiny patched POSCAP so the wrap is
+    exercised without a 2^20-gram document."""
+    import sleep_edf_data_pipeline_spark.queries.winnowing as W
+
+    monkeypatch.setattr(W, "POSCAP", 16)
+    shared = " ".join(f"common{i}" for i in range(GUARANTEE))
+    long_prefix = " ".join(f"pad{i}" for i in range(50))  # pos >> 16
+    rows = [
+        ("a", f"{long_prefix} {shared}", "s", "en"),
+        ("b", f"start here {shared} end bit", "s", "en"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    fps = (
+        W._selected(spark, sf)
+        .select("doc_id", F.expr("minkey div 16").alias("fp_hash"))
+        .distinct()
+    )
+    a = {r.fp_hash for r in fps.filter(F.col("doc_id") == "a").collect()}
+    b = {r.fp_hash for r in fps.filter(F.col("doc_id") == "b").collect()}
+    assert a & b, "guarantee lost across the POSCAP wrap"
