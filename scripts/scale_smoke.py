@@ -389,6 +389,11 @@ DEDUP100 = [
     # 438 s); measured 2.38 -> 2.46 s manually in round 12, kept here
     # so the row is reproducible.
     "lsh_neardup_recall_sampled",
+    # r12 (late): winnowing near-dups — worst axis is duplicate-pair
+    # density; MAXDF caps every fingerprint bucket at 64 docs, so the
+    # pair output (and wall) must stay bounded even when the corpus is
+    # 100 near-identical copies of itself.
+    "winnowing_neardups",
 ]
 
 #: Selection-layer queries for the 100x decade (documents-only corpus):
