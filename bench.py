@@ -281,6 +281,7 @@ HEADLINE = [
     # sampler + join-free pairing) and the stratified shard packer
     "winnowing_fingerprints",
     "winnowing_neardups",
+    "winnowing_source_stats",
     "shard_snake_packing",
 ]
 

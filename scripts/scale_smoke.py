@@ -261,6 +261,9 @@ SMOKE = [
     # packing is a scan + per-stratum windows + an 8-row reduce.
     "winnowing_fingerprints",
     "winnowing_neardups",
+    # same pass as the per-doc form + one source-grain agg — decade row
+    # should match winnowing_fingerprints'
+    "winnowing_source_stats",
     "shard_snake_packing",
     # r06 session-4: the leakage audit rides the LSH pass — its decade
     # row should track minhash_lsh_neardups' (pair-output-bound).

@@ -1032,6 +1032,59 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # --- streaming winnowing monitor: per-source doc-local fingerprint
+    # sums fold, profile from state via the batch query's shared tail.
+    from sleep_edf_data_pipeline_spark.queries.winnowing import (
+        q_winnowing_source_stats,
+    )
+    from sleep_edf_data_pipeline_spark.streaming.winnowing import (
+        StreamingWinnowingMonitor,
+    )
+
+    docs_win = table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    )
+    docs_win.repartition(N_FILES).write.parquet(f"{STAGE}/docs_win")
+    n_docs_w = spark.read.parquet(f"{STAGE}/docs_win").count()
+    wmon = StreamingWinnowingMonitor(f"{STAGE}/win_state")
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", str(FILES_PER_TRIGGER))
+        .parquet(f"{STAGE}/docs_win")
+        .writeStream.foreachBatch(wmon.process_batch)
+        .option("checkpointLocation", f"{STAGE}/_ckpt_win")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished or q.exception() is not None:
+        exc = q.exception()
+        q.stop()
+        raise RuntimeError(f"streaming winnowing monitor failed: {exc}")
+    wall = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    got_wn = sorted(map(tuple, wmon.stats(spark).collect()))
+    wn_query_s = time.perf_counter() - t1
+    want_wn = sorted(
+        map(tuple, q_winnowing_source_stats(spark, SF_DIR).collect())
+    )
+    if got_wn != want_wn:
+        raise RuntimeError("streaming winnowing from state != batch")
+    results["streaming_winnowing_monitor"] = {
+        "wall_s": round(wall, 3),
+        "rows_in": n_docs_w,
+        "rows_per_sec": round(n_docs_w / wall) if wall else None,
+        "micro_batches": (wmon.last_batch_id or 0) + 1,
+        "stats_query_s": round(wn_query_s, 3),
+        "exact_vs_batch": True,
+    }
+    print(
+        "# streaming_winnowing_monitor: "
+        f"{results['streaming_winnowing_monitor']}",
+        file=sys.stderr,
+    )
+
     with open(out_path, "w") as f:
         json.dump(
             {

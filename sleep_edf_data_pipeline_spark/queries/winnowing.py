@@ -63,19 +63,22 @@ HMOD = 2**39
 MAXDF = 64
 
 
-def _selected(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct winnowed fingerprints: (doc_id, n_grams, minkey)."""
-    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+def selected_from(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """Distinct winnowed fingerprints of a (doc_id, text, ...) frame:
+    (doc_id, n_grams, minkey) plus any per-doc-constant ``extra_cols``
+    carried through (e.g. ``source`` for the per-source rollup)."""
     grams = (
-        docs.select("doc_id", tokens(F.col("text")).alias("w"))
+        docs.select("doc_id", *extra_cols, tokens(F.col("text")).alias("w"))
         .select(
             "doc_id",
+            *extra_cols,
             F.posexplode(word_shingles(F.col("w"), WINNOW_K)).alias(
                 "pos0", "gram"
             ),
         )
         .select(
             "doc_id",
+            *extra_cols,
             (F.col("pos0") + 1).alias("pos"),
             hash64(F.col("gram"), seed="winnow").alias("gh"),
         )
@@ -88,6 +91,7 @@ def _selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keyed = grams.select(
         "doc_id",
+        *extra_cols,
         "pos",
         (
             (F.col("gh") % F.lit(HMOD)) * F.lit(POSCAP)
@@ -99,9 +103,67 @@ def _selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         keyed.withColumn("minkey", F.min("key").over(w_win))
         .filter(F.col("pos") >= F.least(F.lit(WINNOW_W), F.col("n_grams")))
-        .select("doc_id", "n_grams", "minkey")
+        .select("doc_id", *extra_cols, "n_grams", "minkey")
         .distinct()
     )
+
+
+def _selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct winnowed fingerprints: (doc_id, n_grams, minkey)."""
+    return selected_from(spread(table(spark, sf_dir, "documents"), "doc_id"))
+
+
+def winnowing_partials(docs: DataFrame) -> DataFrame:
+    """Per-source ALGEBRAIC partial sums of the per-doc winnowing
+    profile — the shared kernel of ``q_winnowing_source_stats`` and
+    the streaming monitor.  Winnowing is doc-local, so as long as
+    documents arrive whole these sums merge by plain addition over any
+    batching: one row per source with BIGINT n_docs / n_grams /
+    n_windows / n_fingerprints."""
+    per_doc = (
+        selected_from(docs, "source")
+        .groupBy("doc_id", "source", "n_grams")
+        .agg(F.countDistinct("minkey").alias("n_fp"))
+    )
+    n_windows = F.greatest(F.col("n_grams") - F.lit(WINNOW_W - 1), F.lit(1))
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("n_grams"),
+        F.sum(n_windows).cast("bigint").alias("n_windows"),
+        F.sum("n_fp").cast("bigint").alias("n_fingerprints"),
+    )
+
+
+def stats_from_partials(grid: DataFrame) -> DataFrame:
+    """Presentation tail over the per-source partial sums (shared by
+    the batch query and the streaming monitor's answer path)."""
+    return grid.select(
+        "source",
+        "n_docs",
+        "n_grams",
+        "n_windows",
+        "n_fingerprints",
+        # single BIGINT/BIGINT divisions, unrounded (verify gotcha)
+        (F.col("n_fingerprints").cast("double") / F.col("n_windows")).alias(
+            "density"
+        ),
+        (F.col("n_fingerprints").cast("double") / F.col("n_docs")).alias(
+            "fp_per_doc"
+        ),
+    )
+
+
+def q_winnowing_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winnowing fingerprint profile (index-sizing table).
+
+    The corpus-level rollup of ``winnowing_fingerprints``: how many
+    fingerprints a source contributes to the near-dup index and its
+    selection density (≈ 2/(W+1) on healthy text; materially lower =
+    repetitive/boilerplate-heavy source).  Same single corpus pass as
+    the per-doc form plus one source-grain hash agg.
+    """
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    return stats_from_partials(winnowing_partials(docs.select("doc_id", "source", "text")))
 
 
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,12 +311,36 @@ GROUP BY doc_a, doc_b
 HAVING count(*) >= 2
 """
 
+ORACLE_WINNOWING_SOURCE_STATS = f"""
+WITH {_GRAMS_SQL},
+per_doc AS (
+    SELECT s.doc_id, d.source, s.n_grams,
+           count(DISTINCT s.minkey) AS n_fp
+    FROM sel s JOIN documents d USING (doc_id)
+    GROUP BY s.doc_id, d.source, s.n_grams
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS n_grams,
+       CAST(sum(greatest(n_grams - {WINNOW_W - 1}, 1)) AS BIGINT)
+           AS n_windows,
+       CAST(sum(n_fp) AS BIGINT) AS n_fingerprints,
+       CAST(sum(n_fp) AS DOUBLE)
+           / CAST(sum(greatest(n_grams - {WINNOW_W - 1}, 1)) AS BIGINT)
+           AS density,
+       CAST(sum(n_fp) AS DOUBLE) / CAST(count(*) AS BIGINT) AS fp_per_doc
+FROM per_doc
+GROUP BY source
+"""
+
 QUERIES = {
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "winnowing_neardups": q_winnowing_neardups,
+    "winnowing_source_stats": q_winnowing_source_stats,
 }
 
 ORACLES = {
     "winnowing_fingerprints": ORACLE_WINNOWING_FINGERPRINTS,
     "winnowing_neardups": ORACLE_WINNOWING_NEARDUPS,
+    "winnowing_source_stats": ORACLE_WINNOWING_SOURCE_STATS,
 }

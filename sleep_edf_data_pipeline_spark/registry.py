@@ -131,8 +131,8 @@ _MODULES = [
 #    bpe_roundtrip_stats, wordpiece_roundtrip_stats,
 #    ivfpq_roundtrip_topk, jl_distortion_audit,
 #    ivfpq_probe_recall_curve, winnowing_fingerprints,
-#    winnowing_neardups, shard_snake_packing — all locally
-#    hash-green vs DuckDB
+#    winnowing_neardups, winnowing_source_stats,
+#    shard_snake_packing — all locally hash-green vs DuckDB
 #    at 3 SFs in round 12, never driver-rowed (cross-check the list
 #    against every module in the r12-debut block of _MODULES above
 #    before pinning the window — tests/test_registry_window.py

@@ -128,13 +128,19 @@ def _mk(name):
         )
 
         return C, lambda s: _events_day(s, SF_DIR)
+    if name == "winnowing":
+        from sleep_edf_data_pipeline_spark.streaming.winnowing import (
+            StreamingWinnowingMonitor as C,
+        )
+
+        return C, lambda s: _docs(s).select("doc_id", "source", "text")
     raise AssertionError(name)
 
 
 ALL_MONITORS = [
     "chi2", "lines", "readability", "bpe", "ks", "drift", "cusum",
     "embedding_drift", "hosts", "incremental", "occupancy",
-    "quantiles", "winsorize", "hll",
+    "quantiles", "winsorize", "hll", "winnowing",
 ]
 
 

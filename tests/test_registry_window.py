@@ -104,6 +104,6 @@ def test_window_hoist_preserves_full_registry():
     queries, oracles = registry.collect()
     # exact pin (ADVICE r5): update explicitly when queries are added,
     # matching the window-pin philosophy above.
-    assert len(queries) == 234
-    assert len(oracles) == 227
+    assert len(queries) == 235
+    assert len(oracles) == 228
     assert all(name in queries for name in oracles)

@@ -142,3 +142,35 @@ def test_guarantee_survives_position_wrap(spark, tmp_path, monkeypatch):
     a = {r.fp_hash for r in fps.filter(F.col("doc_id") == "a").collect()}
     b = {r.fp_hash for r in fps.filter(F.col("doc_id") == "b").collect()}
     assert a & b, "guarantee lost across the POSCAP wrap"
+
+
+def test_source_stats_conserve_the_per_doc_profile(spark, sf_dir):
+    """The per-source rollup must be exactly the per-doc query summed
+    by source — one kernel, two grains."""
+    import duckdb
+
+    from sleep_edf_data_pipeline_spark.queries.winnowing import (
+        q_winnowing_source_stats,
+    )
+
+    rows = {r.source: r for r in q_winnowing_source_stats(spark, sf_dir).collect()}
+    per_doc = q_winnowing_fingerprints(spark, sf_dir).collect()
+    src_of = dict(
+        duckdb.sql(
+            f"SELECT doc_id, source FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    )
+    agg = {}
+    for r in per_doc:
+        s = src_of[int(r.doc_id)]
+        a = agg.setdefault(s, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += r.n_grams
+        a[2] += r.n_windows
+        a[3] += r.n_fingerprints
+    assert set(rows) == set(agg)
+    for s, (nd, ng, nw, nf) in agg.items():
+        r = rows[s]
+        assert (r.n_docs, r.n_grams, r.n_windows, r.n_fingerprints) == (
+            nd, ng, nw, nf,
+        ), s
