@@ -110,3 +110,15 @@ def test_shard_packing_windows_are_stratified(spark):
     # the corpus-side rank window must key on the stratum column
     assert "row_number() windowspecdefinition(bucket#" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_winnowing_source_stats_single_pass(spark):
+    """The source rollup must be the SAME single corpus pass as the
+    per-doc form plus aggregation — one parquet scan, no joins."""
+    from sleep_edf_data_pipeline_spark.queries.winnowing import (
+        q_winnowing_source_stats,
+    )
+
+    plan = _plan(q_winnowing_source_stats(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
