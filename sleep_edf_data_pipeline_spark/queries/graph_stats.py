@@ -37,20 +37,29 @@ PR_ITERS = 3
 # --- PageRank over the part co-purchase graph ------------------------------
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected co-purchase edges (both directions materialized)."""
-    lines = (
+    """Undirected co-purchase edges (both directions materialized).
+
+    One ``collect_set`` aggregation per order replaces the former
+    distinct + self-join on ``l_orderkey``: the per-order part set is
+    exactly what the self-join materialized within each partition, but
+    the aggregate needs ONE exchange (map-side partial ``collect_set``)
+    where the join shape needed two (the (orderkey, partkey) distinct,
+    then the re-shuffle of both join sides onto the order key).  Pair
+    fan-out runs as two codegen ``explode``s over the set — bounded by
+    parts-per-order, the same bound the join had.  Result set is
+    identical (distinct directed pairs, src != dst); the r12
+    optimization round measured the 8 graph consumers' plans at 4
+    exchanges → 3 with value-hash-identical output.
+    """
+    sets = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = lines.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src")
-    )
-    b = lines.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("_ps"))
     )
     return (
-        a.join(b, "o")
+        sets.select(F.explode("_ps").alias("src"), "_ps")
+        .select("src", F.explode("_ps").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
