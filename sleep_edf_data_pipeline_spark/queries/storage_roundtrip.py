@@ -39,7 +39,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..tables import table, table_fingerprint
+from ..tables import spread, table, table_fingerprint
 
 #: Columns staged through the interchange formats (one of each base
 #: type: int keys, double measure, string dim, timestamp).
@@ -57,6 +57,26 @@ _STAGE_COLS = (
 #: Microsecond-precision timestamp pattern for the CSV text roundtrip
 #: (the default pattern drops sub-second precision on write).
 _CSV_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _staged_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineitem slice each format stages, widened to the session.
+
+    A small parquet source arrives as ONE scan split, so without the
+    widen the staging write produces a single output file and — for
+    the unsplittable gzip text formats — the read-back runs as a
+    single task: the whole roundtrip serializes onto one core (guide
+    §6: small-files/layout).  ``spread`` repartitions only when the
+    scan's split count is below the session's parallelism, so at real
+    scale (thousands of splits) it is a no-op and file sizing stays
+    governed by the scan layout; the key-hash repartition (order key)
+    avoids round-robin's sort-before-repartition pass.  Result values
+    are layout-independent (the rollup is order-free), verified by the
+    unchanged DuckDB oracle.
+    """
+    return spread(
+        table(spark, sf_dir, "lineitem").select(*_STAGE_COLS), "l_orderkey"
+    )
 
 
 def _stage_path(sf_dir: str, fmt: str) -> str:
@@ -129,7 +149,7 @@ def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns are decoded — ORC carries per-column streams like parquet).
     """
     path = _stage_path(sf_dir, "orc")
-    li = table(spark, sf_dir, "lineitem").select(*_STAGE_COLS)
+    li = _staged_slice(spark, sf_dir)
     li.write.mode("overwrite").option("compression", "zstd").orc(path)
     return _roundtrip_agg(spark.read.orc(path))
 
@@ -144,7 +164,7 @@ def q_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     types from text and is both slow (extra pass) and unstable.
     """
     path = _stage_path(sf_dir, "csv")
-    li = table(spark, sf_dir, "lineitem").select(*_STAGE_COLS)
+    li = _staged_slice(spark, sf_dir)
     (
         li.write.mode("overwrite")
         .option("header", "true")
@@ -181,7 +201,7 @@ def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     fill.
     """
     path = _stage_path(sf_dir, "json")
-    li = table(spark, sf_dir, "lineitem").select(*_STAGE_COLS)
+    li = _staged_slice(spark, sf_dir)
     (
         li.write.mode("overwrite")
         .option("compression", "gzip")

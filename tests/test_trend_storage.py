@@ -142,6 +142,27 @@ def test_stage_path_is_content_keyed_and_stable(sf_dir):
     assert sr._stage_path("/root/testdata/sf0.01", "orc") != p1
 
 
+def test_staged_write_is_widened_to_session_parallelism(spark, sf_dir):
+    """A single-split local source must stage as MANY files, not one:
+    gzip text is unsplittable, so a one-file stage serializes the
+    write AND the read-back onto one core.  ``_staged_slice`` widens
+    narrow scans to the session's parallelism (and is a no-op on
+    already-wide scans at real scale)."""
+    import os
+
+    sr.q_csv_roundtrip_agg(spark, sf_dir).collect()
+    path = sr._stage_path(sf_dir, "csv")
+    data_files = [
+        f for f in os.listdir(path)
+        if f.startswith("part-") and not f.startswith("._")
+    ]
+    assert len(data_files) > 1
+    assert (
+        sr._staged_slice(spark, sf_dir).rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
+
+
 def test_inverted_index_bounded_state_and_takeordered(spark, sf_dir):
     """The index build must be two exchanges max ((term,doc) tf agg +
     the term window; the final term rollup reuses the window's
