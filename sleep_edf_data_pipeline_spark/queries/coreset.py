@@ -70,25 +70,23 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = emb.orderBy("vec_id").limit(1).collect()[0]  # deterministic seed
     centers = [(0, seed["vec_id"], 0, list(seed["qv"]))]
 
-    def _center_df(rank: int):
-        # The new center rides in as a broadcast 1-row frame rather
-        # than 64 literals: the per-round plan (and its generated
-        # code) is then IDENTICAL across rounds, so whole-stage
-        # codegen compiles once and every later round hits the
-        # compiled-class cache — with literal arrays each round paid
-        # a fresh ~0.5 s compile of the 64-wide fold.
-        return F.broadcast(
-            spark.createDataFrame(
-                [(centers[rank][3], rank)], "qc array<bigint>, crank int"
-            )
-        )
+    def _center_arr(rank: int):
+        # The new center rides in as a CONSTANT-FOLDED literal array:
+        # ConstantFolding collapses the 64 int literals into one
+        # Literal(ArrayData) that codegen attaches through the
+        # references array, so the generated source — and therefore
+        # the compiled-class cache hit — is identical across rounds,
+        # while the former broadcast 1-row frame paid a driver
+        # createDataFrame + BroadcastExchange (~0.4-0.5 s) per round
+        # (r12 optimization: 8-round loop measured ~2x faster with the
+        # literal form, identical assignments).
+        return F.array(*[F.lit(int(v)) for v in centers[rank][3]])
 
     state = (
-        emb.crossJoin(_center_df(0))
-        .select(
+        emb.select(
             "vec_id",
             "qv",
-            _d2(F.col("qv"), F.col("qc")).alias("d2min"),
+            _d2(F.col("qv"), _center_arr(0)).alias("d2min"),
             F.lit(0).alias("best"),
         )
         .persist()
@@ -106,12 +104,12 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         if prev is not None:
             prev.unpersist()
         centers.append((rank, far["vec_id"], far["d2min"], list(far["qv"])))
-        d2new = _d2(F.col("qv"), F.col("qc"))
-        prev, state = state, state.crossJoin(_center_df(rank)).select(
+        d2new = _d2(F.col("qv"), _center_arr(rank))
+        prev, state = state, state.select(
             "vec_id",
             "qv",
             F.least("d2min", d2new).alias("d2min"),
-            F.when(d2new < F.col("d2min"), F.col("crank"))
+            F.when(d2new < F.col("d2min"), F.lit(rank))
             .otherwise(F.col("best"))
             .alias("best"),
         ).persist()

@@ -72,7 +72,6 @@ from .quantization_queries import (
     PQ_TOPK,
     ivfpq_adc_ranked,
     ivfpq_encode,
-    ivfpq_refine,
 )
 
 #: The sweep — 1 cell (cheapest), the production setting (2), and the
@@ -93,6 +92,17 @@ def q_ivfpq_probe_recall_curve(
             emb, dim=PQ_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS
         )
     coarse, books = _COARSE[key], _PQ_BOOKS[key]
+
+    # ONE bounded query-vector collect serves the ground-truth pass
+    # AND every sweep setting (r12 optimization: the sweep previously
+    # re-ran the identical 8-row collect job once per setting).
+    qrows = (
+        emb.filter(F.col("vec_id") < PQ_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qvecs = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows]
 
     # exact ground truth, once (shared across the sweep)
     qvec = emb.filter(F.col("vec_id") < PQ_QUERIES).select(
@@ -118,30 +128,6 @@ def q_ivfpq_probe_recall_curve(
     )
     truth.count()
 
-    # ONE ADC-ranked candidate scan per setting; the production FIXED
-    # shortlist (which measurably LOSES recall as nprobe widens —
-    # displacement) and the corrected shortlist ∝ nprobe (monotone,
-    # the fix the fixed rows motivate) are different rank CUTS of the
-    # same ordering, so each gets its own cheap exact refine only.
-    def _sweep(scaled: bool) -> DataFrame:
-        parts = []
-        for np, ranked in per_np_ranked:
-            cut = IVFPQ_SHORTLIST * (np if scaled else 1)
-            parts.append(
-                ivfpq_refine(
-                    emb,
-                    ranked.filter(F.col("_rn") <= cut).select(
-                        "query_id", "neighbor_id"
-                    ),
-                )
-                .select("query_id", "neighbor_id")
-                .withColumn("nprobe", F.lit(np).cast("int"))
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
     # encode ONCE (the write-once production artifact), probe per
     # setting — the sweep adds no corpus re-scans beyond this pass
     coded = ivfpq_encode(emb, coarse, books).persist()
@@ -156,31 +142,78 @@ def q_ivfpq_probe_recall_curve(
             nprobe=np,
             max_rank=IVFPQ_SHORTLIST * np,
             coded=coded,
+            qvecs=qvecs,
         ).persist()
         ranked.count()  # materialize: both cuts below reuse it
         per_np_ranked.append((np, ranked))
 
+    # ONE ADC-ranked candidate scan per setting; the production FIXED
+    # shortlist (which measurably LOSES recall as nprobe widens —
+    # displacement) and the corrected shortlist ∝ nprobe (monotone,
+    # the fix the fixed rows motivate) are different rank CUTS of the
+    # same ordering.  r12 optimization: the six per-(policy, setting)
+    # refine subplans (each a 2-join + window pass) collapse into ONE
+    # tagged union → ONE exact refine → ONE window partitioned by
+    # (policy, nprobe, query) → ONE conditional aggregation — the
+    # per-group ranking is unchanged, so the per-setting top-5 sets
+    # (and every emitted count) are identical by construction.
+    parts = []
+    for np, ranked in per_np_ranked:
+        for policy, cut in (
+            ("fixed", IVFPQ_SHORTLIST),
+            ("scaled", IVFPQ_SHORTLIST * np),
+        ):
+            parts.append(
+                ranked.filter(F.col("_rn") <= cut).select(
+                    "query_id",
+                    "neighbor_id",
+                    F.lit(np).cast("int").alias("nprobe"),
+                    F.lit(policy).alias("policy"),
+                )
+            )
+    shortlist = parts[0]
+    for p in parts[1:]:
+        shortlist = shortlist.unionByName(p)
+    refined = (
+        shortlist.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "policy", "nprobe", "query_id", "neighbor_id",
+            _exact_sq().alias("_d"),
+        )
+    )
+    w5 = Window.partitionBy("policy", "nprobe", "query_id").orderBy(
+        F.asc("_d"), F.asc("neighbor_id")
+    )
+    top5 = (
+        refined.withColumn("rank", F.row_number().over(w5))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("policy", "nprobe", "query_id", "neighbor_id")
+    )
+    hits = top5.join(
+        F.broadcast(truth.withColumn("_hit", F.lit(1))),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
     denom = float(PQ_QUERIES * PQ_TOPK)
-
-    def _recall(swept: DataFrame, name: str) -> DataFrame:
-        hits = swept.join(truth, ["query_id", "neighbor_id"]).groupBy(
-            "nprobe"
-        ).agg(F.count("*").cast("bigint").alias(f"n_hits_{name}"))
-        base = swept.groupBy("nprobe").agg(
-            F.count("*").cast("bigint").alias(f"n_results_{name}")
-        )
-        return base.join(hits, "nprobe", "left").select(
-            "nprobe",
-            f"n_results_{name}",
-            F.coalesce(f"n_hits_{name}", F.lit(0))
-            .cast("bigint")
-            .alias(f"n_hits_{name}"),
-        )
-
-    fixed = _recall(_sweep(scaled=False), "fixed")
-    scaled = _recall(_sweep(scaled=True), "scaled")
+    is_fixed = F.col("policy") == "fixed"
+    is_hit = F.col("_hit").isNotNull()
     return (
-        fixed.join(scaled, "nprobe")
+        hits.groupBy("nprobe")
+        .agg(
+            F.count(F.when(is_fixed, 1)).cast("bigint").alias(
+                "n_results_fixed"
+            ),
+            F.count(F.when(is_fixed & is_hit, 1)).cast("bigint").alias(
+                "n_hits_fixed"
+            ),
+            F.count(F.when((~is_fixed) & is_hit, 1)).cast("bigint").alias(
+                "n_hits_scaled"
+            ),
+        )
         .select(
             "nprobe",
             F.lit(PQ_QUERIES).cast("bigint").alias("n_queries"),

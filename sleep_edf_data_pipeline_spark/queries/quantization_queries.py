@@ -560,6 +560,7 @@ def ivfpq_adc_ranked(
     nprobe: int,
     max_rank: int,
     coded: DataFrame | None = None,
+    qvecs: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, _rn): the ADC-ordered candidate ranking
     within the nprobe probed cells, cut at ``max_rank``.  Split out of
@@ -567,17 +568,22 @@ def ivfpq_adc_ranked(
     policies (fixed and ∝nprobe) from ONE candidate scan per setting —
     they are just different rank cuts of the same ordering.  Pass a
     prepared (persisted) ``coded`` frame to share the encode pass
-    across sweep settings."""
+    across sweep settings, and the collected ``qvecs`` to share the
+    bounded query-vector collect (the sweep would otherwise run the
+    identical 8-row collect job once per setting)."""
     if coded is None:
         coded = ivfpq_encode(emb, coarse, books)
 
-    qrows = (
-        emb.filter(F.col("vec_id") < PQ_QUERIES)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
-    )
-    qvecs = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows]
+    if qvecs is None:
+        qrows = (
+            emb.filter(F.col("vec_id") < PQ_QUERIES)
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        )
+        qvecs = [
+            (r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows
+        ]
     tables = dict(adc_distance_tables(qvecs, books))
 
     # Probe selection driver-side, with the oracle's arithmetic: a
