@@ -115,7 +115,7 @@ def _seed_vocab(wfreq: DataFrame) -> dict[str, int]:
         for L in UNI_LENS
         if L > 1
     ]
-    multi = (
+    multi_top = (
         wfreq.select(
             "freq", F.explode(F.flatten(F.array(*per_len))).alias("g")
         )
@@ -123,9 +123,9 @@ def _seed_vocab(wfreq: DataFrame) -> dict[str, int]:
         .agg(F.sum("freq").cast("bigint").alias("c"))
         .orderBy(F.desc("c"), F.asc("g"))
         .limit(UNI_MULTI)
-        .collect()
+        .select(F.lit("m").alias("t"), "g", "c")
     )
-    singles = (
+    singles_top = (
         wfreq.select(
             "freq",
             F.explode(
@@ -139,8 +139,18 @@ def _seed_vocab(wfreq: DataFrame) -> dict[str, int]:
         .agg(F.sum("freq").cast("bigint").alias("c"))
         .orderBy(F.desc("c"), F.asc("g"))
         .limit(SEED_SINGLES_CAP + 1)
-        .collect()
+        .select(F.lit("s").alias("t"), "g", "c")
     )
+    # ONE collect job for both seed tiers (r12 optimization): each
+    # branch keeps its own TakeOrderedAndProject (distributed top-K,
+    # nothing sorts globally — the tag column is added ABOVE the
+    # limit, so each branch's (count DESC, gram ASC) cut is
+    # unchanged); the union just lets one job drive both subtrees
+    # over the shared persisted wfreq instead of two back-to-back
+    # jobs per training run.
+    seed_rows = multi_top.unionByName(singles_top).collect()
+    multi = [r for r in seed_rows if r["t"] == "m"]
+    singles = [r for r in seed_rows if r["t"] == "s"]
     # ADVICE r11: the "no word can fail to segment" invariant holds
     # only while EVERY distinct character is seeded.  Past the cap the
     # Viterbi best would be 0.0, the all-tie CASE would pick back=4
