@@ -305,20 +305,24 @@ GROUP BY report_week
 def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part pairs bought together in ≥ 3 orders (support count).
 
-    The pair generation joins the order's own line set against itself
-    — keyed on l_orderkey, so pairs materialize within the partition
-    and the only fact-scale shuffles are the order key and the final
-    pair count.
+    The pair generation uses the same one-aggregation shape as
+    ``_copurchase_edges`` (r12 optimization): one ``collect_set`` per
+    order (map-side partial, ONE fact-scale exchange) replaces the
+    distinct + self-join (two lineitem scans, three exchanges); the
+    ordered-pair fan-out runs as two codegen ``explode``s bounded by
+    parts-per-order — exactly the bound the self-join had — and each
+    unordered pair appears once per order, so the support counts are
+    identical.
     """
-    lines = (
+    sets = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("_ps"))
     )
-    a = lines.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
-    b = lines.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
     return (
-        a.join(b, "o")
+        sets.select(F.explode("_ps").alias("part_a"), "_ps")
+        .select("part_a", F.explode("_ps").alias("part_b"))
         .filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
