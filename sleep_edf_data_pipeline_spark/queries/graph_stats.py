@@ -36,7 +36,9 @@ PR_ITERS = 3
 
 # --- PageRank over the part co-purchase graph ------------------------------
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, oriented: bool = False
+) -> DataFrame:
     """Undirected co-purchase edges (both directions materialized).
 
     One ``collect_set`` aggregation per order replaces the former
@@ -50,6 +52,12 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical (distinct directed pairs, src != dst); the r12
     optimization round measured the 8 graph consumers' plans at 4
     exchanges → 3 with value-hash-identical output.
+
+    ``oriented=True`` keeps only the ``src < dst`` orientation — the
+    frame the triangle/edge-similarity consumers immediately filter
+    down to anyway.  Cutting BELOW the distinct halves the pair
+    exchange's input (guide §2.3: shuffle fewer bytes); the surviving
+    set is identical to filtering the full frame after the fact.
     """
     sets = (
         table(spark, sf_dir, "lineitem")
@@ -57,10 +65,15 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("_ps"))
     )
+    cut = (
+        (F.col("src") < F.col("dst"))
+        if oriented
+        else (F.col("src") != F.col("dst"))
+    )
     return (
         sets.select(F.explode("_ps").alias("src"), "_ps")
         .select("src", F.explode("_ps").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
+        .filter(cut)
         .select("src", "dst")
         .distinct()
     )
@@ -364,11 +377,7 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node counts come from exploding the three corners.  All
     integer arithmetic — hash-stable.
     """
-    und = (
-        _copurchase_edges(spark, sf_dir)
-        .filter(F.col("src") < F.col("dst"))
-        .persist()
-    )
+    und = _copurchase_edges(spark, sf_dir, oriented=True).persist()
     deg = (
         und.select(F.col("src").alias("node"))
         .unionAll(und.select(F.col("dst").alias("node")))
@@ -439,18 +448,20 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("apexes") > 0)
         .select("lo", "hi", "apexes", F.size("apexes").alias("n_apex"))
     )
-    corners = (
-        tri_e.select(F.explode("apexes").alias("part"))
-        .unionAll(
-            tri_e.select(
-                F.explode(F.array_repeat(F.col("lo"), F.col("n_apex"))).alias("part")
+    # r12 optimization (guide §2.4): ONE explode over the concatenated
+    # corner multiset (apexes ++ lo×n ++ hi×n) replaces the former
+    # three-branch unionAll, whose branches each re-evaluated the
+    # whole closure subtree (the two adjacency joins + array_intersect
+    # ran 3×).  The exploded multiset is identical, so the per-part
+    # counts are unchanged.
+    corners = tri_e.select(
+        F.explode(
+            F.concat(
+                F.col("apexes"),
+                F.array_repeat(F.col("lo"), F.col("n_apex")),
+                F.array_repeat(F.col("hi"), F.col("n_apex")),
             )
-        )
-        .unionAll(
-            tri_e.select(
-                F.explode(F.array_repeat(F.col("hi"), F.col("n_apex"))).alias("part")
-            )
-        )
+        ).alias("part")
     )
     return (
         corners.groupBy("part")
@@ -533,35 +544,57 @@ def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: surviving node, its degree in the surviving subgraph, and
     whether peeling converged (= the survivors are the exact k-core).
     """
-    # Each round consumes the previous edge frame THREE times (degree
-    # branch + two anti-join probes); left lazy, the edge subtree
-    # multiplies ~3x per round (measured: 108 scans / 268 exchanges /
-    # 31 s unpersisted vs 1 scan-chain / ~2 s persisted).  Per-round
-    # materialization is the standard iterative-graph lineage cut —
-    # same pattern as the Lloyd loop's per-iteration centroid fold.
-    e = _copurchase_edges(spark, sf_dir).persist()
+    # r12 optimization (guide §2.4/§5): peel by tracking the CUMULATIVE
+    # peeled-NODE set instead of materializing a new edge frame per
+    # round.  e_r = e0 minus edges touching peeled_r is inductively
+    # identical to the round-by-round anti-join chain (peeling only
+    # ever removes nodes), so each round is ONE degree aggregation
+    # over the cached base edges filtered by two anti-joins against a
+    # node-scale frame — the only per-round persist+materialize is the
+    # cumulative peeled set (node-scale; the old shape wrote the full
+    # edge-scale frame to cache every round and ran its anti-joins as
+    # edge-shuffling sort-merge).  Persisting+counting `peeled` also
+    # gives the planner its TRUE cached size, so the anti-joins
+    # broadcast exactly when the peeled set is genuinely small and
+    # degrade to a shuffle when a power-law graph peels wide — no
+    # pinned broadcast hint (the kn_bigram ADVICE lesson).  Measured
+    # at sf0.1: 2.39M edges, zero nodes peel, and the old shape still
+    # paid ~2 s/round re-caching the identical frame.
+    e0 = _copurchase_edges(spark, sf_dir).persist()
+
+    def _minus_peeled(base: DataFrame, peeled_nodes: DataFrame) -> DataFrame:
+        return base.join(
+            peeled_nodes.withColumnRenamed("node", "src"), "src", "anti"
+        ).join(peeled_nodes.withColumnRenamed("node", "dst"), "dst", "anti")
+
+    peeled: DataFrame | None = None
     for _ in range(KCORE_ROUNDS):
+        e = e0 if peeled is None else _minus_peeled(e0, peeled)
         deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-        low = deg.filter(F.col("deg") < KCORE_K).select("src")
-        nxt = (
-            e.join(low, "src", "anti")
-            .join(low.withColumnRenamed("src", "dst"), "dst", "anti")
-            .persist()
+        low = deg.filter(F.col("deg") < KCORE_K).select(
+            F.col("src").alias("node")
         )
-        nxt.count()  # materialize before dropping the parent's cache
-        e.unpersist()
-        e = nxt
-    # Collapse the cached edge frame into the (tiny) node-degree
+        nxt = low if peeled is None else peeled.unionByName(low)
+        nxt = nxt.persist()
+        nxt.count()  # materialize: short lineage + true size statistics
+        if peeled is not None:
+            peeled.unpersist()
+        peeled = nxt
+    # Collapse the surviving subgraph into the (tiny) node-degree
     # aggregate before returning: persist+materialize final_deg — one
     # row per surviving node, ~0.1% of the edge frame — then release
-    # the edge cache.  Nothing O(edges) outlives the call, and the
-    # two consumers below (result + converged flag) read the small
-    # cache instead of re-peeling.
+    # the caches.  Nothing O(edges) outlives the call, and the two
+    # consumers below (result + converged flag) read the small cache
+    # instead of re-peeling.
     final_deg = (
-        e.groupBy("src").agg(F.count("*").alias("core_degree")).persist()
+        _minus_peeled(e0, peeled)
+        .groupBy("src")
+        .agg(F.count("*").alias("core_degree"))
+        .persist()
     )
     final_deg.count()
-    e.unpersist()
+    e0.unpersist()
+    peeled.unpersist()
     conv = final_deg.agg(
         (F.min("core_degree") >= KCORE_K).alias("converged")
     )
@@ -634,9 +667,19 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = seed.persist()
     dist.count()
-    for _ in range(BFS_ROUNDS):
+    # r12 optimization (guide §2.3): expand only the FRONTIER — nodes
+    # first reached in the previous round (dist == r) — instead of the
+    # whole settled set.  A settled node u's offers (dist(u)+1 to every
+    # out-neighbor) entered the min in the round after u settled, and
+    # the union with the previous dist frame carries every settled
+    # value forward, so re-offering them each round could never change
+    # a min: the per-round dist tables are identical, while the join
+    # fan-out and the min-agg shuffle shrink from Σ|settled-adjacent
+    # edges| to |frontier-adjacent edges|.
+    for r in range(BFS_ROUNDS):
+        frontier = dist.filter(F.col("dist") == r)
         relaxed = (
-            dist.join(edges, dist.node == edges.src)
+            frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
             .unionByName(dist.select("node", "dist"))
             .groupBy("node")

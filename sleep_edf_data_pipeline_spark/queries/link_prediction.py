@@ -60,8 +60,7 @@ def q_edge_similarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each re-run the distinct-pair join otherwise.  Lazy persist; the
     # bench/driver clear caches between queries (registry posture).
     und = (
-        _copurchase_edges(spark, sf_dir)
-        .filter(F.col("src") < F.col("dst"))
+        _copurchase_edges(spark, sf_dir, oriented=True)
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .persist()
     )
