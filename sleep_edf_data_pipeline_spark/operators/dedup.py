@@ -162,10 +162,22 @@ def minhash_lsh_dedup(
     bands: int = 4,
     rows_per_band: int = 4,
     threshold: float = 0.6,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard verify.
 
     Returns (id_a, id_b, jaccard) for verified pairs ≥ threshold.
+
+    ``candidates_only=True`` stops after the banded candidate
+    generation and returns the unique (id_a, id_b) pairs UNVERIFIED —
+    for compositions that intersect the candidates with a frame whose
+    pairs ALREADY satisfy the exact-Jaccard threshold (the recall
+    audit): there the verify stage is an identity on every surviving
+    row (identical token-hash sets, identical round-6 comparison), so
+    skipping it drops two pair-scale set joins, the per-pair
+    ``array_intersect``, and the ``collect_set`` half of the signature
+    aggregation without changing any result (guide §1.2: don't compute
+    what the composition throws away).
 
     One pass over the exploded shingles computes BOTH the k minhash
     mins and the distinct-shingle-hash set (``collect_set``) in a
@@ -185,13 +197,12 @@ def minhash_lsh_dedup(
         F.col(id_col),
         F.explode(word_shingles(tokens(F.col(text_col)), shingle_n)).alias("_s"),
     ).withColumn("_h", hash64(F.col("_s")))
-    agg = sh.groupBy(id_col).agg(
-        *[
-            F.min(perm_hash(F.col("_h"), a, b)).alias(f"_m{j}")
-            for j, (a, b) in enumerate(perm_coeffs(k))
-        ],
-        F.collect_set("_h").alias("_hset"),
-    ).persist()
+    min_cols = [
+        F.min(perm_hash(F.col("_h"), a, b)).alias(f"_m{j}")
+        for j, (a, b) in enumerate(perm_coeffs(k))
+    ]
+    set_cols = [] if candidates_only else [F.collect_set("_h").alias("_hset")]
+    agg = sh.groupBy(id_col).agg(*min_cols, *set_cols).persist()
 
     keys = F.array(
         *[
@@ -238,6 +249,8 @@ def minhash_lsh_dedup(
         .filter((F.col("id_a") < F.col("id_b")) & first_match)
         .select("id_a", "id_b")
     )
+    if candidates_only:
+        return cands
 
     sets = agg.select(
         F.col(id_col), F.col("_hset"), F.size("_hset").alias("_n")

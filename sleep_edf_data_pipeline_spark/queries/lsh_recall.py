@@ -53,6 +53,15 @@ def q_lsh_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = ngram_jaccard_join(
         docs, "doc_id", "text", n=1, threshold=THRESHOLD
     )
+    # r12 optimization (guide §1.2): the numerator only ever meets the
+    # truth side, whose pairs ALREADY satisfy exact Jaccard ≥ θ under
+    # the identical token-hash sets and round-6 comparison the verify
+    # stage would re-run — so verified ∩ truth = candidates ∩ truth and
+    # the verify stage (two pair-scale set joins + array_intersect per
+    # candidate + the collect_set half of the signature agg) is an
+    # identity here.  ``candidates_only`` skips it; the recall rows are
+    # unchanged by construction, and the standalone
+    # ``minhash_lsh_neardups`` contract keeps its full verify.
     lsh = minhash_lsh_dedup(
         docs,
         "doc_id",
@@ -62,6 +71,7 @@ def q_lsh_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=LSH_BANDS,
         rows_per_band=LSH_ROWS,
         threshold=THRESHOLD,
+        candidates_only=True,
     ).select("id_a", "id_b", F.lit(1).alias("rec"))
     j = truth.join(lsh, ["id_a", "id_b"], "left")
     band = F.floor(F.col("jaccard") * F.lit(10.0)).cast("int")

@@ -85,6 +85,9 @@ def q_lsh_neardup_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = ngram_jaccard_join(
         sample, "doc_id", "text", n=1, threshold=THRESHOLD
     )
+    # candidates_only: the verify stage is an identity against the
+    # truth side (same token-hash sets, same round-6 cut) — see
+    # queries/lsh_recall.py for the equivalence argument.
     lsh = minhash_lsh_dedup(
         sample,
         "doc_id",
@@ -94,6 +97,7 @@ def q_lsh_neardup_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=LSH_BANDS,
         rows_per_band=LSH_ROWS,
         threshold=THRESHOLD,
+        candidates_only=True,
     ).select("id_a", "id_b", F.lit(1).alias("rec"))
     j = truth.join(lsh, ["id_a", "id_b"], "left")
     band = F.floor(F.col("jaccard") * F.lit(10.0)).cast("int")
