@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.litarrays import lit_double_array_2d
+
 #: Fixed-point scale for centroid updates: 2^28.  Power-of-two scaling
 #: of a double is exact, and floor() has no rounding-mode ambiguity, so
 #: ``floor(v * FP_SCALE)`` is the same integer in Spark, DuckDB, or any
@@ -58,11 +60,12 @@ def assign_clusters(
     ``array_position(d, array_min(d))`` returns the FIRST index of the
     minimum, preserving the lowest-id tie-break.
     """
-    # One nested-array Literal node (PySpark 4 F.lit takes nested
-    # lists), not k×dim CreateArray/Literal nodes: Catalyst analysis
-    # of the centroid tree is per-call driver overhead, and a single
-    # literal keeps it flat.  Bit-identical values either way.
-    cent = F.lit([[float(x) for x in c] for c in centroids])
+    # One-parse nested-array literal (functions/litarrays): PySpark's
+    # classic-mode ``F.lit`` on a nested list still recurses into one
+    # py4j call per element (~k×dim round-trips of per-call driver
+    # overhead); a single parsed expression builds the identical
+    # literal tree.  Bit-identical values either way.
+    cent = lit_double_array_2d([[float(x) for x in c] for c in centroids])
     dists = F.transform(
         cent,
         lambda c: F.aggregate(

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.litarrays import lit_double_array
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two array columns."""
@@ -219,7 +221,7 @@ def hyperplane_lsh_bucket_col(
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[F.lit(c) for c in comps]),
+                lit_double_array(comps),
                 lambda x, c: x.cast("double") * c,
             ),
             F.lit(0.0),

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.litarrays import lit_double_array
 from ..tables import table
 from .similarity_queries import (
     _KM_DIM,
@@ -48,7 +49,7 @@ def _sq_dist_to(centroid: list[float]):
     """Sequential-fold squared distance to a literal centroid — the
     same expression shape as the oracle's ``list_sum`` (element order
     preserved, so the double is bit-identical cross-engine)."""
-    arr = F.array(*[F.lit(float(c)) for c in centroid])
+    arr = lit_double_array(centroid)
     return F.aggregate(
         F.zip_with(
             F.col("embedding"),

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.litarrays import lit_int_array
 from ..tables import table
 
 #: Number of centers (bounded driver state: K rows of 64 ints).
@@ -80,7 +81,7 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         # createDataFrame + BroadcastExchange (~0.4-0.5 s) per round
         # (r12 optimization: 8-round loop measured ~2x faster with the
         # literal form, identical assignments).
-        return F.array(*[F.lit(int(v)) for v in centers[rank][3]])
+        return lit_int_array(centers[rank][3])
 
     state = (
         emb.select(

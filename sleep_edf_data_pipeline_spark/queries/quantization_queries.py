@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.litarrays import lit_double_array_2d
 from ..operators.quantization import (
     adc_distance_tables,
     adc_topk,
@@ -724,7 +725,7 @@ _PQ_RES_BOOKS: dict[tuple, list[list[list[float]]]] = {}
 
 
 def _coarse_centroid_array(coarse: list[list[float]]) -> F.Column:
-    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in coarse])
+    return lit_double_array_2d(coarse)
 
 
 def _residual_frame(assigned: DataFrame, coarse: list[list[float]]) -> DataFrame:

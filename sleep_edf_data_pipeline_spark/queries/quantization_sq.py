@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.litarrays import lit_double_array
 from ..tables import spread, table
 
 SQ_DIM = 64
@@ -90,8 +91,8 @@ def sq_encode(
 ) -> DataFrame:
     """(vec_id, codes array<int>) — stats folded to literals, encode
     runs as one codegen projection, no shuffle."""
-    mn = F.array(*[F.lit(v) for v in mins])
-    mx = F.array(*[F.lit(v) for v in maxs])
+    mn = lit_double_array(mins)
+    mx = lit_double_array(maxs)
     code = F.transform(
         F.col("embedding"),
         lambda x, i: F.least(
