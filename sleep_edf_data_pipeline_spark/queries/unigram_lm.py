@@ -250,10 +250,17 @@ def _map_literal(probs: dict[str, float]) -> Column:
 
 def _estep_counts(wfreq: DataFrame, probs: dict[str, float]) -> DataFrame:
     """(piece, c) — occurrence-weighted piece counts of each distinct
-    word's Viterbi segmentation under ``probs``."""
+    word's Viterbi segmentation under ``probs``.
+
+    The prob map is bound ONCE as a projected column (r12
+    optimization): referenced directly, the ~600-entry ``create_map``
+    literal is embedded four times inside the DP step (once per
+    candidate length) and the analyzer re-types every copy — binding
+    it to an attribute keeps one copy in the tree with identical
+    lookups, values and generated code (constant-folded either way)."""
     w = F.col("w")
-    states = _viterbi_states(_map_literal(probs), w)
-    enc = wfreq.select(
+    states = _viterbi_states(F.col("_pm"), w)
+    enc = wfreq.withColumn("_pm", _map_literal(probs)).select(
         "freq", F.explode(_backtrace_pieces(states, w)).alias("piece")
     )
     return enc.groupBy("piece").agg(
@@ -343,8 +350,9 @@ def _encode_stats(
     (queries/unigram_lm_roundtrip.py), so the roundtrip's value-hash
     equality proves the artifact carried the model losslessly."""
     w = F.col("w")
-    states = _viterbi_states(_map_literal(probs), w)
-    per_word = wfreq.select(
+    # prob map bound once as a column — see _estep_counts
+    states = _viterbi_states(F.col("_pm"), w)
+    per_word = wfreq.withColumn("_pm", _map_literal(probs)).select(
         "w", F.size(_backtrace_pieces(states, w)).cast("bigint").alias("np")
     )
     joined = words.join(per_word, "w")
