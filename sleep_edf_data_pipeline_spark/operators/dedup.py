@@ -439,20 +439,25 @@ def simhash_fingerprint(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", hash64(F.col("tok")))
+    # r12 optimization (guide §1.2 step 2, driver side): each vote /
+    # fingerprint term is parsed from SQL text in ONE py4j call — the
+    # per-bit Column-operator form paid ~6 round-trips per bit twice
+    # over (~1.5 s of query-construction time per run at bits=32).
+    # The parsed trees are the same expressions (shiftright / & / CASE
+    # WHEN), so analysis and codegen are unchanged.
     votes = toks.groupBy(id_col).agg(
         *[
-            F.sum(
-                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"_v{b}")
+            F.expr(f"sum((shiftright(h, {b}) & 1) * 2 - 1)").alias(f"_v{b}")
             for b in range(bits)
         ]
     )
-    fp = None
-    for b in range(bits):
-        term = F.when(F.col(f"_v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+    fp = F.expr(
+        " + ".join(
+            f"(CASE WHEN _v{b} > 0 THEN CAST({2 ** b} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+            for b in range(bits)
         )
-        fp = term if fp is None else fp + term
+    )
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
