@@ -51,9 +51,20 @@ def lit_double_array_2d(rows: Sequence[Sequence[float]]) -> Column:
     return F.expr("array(" + ",".join(inner) + ")")
 
 
+def _int_sql(v: int) -> str:
+    v = int(v)
+    # Outside BIGINT range a bare SQL literal silently parses as
+    # DECIMAL(19+,0) — a different array element type than F.lit(int),
+    # which raises.  Mirror _double_sql's strictness: loud error, never
+    # a silently decimal-typed array (ADVICE r12).
+    if not (-(2**63) <= v < 2**63):
+        raise ValueError(f"integer literal outside BIGINT range: {v}")
+    return str(v)
+
+
 def lit_int_array(values: Sequence[int]) -> Column:
     """Integer array literal (INT or BIGINT elements exactly as
     ``F.array(*[F.lit(int(v)) ...])`` would widen them)."""
     return F.expr(
-        "array(" + ",".join(str(int(v)) for v in values) + ")"
+        "array(" + ",".join(_int_sql(v) for v in values) + ")"
     )

@@ -75,11 +75,7 @@ def label_propagation(
         edges.storageLevel.useMemory or edges.storageLevel.useDisk
     )
     bidir = pairs if caller_cached else pairs.persist()
-    labels = (
-        bidir.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
+    labels: DataFrame | None = None
     for it in range(iters):
         # argmax by (count DESC, label ASC) as a two-level aggregate:
         # max over struct(c, -label) is lexicographic, so the winner is
@@ -89,8 +85,25 @@ def label_propagation(
         # window would shuffle every (node, candidate, count) row and
         # sort the full list per round (measured: 4.3 → 2.7 s at
         # sf0.1).
+        #
+        # r13 optimization (guide §2.4): round 1 skips the label join
+        # AND the initial node-distinct entirely — l0 is the identity
+        # mapping over every node, and ``bidir`` is symmetric (both
+        # directions present, the operator's contract), so every ``b``
+        # IS a node and round 1's join would only rename ``b`` to
+        # ``label``.  Projecting ``b AS label`` off the edge frame
+        # yields the identical (a, label) multiset with one fewer
+        # shuffle join and no node-scale distinct; node coverage is
+        # unchanged (every node appears as ``a`` in a symmetric edge
+        # list).  Rounds 2+ are untouched.
+        if labels is None:
+            cand = bidir.select(F.col("a"), F.col("b").alias("label"))
+        else:
+            cand = bidir.join(
+                labels.select(F.col("node").alias("b"), "label"), "b"
+            )
         labels = (
-            bidir.join(labels.select(F.col("node").alias("b"), "label"), "b")
+            cand
             .groupBy(F.col("a").alias("node"), F.col("label"))
             .agg(F.count("*").alias("c"))
             .groupBy("node")
@@ -105,6 +118,12 @@ def label_propagation(
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             labels = labels.localCheckpoint()
+    if labels is None:  # iters == 0: the identity labeling, as before
+        labels = (
+            bidir.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+        )
     return labels
 
 

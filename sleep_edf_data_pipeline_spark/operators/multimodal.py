@@ -288,3 +288,61 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(featurize, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def audio_features_from_text(
+    src: DataFrame,
+    id_col: str = "asset_id",
+    text_col: str = "text",
+    rate: int = 16000,
+) -> DataFrame:
+    """Synthesize WAV (sample j = (ascii(char j) − 96)·257), round-trip
+    it through the REAL codec (encode_wav → decode_wav), and featurize
+    — all inside ONE ``mapInPandas`` stage.
+
+    r13 optimization (guide §4): composing the standalone synth
+    (mapInPandas) with :func:`extract_audio_features` (mapInPandas)
+    shipped every RIFF payload across the JVM↔Python boundary twice —
+    Python→JVM out of the encode stage, JVM→Python back into the
+    featurize stage — purely to hand bytes from one Python function to
+    the next.  Fused, the payload never leaves the worker: text comes
+    in once, five scalar feature columns go out once.  The codec round
+    trip itself still runs byte-for-byte (encode_wav then decode_wav on
+    its output), so the features remain the decoded-samples features
+    and the oracle contract is untouched.
+    """
+    from .codecs import decode_wav, encode_wav
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "n_samples": [],
+                "duration_s": [],
+                "rms": [],
+                "zero_crossings": [],
+            }
+            for aid, t in zip(pdf[id_col], pdf[text_col]):
+                synth = (
+                    np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(
+                        np.int16
+                    )
+                    - 96
+                ) * 257
+                samples, srate = decode_wav(encode_wav(synth, rate))
+                s = samples.astype(np.int64)
+                n = int(s.size)
+                out["asset_id"].append(aid)
+                out["n_samples"].append(n)
+                out["duration_s"].append(n / srate)
+                out["rms"].append(
+                    float(np.sqrt(int((s * s).sum()) / n)) if n else 0.0
+                )
+                out["zero_crossings"].append(
+                    int((s[:-1] * s[1:] < 0).sum()) if n > 1 else 0
+                )
+            yield pd.DataFrame(out)
+
+    return src.select(
+        F.col(id_col).cast("string").alias(id_col), text_col
+    ).mapInPandas(fused, schema=AUDIO_FEATURE_SCHEMA)

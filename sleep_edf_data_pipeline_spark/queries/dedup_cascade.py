@@ -78,8 +78,22 @@ def q_dedup_cascade_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized: in a single multi-branch action, lazy persists
     # populate too late and each branch re-runs the subtree (the
     # iterative-loop discipline from the k-core saga, applied to a
-    # DAG) — measured 15 s → 5 s at sf0.1.  All five materializing
-    # counts are over already-reduced frames.
+    # DAG) — measured 15 s → 5 s at sf0.1.
+    #
+    # r13 optimization (guide §2.4/§5): ONE corpus-scale cache instead
+    # of four.  The old shape persisted+counted a NEW full-text frame
+    # after every stage (flagged, s1⋈rep, s3, s3⋈ret) — three extra
+    # corpus-scale cache-write jobs whose only content change vs the
+    # previous cache was one doc-grain column.  Now the single
+    # full-text cache is ``flagged`` and every stage persists only its
+    # DOC-GRAIN verdict frame (dup_char_frac / nd_ids / rm_frac — a
+    # few bytes per doc); the survivor frames s1/s2/s3 are re-derived
+    # per consumer as columnar cache scans + doc-keyed joins against
+    # the small cached frames (AQE broadcasts them at this scale and
+    # degrades to a shuffle when a 100 TB corpus outgrows that).  Every
+    # stage kernel still runs exactly once, on exactly the same
+    # survivor rows — the stitching joins/filters are expression-
+    # identical, so the verdict is unchanged.
 
     # stage 1: exact — min-doc_id survivor per md5(text) group
     w_md5 = Window.partitionBy(F.md5("text"))
@@ -90,12 +104,14 @@ def q_dedup_cascade_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars", F.lit("exact").alias("reason")
     )
 
-    # stage 2: intra-doc repetition on s1
-    rep = intra_doc_retention(line_grain_partials(s1)).select(
-        "doc_id", "dup_char_frac"
+    # stage 2: intra-doc repetition on s1 (doc-grain persist only)
+    rep = (
+        intra_doc_retention(line_grain_partials(s1))
+        .select("doc_id", "dup_char_frac")
+        .persist()
     )
-    s1r = s1.join(rep, "doc_id").persist()
-    s1r.count()
+    rep.count()
+    s1r = s1.join(rep, "doc_id")
     rep_cond = F.col("dup_char_frac") >= REP_T
     rep_killed = s1r.filter(rep_cond).select(
         "doc_id", "source", "n_chars", F.lit("repetition").alias("reason")
@@ -113,19 +129,23 @@ def q_dedup_cascade_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd_killed = s2.join(nd_ids, "doc_id").select(
         "doc_id", "source", "n_chars", F.lit("neardup").alias("reason")
     )
-    s3 = s2.join(nd_ids, "doc_id", "left_anti").persist()
-    s3.count()
+    s3 = s2.join(nd_ids, "doc_id", "left_anti")
 
-    # stage 4: cross-doc boilerplate line share over s3
-    ret = retention_from_partials(line_grain_partials(s3)).select(
-        "doc_id",
-        (
-            F.col("removed_chars").cast("double")
-            / (F.col("kept_chars") + F.col("removed_chars")).cast("double")
-        ).alias("rm_frac"),
+    # stage 4: cross-doc boilerplate line share over s3 (doc-grain
+    # persist only)
+    ret = (
+        retention_from_partials(line_grain_partials(s3))
+        .select(
+            "doc_id",
+            (
+                F.col("removed_chars").cast("double")
+                / (F.col("kept_chars") + F.col("removed_chars")).cast("double")
+            ).alias("rm_frac"),
+        )
+        .persist()
     )
-    s3r = s3.join(ret, "doc_id").persist()
-    s3r.count()
+    ret.count()
+    s3r = s3.join(ret, "doc_id")
     boiler_cond = F.col("rm_frac") >= BOILER_T
     boiler_killed = s3r.filter(boiler_cond).select(
         "doc_id", "source", "n_chars", F.lit("boilerplate").alias("reason")

@@ -154,13 +154,25 @@ def q_psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src_bins = binned.groupBy("source", "bin").agg(
         F.sum("c").cast("bigint").alias("sc")
-    )
+    ).persist()
     glob_bins = src_bins.groupBy("bin").agg(
         F.sum("sc").cast("bigint").alias("gb")
     )
+    # r13 optimization (guide §2.4): the source axis of the grid comes
+    # from the (≤ sources×10-row, persisted) src_bins rollup instead of
+    # a second distinct pass over the corpus histogram — every source
+    # has at least one length row, hence at least one bin row, so the
+    # source sets are identical — and the per-source totals ``ns`` ride
+    # the same aggregation (sum over the bins present equals the
+    # windowed sum over the zero-padded grid: absent bins contribute
+    # 0), replacing the per-source window over the grid.  One fewer
+    # hist scan, one fewer exchange, one fewer window; every (source,
+    # bin, sc, gb, ns, n) tuple is unchanged.
+    sources = src_bins.groupBy("source").agg(
+        F.sum("sc").cast("bigint").alias("ns")
+    )
     grid = (
-        hist.select("source")
-        .distinct()
+        sources
         .crossJoin(F.broadcast(spark.range(PSI_BINS).select(F.col("id").alias("bin"))))
         .join(F.broadcast(src_bins), ["source", "bin"], "left")
         .withColumn("sc", F.coalesce(F.col("sc"), F.lit(0)).cast("bigint"))
@@ -170,10 +182,8 @@ def q_psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global doc total from the 10-row bin rollup (broadcast scalar) —
     # not a Window.partitionBy() global window over the source grid
     glob_tot = glob_bins.agg(F.sum("gb").cast("bigint").alias("n"))
-    wsrc = Window.partitionBy("source")
     grid = (
-        grid.withColumn("ns", F.sum("sc").over(wsrc))
-        .crossJoin(F.broadcast(glob_tot))
+        grid.crossJoin(F.broadcast(glob_tot))
         .withColumn("ap", F.col("sc") + 1)          # Laplace-smoothed
         .withColumn("aq", F.col("ns") + PSI_BINS)
         .withColumn("ep", F.col("gb") + 1)
@@ -298,16 +308,39 @@ def psi_between(ref_hist: DataFrame, probe_hist: DataFrame) -> float:
     micro-batch BEFORE folding it into the reference; everything runs
     on the value domain, so the returned scalar costs one tiny job.
     """
-    ref = ref_hist.groupBy("len").agg(F.sum("c").cast("bigint").alias("rc"))
-    probe = probe_hist.groupBy("len").agg(
-        F.sum("c").cast("bigint").alias("pc")
+    # r13 optimization (guide §2.4): ONE tagged pair histogram instead
+    # of two per-side subplans.  The reference and probe sides were
+    # each aggregated, threshold-joined and binned in their own subtree
+    # (two broadcast joins, four aggregations); a union tagged with
+    # (rc, pc) count columns runs the domain aggregation, the
+    # threshold join and the binning ONCE for both sides — per side the
+    # per-bin sums are unchanged (the tag columns are summed
+    # independently), so the PSI value is bit-identical.
+    pair = (
+        ref_hist.select(
+            "len", F.col("c").alias("rc"), F.lit(0).cast("bigint").alias("pc")
+        )
+        .unionByName(
+            probe_hist.select(
+                "len",
+                F.lit(0).cast("bigint").alias("rc"),
+                F.col("c").alias("pc"),
+            )
+        )
+        .groupBy("len")
+        .agg(
+            F.sum("rc").cast("bigint").alias("rc"),
+            F.sum("pc").cast("bigint").alias("pc"),
+        )
     )
     # same digit-bucketed decomposition as the registered query — the
     # streaming monitor's reference histogram grows with the stream's
-    # length domain too
+    # length domain too.  The cumulative runs over the pair frame's
+    # rc column; rows with rc = 0 (probe-only lengths) add nothing to
+    # the prefix sums, so the thresholds equal the reference-only form.
     wall = Window.partitionBy()
-    cum = _bucketed_cumsum(ref, "len", ["rc"]).select(
-        "len", "rc", F.col("cum_rc").alias("cum"), F.col("tot_rc").alias("n")
+    cum = _bucketed_cumsum(pair, "len", ["rc"]).select(
+        "len", F.col("cum_rc").alias("cum"), F.col("tot_rc").alias("n")
     )
     spark = ref_hist.sparkSession
     deciles = spark.range(1, PSI_BINS).select(F.col("id").alias("i"))
@@ -318,19 +351,20 @@ def psi_between(ref_hist: DataFrame, probe_hist: DataFrame) -> float:
         .agg(F.min("len").alias("t"))
     )
 
-    def to_bins(h: DataFrame, cnt: str, out: str) -> DataFrame:
-        return (
-            h.join(F.broadcast(thresholds), F.col("len") > F.col("t"), "left")
-            .groupBy("len", cnt)
-            .agg(F.count("t").alias("bin"))
-            .groupBy("bin")
-            .agg(F.sum(cnt).cast("bigint").alias(out))
+    both_bins = (
+        pair.join(F.broadcast(thresholds), F.col("len") > F.col("t"), "left")
+        .groupBy("len", "rc", "pc")
+        .agg(F.count("t").alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum("rc").cast("bigint").alias("e"),
+            F.sum("pc").cast("bigint").alias("a"),
         )
+    )
 
     bins = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
     grid = (
-        bins.join(F.broadcast(to_bins(ref, "rc", "e")), "bin", "left")
-        .join(F.broadcast(to_bins(probe, "pc", "a")), "bin", "left")
+        bins.join(F.broadcast(both_bins), "bin", "left")
         .withColumn("e", F.coalesce(F.col("e"), F.lit(0)).cast("bigint"))
         .withColumn("a", F.coalesce(F.col("a"), F.lit(0)).cast("bigint"))
         .withColumn("en", F.sum("e").over(wall) + PSI_BINS)

@@ -570,32 +570,56 @@ def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             peeled_nodes.withColumnRenamed("node", "src"), "src", "anti"
         ).join(peeled_nodes.withColumnRenamed("node", "dst"), "dst", "anti")
 
+    # r13 optimization (guide §2.4): peeling is monotone, so the loop
+    # reaches a FIXED POINT the moment a round peels nothing — low_r is
+    # disjoint from the already-peeled set (peeled nodes have no edges
+    # left, hence no degree row), so the cumulative count stalls exactly
+    # when low_r is empty, and then e_{r+1} = e_r makes every remaining
+    # round (and the final anti-join pass) the identity.  The count is
+    # already collected per round to materialize the cache — branch on
+    # it instead of replaying identity rounds.  The unrolled oracle
+    # still replays all KCORE_ROUNDS; identity rounds cannot change its
+    # values, so the outputs stay bit-identical.  Bonus at the fixed
+    # point: this round's degree aggregate IS the final per-survivor
+    # degree frame, so the closing _minus_peeled + re-aggregation pass
+    # is skipped too (its cache was just filled by the same job).
     peeled: DataFrame | None = None
+    prev_n = 0
+    final_deg: DataFrame | None = None
     for _ in range(KCORE_ROUNDS):
         e = e0 if peeled is None else _minus_peeled(e0, peeled)
-        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-        low = deg.filter(F.col("deg") < KCORE_K).select(
+        deg = e.groupBy("src").agg(
+            F.count("*").alias("core_degree")
+        ).persist()
+        low = deg.filter(F.col("core_degree") < KCORE_K).select(
             F.col("src").alias("node")
         )
         nxt = low if peeled is None else peeled.unionByName(low)
         nxt = nxt.persist()
-        nxt.count()  # materialize: short lineage + true size statistics
+        n = nxt.count()  # materialize: short lineage + true size stats
         if peeled is not None:
             peeled.unpersist()
         peeled = nxt
+        if n == prev_n:  # nothing peeled: fixed point reached
+            final_deg = deg
+            break
+        deg.unpersist()
+        prev_n = n
     # Collapse the surviving subgraph into the (tiny) node-degree
     # aggregate before returning: persist+materialize final_deg — one
     # row per surviving node, ~0.1% of the edge frame — then release
     # the caches.  Nothing O(edges) outlives the call, and the two
     # consumers below (result + converged flag) read the small cache
-    # instead of re-peeling.
-    final_deg = (
-        _minus_peeled(e0, peeled)
-        .groupBy("src")
-        .agg(F.count("*").alias("core_degree"))
-        .persist()
-    )
-    final_deg.count()
+    # instead of re-peeling.  Only needed when the peel never stalled:
+    # at the fixed point the last round's degree frame was kept above.
+    if final_deg is None:
+        final_deg = (
+            _minus_peeled(e0, peeled)
+            .groupBy("src")
+            .agg(F.count("*").alias("core_degree"))
+            .persist()
+        )
+        final_deg.count()
     e0.unpersist()
     peeled.unpersist()
     conv = final_deg.agg(
@@ -661,15 +685,21 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     the big side and is read from its persisted form each round.
     """
     edges = _copurchase_edges(spark, sf_dir).persist()
+    # r13: persist the degree aggregate the seed selection already
+    # computes, so the node count comes off that cache for free — it
+    # feeds the second early-exit test below (settled == |V|), which
+    # fires one round EARLIER than the stall test (the stall is only
+    # observable after paying a full identity round).
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    n_nodes = deg.count()
     seed = (
-        edges.groupBy("src")
-        .agg(F.count("*").alias("deg"))
-        .orderBy(F.desc("deg"), F.asc("src"))
+        deg.orderBy(F.desc("deg"), F.asc("src"))
         .limit(1)
         .select(F.col("src").alias("node"), F.lit(0).cast("int").alias("dist"))
     )
     dist = seed.persist()
     dist.count()
+    deg.unpersist()
     # r12 optimization (guide §2.3): expand only the FRONTIER — nodes
     # first reached in the previous round (dist == r) — instead of the
     # whole settled set.  A settled node u's offers (dist(u)+1 to every
@@ -679,6 +709,17 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a min: the per-round dist tables are identical, while the join
     # fan-out and the min-agg shuffle shrink from Σ|settled-adjacent
     # edges| to |frontier-adjacent edges|.
+    # r13 optimization (guide §2.4): stop relaxing once a round settles
+    # no new node.  Unit-weight BFS never lowers an already-settled
+    # distance (every offer is settled+1 ≥ the recorded min), so the
+    # per-round count — already collected to materialize the cache —
+    # stalls exactly when the next frontier (dist == r+1) is empty, and
+    # then every remaining round is the identity (empty join unioned
+    # with dist, min over one row per node).  Branch on the count
+    # instead of replaying identity rounds; the unrolled oracle still
+    # replays all BFS_ROUNDS, and identity rounds cannot change its
+    # values, so the outputs stay bit-identical.
+    prev_n = 1  # the seed frame has exactly one row
     for r in range(BFS_ROUNDS):
         frontier = dist.filter(F.col("dist") == r)
         relaxed = (
@@ -690,8 +731,19 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         prev = dist
         dist = relaxed.persist()
-        dist.count()
+        n = dist.count()
         prev.unpersist()
+        # Two fixed-point tests, both on already-collected counts:
+        # stall (no new node settled — the frontier died out), and
+        # exhaustion (every node settled: any further offer to a
+        # settled v is dist(u)+1 ≥ dist(v), because exact unit-weight
+        # BFS distances of adjacent nodes differ by at most 1 — so the
+        # min never changes).  Exhaustion fires one round earlier than
+        # stall whenever the graph is hub-reachable within the round
+        # budget.
+        if n == prev_n or n == n_nodes:
+            break
+        prev_n = n
     # The final dist frame is node-scale (tiny, stays cached for the
     # consumer); the edge frame is lineitem-scale — release it so a
     # 183-query sweep doesn't pin big caches across query boundaries

@@ -70,7 +70,7 @@ from .quantization_queries import (
     PQ_QUERIES,
     PQ_SUB,
     PQ_TOPK,
-    ivfpq_adc_ranked,
+    ivfpq_adc_swept,
     ivfpq_encode,
 )
 
@@ -128,49 +128,52 @@ def q_ivfpq_probe_recall_curve(
     )
     truth.count()
 
-    # encode ONCE (the write-once production artifact), probe per
-    # setting — the sweep adds no corpus re-scans beyond this pass
+    # encode ONCE (the write-once production artifact); r13
+    # optimization (guide §2.4): the three per-setting candidate scans
+    # probed the SAME persisted coded frame with only nprobe differing
+    # — the probed cell sets nest, so ONE tagged scan of the widest
+    # setting + ONE window partitioned by (nprobe, query) replaces
+    # three scans, three windows, and three persist+count
+    # materializations.  Per setting the candidate set, ADC distances
+    # and (distance, neighbor) ordering are unchanged by construction
+    # (see ivfpq_adc_swept), so every emitted count is identical.
     coded = ivfpq_encode(emb, coarse, books).persist()
     coded.count()
-    per_np_ranked = []
-    for np in NPROBE_SWEEP:
-        ranked = ivfpq_adc_ranked(
-            spark,
-            emb,
-            coarse,
-            books,
-            nprobe=np,
-            max_rank=IVFPQ_SHORTLIST * np,
-            coded=coded,
-            qvecs=qvecs,
-        ).persist()
-        ranked.count()  # materialize: both cuts below reuse it
-        per_np_ranked.append((np, ranked))
+    ranked = ivfpq_adc_swept(
+        spark,
+        coarse,
+        books,
+        coded=coded,
+        qvecs=qvecs,
+        sweep=NPROBE_SWEEP,
+        shortlist=IVFPQ_SHORTLIST,
+    ).persist()
+    ranked.count()  # materialize: both policy cuts below reuse it
 
-    # ONE ADC-ranked candidate scan per setting; the production FIXED
-    # shortlist (which measurably LOSES recall as nprobe widens —
-    # displacement) and the corrected shortlist ∝ nprobe (monotone,
-    # the fix the fixed rows motivate) are different rank CUTS of the
-    # same ordering.  r12 optimization: the six per-(policy, setting)
-    # refine subplans (each a 2-join + window pass) collapse into ONE
+    # The production FIXED shortlist (which measurably LOSES recall as
+    # nprobe widens — displacement) and the corrected shortlist ∝
+    # nprobe (monotone, the fix the fixed rows motivate) are different
+    # rank CUTS of the same per-setting ordering.  r12 optimization:
+    # the six per-(policy, setting) refine subplans collapse into ONE
     # tagged union → ONE exact refine → ONE window partitioned by
     # (policy, nprobe, query) → ONE conditional aggregation — the
     # per-group ranking is unchanged, so the per-setting top-5 sets
-    # (and every emitted count) are identical by construction.
+    # (and every emitted count) are identical by construction.  The
+    # swept frame is already cut at shortlist·nprobe (the scaled cut);
+    # the fixed policy takes the narrower fixed cut of the same rows.
     parts = []
-    for np, ranked in per_np_ranked:
-        for policy, cut in (
-            ("fixed", IVFPQ_SHORTLIST),
-            ("scaled", IVFPQ_SHORTLIST * np),
-        ):
-            parts.append(
-                ranked.filter(F.col("_rn") <= cut).select(
-                    "query_id",
-                    "neighbor_id",
-                    F.lit(np).cast("int").alias("nprobe"),
-                    F.lit(policy).alias("policy"),
-                )
+    for policy, cut in (
+        ("fixed", F.col("_rn") <= IVFPQ_SHORTLIST),
+        ("scaled", F.lit(True)),
+    ):
+        parts.append(
+            ranked.filter(cut).select(
+                "query_id",
+                "neighbor_id",
+                F.col("nprobe").cast("int").alias("nprobe"),
+                F.lit(policy).alias("policy"),
             )
+        )
     shortlist = parts[0]
     for p in parts[1:]:
         shortlist = shortlist.unionByName(p)

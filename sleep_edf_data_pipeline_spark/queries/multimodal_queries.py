@@ -184,10 +184,25 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched.  Every feature is exact-integer-derived (int64 sums,
     one division, one correctly-rounded sqrt), so the oracle replays
     the decoded samples from the text and the hash gate checks the
-    whole codec round trip end-to-end."""
-    from ..operators.multimodal import extract_audio_features
+    whole codec round trip end-to-end.
 
-    return extract_audio_features(audio_assets_from_documents(spark, sf_dir))
+    r13 optimization (guide §4): ONE fused mapInPandas stage — the
+    composed synth→featurize pair shipped every RIFF payload across
+    the JVM↔Python boundary twice (see
+    operators/multimodal.audio_features_from_text); the codec round
+    trip still runs byte-identically inside the worker, so the output
+    (and the oracle) are unchanged.  The standalone asset synth
+    (``audio_assets_from_documents``) and payload featurizer
+    (``extract_audio_features``) remain for compositions that need the
+    intermediate WAV frame.
+    """
+    from ..operators.multimodal import audio_features_from_text
+
+    docs = spread(table(spark, sf_dir, "documents"), "doc_id")
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"), "text"
+    )
+    return audio_features_from_text(src, rate=_AUDIO_RATE)
 
 
 # sample j == (ascii(text[j]) - 96) * 257; the ×257 factor cancels in

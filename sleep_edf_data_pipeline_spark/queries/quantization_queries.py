@@ -627,6 +627,83 @@ def ivfpq_adc_ranked(
     )
 
 
+def ivfpq_adc_swept(
+    spark: SparkSession,
+    coarse: list,
+    books: list,
+    coded: DataFrame,
+    qvecs: list[tuple[int, list[float]]],
+    sweep: tuple[int, ...],
+    shortlist: int,
+) -> DataFrame:
+    """(nprobe, query_id, neighbor_id, _rn): the per-setting ADC-ordered
+    candidate rankings for EVERY sweep setting from ONE scan of the
+    coded frame (r13 optimization, guide §2.4).  The probed cell sets
+    nest — the top-1 cell is a prefix of the top-2 which is a prefix of
+    the top-4, all cut from ONE (distance, cluster)-sorted cell ranking
+    per query — so instead of one candidate scan + window per setting,
+    scan candidates of the WIDEST setting once, tag each candidate with
+    its cell's probe rank, explode it onto the sweep settings whose
+    probe width covers that rank, and rank once in a window partitioned
+    by (nprobe, query).  Per setting the candidate set, the ADC
+    distances, and the (distance, neighbor) ordering are identical to
+    :func:`ivfpq_adc_ranked` by construction; rows are cut at
+    ``shortlist · nprobe`` (the widest cut any consumer takes).
+    """
+    tables = dict(adc_distance_tables(qvecs, books))
+    max_np = max(sweep)
+    # Probe ranking driver-side, once, with the oracle's arithmetic: a
+    # sequential (q[i]-c[i])^2 fold per coarse centroid; the probed
+    # array is the full (distance, cluster)-sorted top-max_np ranking,
+    # so every setting's probe set is a prefix of it.
+    probes: list[tuple[int, list[float], list[int]]] = []
+    for qid, vec in qvecs:
+        dists = []
+        for ci, cent in enumerate(coarse):
+            acc = 0.0
+            for a, b in zip(vec, cent):
+                acc += (a - b) * (a - b)
+            dists.append((acc, ci))
+        probed = [ci for _, ci in sorted(dists)[:max_np]]
+        probes.append((qid, tables[qid], probed))
+    qdf = spark.createDataFrame(
+        probes, "query_id int, dtable array<double>, probed array<int>"
+    )
+
+    cand = coded.join(
+        F.broadcast(qdf),
+        F.array_contains(F.col("probed"), F.col("cluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    dist = None
+    for j in range(PQ_M):
+        term = F.element_at(
+            F.col("dtable"), (F.lit(j * PQ_K) + F.col(f"code_{j}") + 1).cast("int")
+        )
+        dist = term if dist is None else dist + term
+    sweep_arr = F.array(*[F.lit(int(s)) for s in sorted(sweep)])
+    swept = cand.withColumn(
+        "_crank", F.array_position("probed", F.col("cluster")).cast("int")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dist.alias("_adc"),
+        F.explode(
+            F.filter(sweep_arr, lambda s: s >= F.col("_crank"))
+        ).alias("nprobe"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.asc("_adc"), F.asc("neighbor_id")
+    )
+    return (
+        swept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(shortlist) * F.col("nprobe"))
+        .select("nprobe", "query_id", "neighbor_id", "_rn")
+    )
+
+
 def ivfpq_refine(emb: DataFrame, shortlisted: DataFrame) -> DataFrame:
     """Exact re-rank of a (query_id, neighbor_id) shortlist → top-5."""
     from pyspark.sql import Window

@@ -112,7 +112,13 @@ _MODULES = [
     "sleep_edf_data_pipeline_spark.queries.shard_packing",
 ]
 
-# ROUND-13 ROTATION PLAN (execute at the START of round 13, never
+# ROUND-13 ROTATION PLAN — EXECUTED at round-13 start; the window below
+# is this plan realized, with one round-13 addition: the 7 queries whose
+# plans were rewritten by round-13 optimizations are hoisted for
+# re-verification (rule 2 of the original plan), displacing 7 of the
+# r09 backfill slots.  Original plan text kept verbatim for the
+# mechanical debut-enumeration guard in tests/test_registry_window.py:
+# (execute at the START of round 13, never
 # mid-round): after the round-12 window below runs, the stale pool is
 # the 25 r08-latest names the round-12 backfill did not reach
 # (cluster_size_histogram, corpus_shuffle_order, customer_distribution,
@@ -146,73 +152,77 @@ _MODULES = [
 #: The driver-verification window: collect() hoists these 50 names to
 #: the front, in this order.  Every name must exist in some module.
 #:
-#: ROUND-12 WINDOW (executing the round-11 rotation plan, plus the
-#: VERDICT r11 item-1 correction: the plan omitted json_roundtrip_agg
-#: from the debut list — it is the 5th never-driver-rowed r11 debut):
-#: 1) the 5 round-11 debuts (all locally hash-green vs DuckDB at
-#:    sf0.01/sf0.001 in round 11, never driver-rowed);
-#: 2) the 20 r07-stale names.  approx_distinct_parts and
-#:    approx_quantiles_price were converted to tolerance-VERDICT-row
-#:    form late in round 11 (after their last r07 rows), so they row
-#:    as no_oracle with contract-bearing rows — exact twins are
-#:    oracle-green;
-#: 3) backfill with 25 of the 50-name r08-stale pool, LLM-data ops
-#:    first (dedup/decontam/ANN/tokenizer/quality/graph), leaving 25
-#:    for round 13.
+#: ROUND-13 WINDOW (the rotation plan above EXECUTED at round-13 start,
+#: plus this round's plan-rewrite re-verification rule):
+#: 1) the 11 round-12 debuts (all locally hash-green vs DuckDB at 3 SFs
+#:    in round 12, never driver-rowed) — enumerated from the plan above,
+#:    cross-checked mechanically by tests/test_registry_window.py;
+#: 2) the 7 queries whose PLANS WERE REWRITTEN by this round's
+#:    optimizations after their last driver row (kcore_membership,
+#:    bfs_distances, audio_features, dedup_cascade_verdict,
+#:    psi_drift_by_source, label_propagation_communities,
+#:    community_quality) — each also proven value-identical old-vs-new
+#:    at sf0.1 by row-hash this round, but the driver row is the
+#:    independent re-proof;
+#: 3) the 25 r08-stale names the round-12 backfill did not reach;
+#: 4) backfill to exactly 50 with 7 r09-stale names, LLM-data ops
+#:    first (dedup/ANN), leaving the remaining r09 pool for a future
+#:    round.
 _WINDOW = [
-    # -- round-11 debuts, never driver-rowed (5) ----------------------
-    "unigram_lm_vocab",
-    "unigram_lm_encode_stats",
-    "kn_bigram_surprisal",
-    "lsh_neardup_recall",
-    "json_roundtrip_agg",
-    # -- r07-stale (the 20 left by round 11's backfill) ---------------
-    "acf_user_value",
-    "approx_distinct_parts",
-    "approx_quantiles_price",
-    "classifier_calibration",
-    "community_quality",
-    "csv_roundtrip_agg",
-    "episode_bounds",
-    "episode_detection",
-    "episode_ranking",
-    "gaps_islands",
-    "incremental_customer_summary",
-    "link_negative_sampling",
-    "moving_average",
-    "orc_roundtrip_agg",
-    "revenue_trend_ols",
-    "scd2_customer_priority",
-    "sleep_metrics",
-    "staging_cast",
-    "top_event_paths",
-    "transition_flag",
-    # -- r08-stale backfill (25 of 50, LLM-data ops first) ------------
-    "minhash_lsh_neardups",
-    "ngram_jaccard_neardups",
-    "dedup_canonical_docs",
-    "dedup_clusters",
-    "fuzzy_name_dedup_symspell",
-    "embedding_neardups",
-    "duplicate_spans",
-    "doc_fingerprints",
-    "decontaminate_overlap",
-    "gopher_quality_flags",
-    "quality_classifier",
-    "language_id",
-    "pii_scrub",
-    "repetition_stats",
-    "bpe_encode_stats",
-    "unigram_logprob_scores",
-    "vocab_growth_curve",
-    "tfidf_top_terms",
-    "bm25_topk",
-    "ann_recall_eval",
-    "cosine_topk_bruteforce",
-    "cosine_topk_ivf",
+    # -- round-12 debuts, never driver-rowed (11) ---------------------
+    "lsh_neardup_recall_sampled",
+    "unigram_lm_roundtrip_stats",
+    "bpe_roundtrip_stats",
+    "wordpiece_roundtrip_stats",
+    "ivfpq_roundtrip_topk",
+    "jl_distortion_audit",
+    "ivfpq_probe_recall_curve",
+    "winnowing_fingerprints",
+    "winnowing_neardups",
+    "winnowing_source_stats",
+    "shard_snake_packing",
+    # -- plans rewritten by round-13 optimizations (7) ----------------
     "kcore_membership",
-    "multimodal_features",
-    "embedding_drift_by_label",
+    "bfs_distances",
+    "audio_features",
+    "dedup_cascade_verdict",
+    "psi_drift_by_source",
+    "label_propagation_communities",
+    "community_quality",
+    # -- r08-stale (the 25 left by round 12's backfill) ---------------
+    "cluster_size_histogram",
+    "corpus_shuffle_order",
+    "customer_distribution",
+    "data_quality_checks",
+    "diagnostics",
+    "document_chunks",
+    "domain_mixture_weights",
+    "dominant_small_part_suppliers",
+    "forecast_revenue",
+    "frame_sampling",
+    "importance_resample",
+    "important_stock",
+    "json_props_stats",
+    "length_bucket_packing",
+    "multimodal_resize",
+    "part_supplier_diversity",
+    "peak_concurrent_sessions",
+    "priority_order_counts",
+    "promo_revenue_share",
+    "ranking_suite",
+    "returned_item_customers",
+    "session_window_agg_bucketed",
+    "shipping_priority_buckets",
+    "stratified_sample",
+    "waiting_suppliers",
+    # -- r09-stale backfill (7, LLM-data ops first) -------------------
+    "simhash_neardups",
+    "url_canonical_dedup",
+    "cdc_dedup_spans",
+    "host_dedup_profile",
+    "lsh_buckets",
+    "pq_recall_eval",
+    "pq_topk_refined",
 ]
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -5,61 +5,56 @@ The external driver hash-verifies only the first 50 entries of
 queries would silently change WHICH queries get driver rows.  This pin
 makes any window change an explicit, reviewed edit.
 
-Round-12 window = the round-11 rotation plan executed, plus the
-VERDICT r11 item-1 correction (json_roundtrip_agg was the 5th
-never-driver-rowed r11 debut but was omitted from the plan's debut
-list): the 5 round-11 debuts, the 20 r07-stale names, then 25 of the
-50-name r08-stale pool (LLM-data ops first).  See the rotation
-rationale in registry.py.
+Round-13 window = the round-13 rotation plan executed: the 11
+round-12 debuts, the 7 queries whose plans were rewritten by round-13
+optimizations after their last driver row (re-verification rule), the
+25 r08-stale names, then 7 r09-stale names (LLM-data ops first).  See
+the rotation rationale in registry.py.
 """
 
 from sleep_edf_data_pipeline_spark import registry
 
-ROUND12_WINDOW = [
-    # round-11 debuts, never driver-rowed (5)
-    "unigram_lm_vocab", "unigram_lm_encode_stats",
-    "kn_bigram_surprisal", "lsh_neardup_recall", "json_roundtrip_agg",
-    # r07-stale (20)
-    "acf_user_value", "approx_distinct_parts", "approx_quantiles_price",
-    "classifier_calibration", "community_quality", "csv_roundtrip_agg",
-    "episode_bounds", "episode_detection", "episode_ranking",
-    "gaps_islands", "incremental_customer_summary",
-    "link_negative_sampling", "moving_average", "orc_roundtrip_agg",
-    "revenue_trend_ols", "scd2_customer_priority", "sleep_metrics",
-    "staging_cast", "top_event_paths", "transition_flag",
-    # r08-stale backfill (25 of 50, LLM-data ops first)
-    "minhash_lsh_neardups", "ngram_jaccard_neardups",
-    "dedup_canonical_docs", "dedup_clusters",
-    "fuzzy_name_dedup_symspell", "embedding_neardups",
-    "duplicate_spans", "doc_fingerprints", "decontaminate_overlap",
-    "gopher_quality_flags", "quality_classifier", "language_id",
-    "pii_scrub", "repetition_stats", "bpe_encode_stats",
-    "unigram_logprob_scores", "vocab_growth_curve", "tfidf_top_terms",
-    "bm25_topk", "ann_recall_eval", "cosine_topk_bruteforce",
-    "cosine_topk_ivf", "kcore_membership", "multimodal_features",
-    "embedding_drift_by_label",
+ROUND13_WINDOW = [
+    # round-12 debuts, never driver-rowed (11)
+    "lsh_neardup_recall_sampled", "unigram_lm_roundtrip_stats",
+    "bpe_roundtrip_stats", "wordpiece_roundtrip_stats",
+    "ivfpq_roundtrip_topk", "jl_distortion_audit",
+    "ivfpq_probe_recall_curve", "winnowing_fingerprints",
+    "winnowing_neardups", "winnowing_source_stats",
+    "shard_snake_packing",
+    # plans rewritten by round-13 optimizations (7)
+    "kcore_membership", "bfs_distances", "audio_features",
+    "dedup_cascade_verdict", "psi_drift_by_source",
+    "label_propagation_communities", "community_quality",
+    # r08-stale (25)
+    "cluster_size_histogram", "corpus_shuffle_order",
+    "customer_distribution", "data_quality_checks", "diagnostics",
+    "document_chunks", "domain_mixture_weights",
+    "dominant_small_part_suppliers", "forecast_revenue",
+    "frame_sampling", "importance_resample", "important_stock",
+    "json_props_stats", "length_bucket_packing", "multimodal_resize",
+    "part_supplier_diversity", "peak_concurrent_sessions",
+    "priority_order_counts", "promo_revenue_share", "ranking_suite",
+    "returned_item_customers", "session_window_agg_bucketed",
+    "shipping_priority_buckets", "stratified_sample",
+    "waiting_suppliers",
+    # r09-stale backfill (7, LLM-data ops first)
+    "simhash_neardups", "url_canonical_dedup", "cdc_dedup_spans",
+    "host_dedup_profile", "lsh_buckets", "pq_recall_eval",
+    "pq_topk_refined",
 ]
 
-#: The two no-oracle sketches in the window are by-design rows-only
-#: (an approximate sketch cannot hash-match an exact oracle) — both
-#: were converted late in round 11 to EMIT their tolerance verdict as
-#: rows (est vs exact twin, bound, within_bound flag), so the
-#: rows-only driver record carries the contract instead of an
-#: unreadable estimate.  The exact twins are oracle-green and the
-#: measured deltas live in SKETCH_TOLERANCE.json /
-#: tests/test_sketch_tolerance.py.
-ROWS_ONLY_IN_WINDOW = {
-    "approx_distinct_parts",
-    "approx_quantiles_price",
-}
+#: Every round-13 window entry is oracle-backed (the round-11
+#: rows-only tolerance sketches rotated out with the r07-stale pool).
+ROWS_ONLY_IN_WINDOW = set()
 
 
 def test_driver_window_is_exactly_the_planned_50():
     queries, oracles = registry.collect()
-    assert list(queries)[:50] == ROUND12_WINDOW
+    assert list(queries)[:50] == ROUND13_WINDOW
     # every window entry except the by-design rows-only sketches is
     # oracle-backed
-    no_oracle = [n for n in ROUND12_WINDOW if n not in oracles]
+    no_oracle = [n for n in ROUND13_WINDOW if n not in oracles]
     assert sorted(no_oracle) == sorted(ROWS_ONLY_IN_WINDOW)
 
 
