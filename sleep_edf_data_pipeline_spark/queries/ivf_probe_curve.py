@@ -120,13 +120,15 @@ def q_ivfpq_probe_recall_curve(
     w = Window.partitionBy("query_id").orderBy(
         F.asc("_d"), F.asc("neighbor_id")
     )
+    # r13 (guide §5): no persist+count — the truth frame has exactly
+    # ONE consumer (the broadcast side of the hits join below), so the
+    # eager materialization job bought no reuse; the broadcast build
+    # executes the subtree once either way.
     truth = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= PQ_TOPK)
         .select("query_id", "neighbor_id")
-        .persist()
     )
-    truth.count()
 
     # encode ONCE (the write-once production artifact); r13
     # optimization (guide §2.4): the three per-setting candidate scans
@@ -137,8 +139,12 @@ def q_ivfpq_probe_recall_curve(
     # materializations.  Per setting the candidate set, ADC distances
     # and (distance, neighbor) ordering are unchanged by construction
     # (see ivfpq_adc_swept), so every emitted count is identical.
-    coded = ivfpq_encode(emb, coarse, books).persist()
-    coded.count()
+    # r13 (guide §5): the r12 persist+count of the coded frame bought
+    # reuse across THREE per-setting candidate scans; after the swept
+    # fusion there is exactly ONE scan, so the encode subtree now
+    # inlines into the ranked materialization below — one job fewer,
+    # one corpus-scale cache fewer, same single execution.
+    coded = ivfpq_encode(emb, coarse, books)
     ranked = ivfpq_adc_swept(
         spark,
         coarse,

@@ -70,12 +70,6 @@ def q_edge_similarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = dire.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("bigint").alias("deg")
     )
-    packed = dire.join(
-        deg.select(F.col("node").alias("v"), F.col("deg").alias("vdeg")), "v"
-    ).select("u", (F.col("v") * _PACK + F.col("vdeg")).alias("p"))
-    adj = packed.groupBy("u").agg(
-        F.sort_array(F.collect_list("p")).alias("nbrs")
-    )
 
     # broadcast the packed adjacency when it fits (one entry per
     # directed edge — the exact size estimate the triangle plan uses);
@@ -85,6 +79,24 @@ def q_edge_similarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _adj_side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if adj_fits else df
+
+    # r13 (guide §3): the degree attach was the one SortMergeJoin in
+    # the committed plan — it shuffled all 2·|E| directed entries by
+    # ``v`` just to look up a |V|-row frame.  The degree frame is
+    # strictly smaller than the packed adjacency (one bigint per node
+    # vs one entry per directed edge), so whenever the adjacency fits
+    # the broadcast budget the degree frame does too: reuse the same
+    # exact-count guard.  Above the threshold the join stays shuffled
+    # (node-scale build sides cannot be broadcast at 100 TB).
+    packed = dire.join(
+        _adj_side(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("vdeg"))
+        ),
+        "v",
+    ).select("u", (F.col("v") * _PACK + F.col("vdeg")).alias("p"))
+    adj = packed.groupBy("u").agg(
+        F.sort_array(F.collect_list("p")).alias("nbrs")
+    )
 
     e = (
         und.join(
